@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps one entry per implemented operator family from
+SURVEY.md §2 to a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()``
+carries the equivalent DuckDB SQL (the astronomy oracles are *generated*
+from the same coefficient tables as the kernels — solarpos_spark/oracle_sql.py).
+
+Astronomy inputs are derived deterministically from the `events` table with
+integer arithmetic only, so Spark and DuckDB construct bit-identical doubles;
+outputs are rounded to the reference's output precision (5 decimals) so libm
+ULP differences cannot flip the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +16,433 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarpos_spark import oracle_sql as _osql
+from solarpos_spark.operators import dedup, similarity, text, windows
+from solarpos_spark.operators.position import position
+from solarpos_spark.operators.sunrise import sunrise
+from solarpos_spark.sources import inputs, tokens
+
+# --------------------------------------------------------------------------
+# shared input derivations (must match the SQL constants below exactly)
+# --------------------------------------------------------------------------
+
+_ASTRO_BASE_SQL = """
+SELECT event_id,
+       ((event_id * 37) % 14400) / 100.0 - 72.0 AS lat,
+       ((event_id * 73) % 36000) / 100.0 - 180.0 AS lon,
+       CAST(floor(epoch(ts)) AS BIGINT) AS usec,
+       0.0 AS elevation, 1013.0 AS pressure, 15.0 AS temperature,
+       69.0 AS delta_t
+FROM events
+"""
+
+
+def _astro_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id"),
+        (((F.col("event_id") * 37) % 14400) / 100.0 - 72.0).alias("lat"),
+        (((F.col("event_id") * 73) % 36000) / 100.0 - 180.0).alias("lon"),
+        F.unix_timestamp("ts").alias("usec"),
+        F.lit(0.0).alias("elevation"),
+        F.lit(1013.0).alias("pressure"),
+        F.lit(15.0).alias("temperature"),
+        F.lit(69.0).alias("delta_t"),
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _round_pos(df: DataFrame, extra: list[str]) -> DataFrame:
+    cols = [F.col(c) for c in extra]
+    return df.select(
+        *cols,
+        F.round("azimuth", 5).alias("azimuth"),
+        F.round(df.columns[-1], 5).alias(df.columns[-1]),
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _position_query(algorithm: str, *, refraction: bool = True,
+                    elevation_angle: bool = False):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        src = _astro_df(spark, sf_dir)
+        res = position(src, algorithm=algorithm, refraction=refraction,
+                       elevation_angle=elevation_angle, ts_col="usec",
+                       time_is_unix=True, show_inputs=True,
+                       passthrough=["event_id"])
+        val_col = "elevation-angle" if elevation_angle else "zenith"
+        return res.select(
+            "event_id",
+            F.round("latitude", 5).alias("lat"),
+            F.round("longitude", 5).alias("lon"),
+            F.round("azimuth", 5).alias("azimuth"),
+            F.round(F.col(val_col), 5).alias(val_col.replace("-", "_")),
+        )
+    return q
+
+
+def _q_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec bijection: derive tuples -> encode -> decode -> emit fields."""
+    src = _astro_df(spark, sf_dir).limit(20000)
+    import numpy as np
+    import pandas as pd
+
+    from solarpos_spark import codec
+
+    def enc(batches):
+        for pdf in batches:
+            recs = codec.encode_records(
+                lat=pdf["lat"].to_numpy(), lon=pdf["lon"].to_numpy(),
+                unix_sec=pdf["usec"].to_numpy(np.int64),
+                delta_t=pdf["delta_t"].to_numpy(),
+                elevation=pdf["elevation"].to_numpy(),
+                pressure=pdf["pressure"].to_numpy(),
+                temperature=pdf["temperature"].to_numpy(),
+            )
+            yield pd.DataFrame({
+                "doc_id": pdf["event_id"].astype(str),
+                "tokens": list(recs),
+                "n_tok": codec.TOKENS_PER_RECORD,
+                "source": "derived:events",
+            })
+
+    tok = src.mapInPandas(enc, schema=tokens.TOKEN_SCHEMA)
+    dec = tokens.decode_tokens(tok)
+    return dec.select(
+        F.col("doc_id").cast("long").alias("event_id"),
+        F.round("lat", 5).alias("lat"), F.round("lon", 5).alias("lon"),
+        F.col("unix_sec").alias("usec"),
+        F.round("delta_t", 3).alias("delta_t"),
+        F.round("pressure", 3).alias("pressure"),
+    )
+
+
+def _q_coord_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/R1: inclusive ranges + lat-major cartesian grid (exact-binary step)."""
+    g = inputs.grid_df(spark, (-60.0, 60.0, 0.25), (-30.0, 30.0, 0.25))
+    return g.select(
+        (F.col("lat_ord") * 241 + F.col("lon_ord")).alias("ord"),
+        F.round("lat", 5).alias("lat"), F.round("lon", 5).alias("lon"),
+    )
+
+
+def _q_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: year series at 2h step (4380 rows for 2003, PositionTest.java:161-186)."""
+    t = inputs.time_series_df(spark, 2003, step_sec=7200)
+    return t.select("unix_sec")
+
+
+def _q_cartesian_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 + F1: the reference StressTest shape — 21x21 grid x 120 times, SPA.
+    (StressTest.java:40-99: 52,920 rows.)"""
+    grid = inputs.grid_df(spark, (50.0, 55.0, 0.25), (10.0, 15.0, 0.25))
+    times = inputs.time_series_df(spark, 2024, 6, step_sec=21600)
+    gt = inputs.grid_times_df(grid, times).withColumn("delta_t", F.lit(69.0))
+    res = position(gt, algorithm="spa", ts_col="unix_sec", time_is_unix=True,
+                   show_inputs=True)
+    return res.select(
+        F.round("latitude", 5).alias("lat"), F.round("longitude", 5).alias("lon"),
+        F.unix_timestamp("dateTime").alias("usec"),
+        F.round("azimuth", 5).alias("azimuth"), F.round("zenith", 5).alias("zenith"),
+    )
+
+
+def _q_sunrise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: sunrise/transit/set per derived coordinate/date (rows-only check;
+    the iterative solver is pinned by golden pytest vectors instead)."""
+    src = _astro_df(spark, sf_dir).limit(2000)
+    res = sunrise(src, ts_col="usec", time_is_unix=True)
+    return res.select(
+        F.round("latitude", 5).alias("lat"), F.round("longitude", 5).alias("lon"),
+        F.unix_timestamp("dateTime").alias("usec"),
+        "type",
+        F.unix_timestamp("sunrise").alias("sunrise_usec"),
+        F.unix_timestamp("transit").alias("transit_usec"),
+        F.unix_timestamp("sunset").alias("sunset_usec"),
+    )
+
+
+def _q_deltat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: Espenak-Meeus deltaT estimate per event date (via the kernel UDF)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from solarpos_spark.kernels import deltat as dk
+
+    def _est(year, month):
+        y = dk.decimal_year(year.to_numpy(np.float64), month.to_numpy(np.float64))
+        return pd.Series(dk.estimate(y))
+
+    est = pandas_udf(_est, DoubleType())
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(F.year("ts").alias("y"), F.month("ts").alias("m"))
+        .distinct()
+        .select("y", "m", F.round(est(F.col("y"), F.col("m")), 6).alias("delta_t_est"))
+    )
+
+
+def _q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.tumbling_counts(_events(spark, sf_dir))
+
+
+def _q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sliding_counts(_events(spark, sf_dir))
+
+
+def _q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.session_stats(_events(spark, sf_dir))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_quality(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, q, k=3)
+
+
+def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: SPA position over sf0.001 events (driver smoke check)."""
+    return _position_query("spa")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "position_spa": _position_query("spa"),
+        "position_grena3": _position_query("grena3"),
+        "position_no_refraction": _position_query("spa", refraction=False),
+        "elevation_angle": _position_query("spa", elevation_angle=True),
+        "tokens_roundtrip": _q_tokens_roundtrip,
+        "coord_grid": _q_coord_grid,
+        "time_series": _q_time_series,
+        "cartesian_sweep": _q_cartesian_sweep,
+        "sunrise_daily": _q_sunrise,
+        "deltat_estimate": _q_deltat,
+        "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
+        "window_session": _q_window_session,
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "doc_fingerprint": _q_fingerprint,
+        "similarity_topk": _q_similarity_topk,
+        "lineitem_pricing": _q_lineitem_pricing,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+
+def _pos_oracle(*, refraction: bool = True, elevation_angle: bool = False,
+                grena: bool = False) -> str:
+    gen = _osql.grena3_sql if grena else _osql.spa_sql
+    kw = {} if grena else {"refraction": refraction}
+    inner = gen(_ASTRO_BASE_SQL, **kw)
+    val = ("round(90.0 - zenith, 5) AS elevation_angle" if elevation_angle
+           else "zenith")
+    return (
+        f"SELECT event_id, round(lat,5) AS lat, round(lon,5) AS lon, "
+        f"azimuth, {val} FROM ({inner})"
+    )
+
+
+_SLIDE_ORACLE = """
+SELECT win_start AS window_start, count(*) AS n
+FROM (
+  SELECT (CAST(floor(epoch(ts)/900) AS BIGINT) - k.k) * 900 AS win_start
+  FROM events, (SELECT unnest([0,1,2,3]) AS k) k
+)
+GROUP BY win_start
+"""
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+_TEXT_QUALITY_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(words) AS BIGINT) AS n_words,
+       round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+       round(len(list_filter(words, w -> lower(w) IN
+             ('the','a','of','and','to','in','is'))) * 1.0 / len(words), 6)
+           AS stopword_ratio,
+       round(n_chars * 1.0 / len(words), 6) AS avg_word_len,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM w
+"""
+
+_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_dot_product(q.qvec, c.cvec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS score
+  FROM c, q WHERE c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "position_spa": _pos_oracle(),
+        "position_grena3": _pos_oracle(grena=True),
+        "position_no_refraction": _pos_oracle(refraction=False),
+        "elevation_angle": _pos_oracle(elevation_angle=True),
+        "tokens_roundtrip": """
+            SELECT event_id,
+                   round(round(((event_id * 37) % 14400) / 100.0 - 72.0, 5), 5) AS lat,
+                   round(round(((event_id * 73) % 36000) / 100.0 - 180.0, 5), 5) AS lon,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS usec,
+                   69.0 AS delta_t, 1013.0 AS pressure
+            FROM events
+            ORDER BY event_id LIMIT 20000
+        """,
+        "coord_grid": """
+            SELECT la.i * 241 + lo.i AS ord,
+                   round(-60.0 + la.i * 0.25, 5) AS lat,
+                   round(-30.0 + lo.i * 0.25, 5) AS lon
+            FROM (SELECT unnest(range(0, 481)) AS i) la,
+                 (SELECT unnest(range(0, 241)) AS i) lo
+        """,
+        "time_series": """
+            SELECT unnest(range(1041379200, 1072915200, 7200)) AS unix_sec
+        """,
+        "cartesian_sweep": _sweep_oracle(),
+        "deltat_estimate": _DELTAT_ORACLE,
+        "window_tumbling": """
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "window_sliding": _SLIDE_ORACLE,
+        "window_session": _SESSION_ORACLE,
+        "dedup_exact": """
+            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                   count(*) AS n_docs, min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "text_quality": _TEXT_QUALITY_ORACLE,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "similarity_topk": _TOPK_ORACLE,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+    }
+
+
+_DELTAT_ORACLE = """
+WITH ym AS (SELECT DISTINCT year(ts) AS y, month(ts) AS m FROM events),
+dy AS (SELECT y, m, y + (m - 0.5) / 12.0 AS yy FROM ym)
+SELECT y, m,
+  round(CASE
+    WHEN yy >= 2005 AND yy < 2050 THEN
+      62.92 + 0.32217*(yy-2000) + 0.005589*(yy-2000)*(yy-2000)
+    WHEN yy >= 1986 AND yy < 2005 THEN
+      63.86 + 0.3345*(yy-2000) - 0.060374*pow(yy-2000,2) + 0.0017275*pow(yy-2000,3)
+      + 0.000651814*pow(yy-2000,4) + 0.00002373599*pow(yy-2000,5)
+    ELSE NULL END, 6) AS delta_t_est
+FROM dy
+"""
+
+
+def _sweep_oracle() -> str:
+    base = """
+    SELECT round(50.0 + la.i * 0.25, 5) AS lat,
+           round(10.0 + lo.i * 0.25, 5) AS lon,
+           CAST(1717200000 + t.i * 21600 AS BIGINT) AS usec,
+           0.0 AS elevation, 1013.0 AS pressure, 15.0 AS temperature,
+           69.0 AS delta_t
+    FROM (SELECT unnest(range(0, 21)) AS i) la,
+         (SELECT unnest(range(0, 21)) AS i) lo,
+         (SELECT unnest(range(0, 120)) AS i) t
     """
-    return {}
+    inner = _osql.spa_sql(base)
+    return (
+        "SELECT lat, lon, usec, azimuth, zenith FROM (" + inner + ")"
+    )

@@ -1,0 +1,100 @@
+"""Benchmark harness — one JSON line for the round driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. The headline metric is sun-position rows/sec
+across the SPA + Grena3 position paths (BASELINE.json metric), measured over
+the token-stream-shaped pipeline (encode -> decode -> position) plus the
+reference StressTest sweep shape.
+
+Output: {"metric": ..., "value": rows_per_sec, "unit": "sec",
+         "queries": {name: seconds}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from solarpos_spark.operators.position import position
+    from solarpos_spark.plans.session import build_session
+    from solarpos_spark.sources import tokens as tok
+
+    spark = build_session(app_name="solarpos-bench", cores=cpus,
+                          shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    position_rows = 0
+    position_secs = 0.0
+
+    def run(name, fn, *, count_positions=False):
+        nonlocal position_rows, position_secs
+        t0 = time.perf_counter()
+        n = fn().count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        if count_positions:
+            position_rows += n
+            position_secs += dt
+        return n
+
+    # warm the JVM + python workers once (excluded from timings)
+    qs["window_tumbling"](spark, sf_dir).count()
+
+    # headline: position paths (SPA + Grena3), the BASELINE metric
+    run("position_spa", lambda: qs["position_spa"](spark, sf_dir),
+        count_positions=True)
+    run("position_grena3", lambda: qs["position_grena3"](spark, sf_dir),
+        count_positions=True)
+    run("cartesian_sweep", lambda: qs["cartesian_sweep"](spark, sf_dir),
+        count_positions=True)
+
+    # token-stream-shaped pipeline: generate -> decode -> SPA position
+    def token_pipeline():
+        n_docs = 20000
+        t = tok.generate_token_sequences(spark, n_docs, records_per_doc=8,
+                                         partitions=cpus)
+        dec = tok.decode_tokens(t)
+        return position(dec.withColumn("ts", F.col("unix_sec")),
+                        algorithm="spa", ts_col="ts", time_is_unix=True)
+
+    run("token_stream_spa", token_pipeline, count_positions=True)
+
+    # CEP + pipeline operators
+    run("sunrise_daily", lambda: qs["sunrise_daily"](spark, sf_dir))
+    run("window_tumbling", lambda: qs["window_tumbling"](spark, sf_dir))
+    run("window_sliding", lambda: qs["window_sliding"](spark, sf_dir))
+    run("window_session", lambda: qs["window_session"](spark, sf_dir))
+    run("dedup_exact", lambda: qs["dedup_exact"](spark, sf_dir))
+    run("text_quality", lambda: qs["text_quality"](spark, sf_dir))
+    run("similarity_topk", lambda: qs["similarity_topk"](spark, sf_dir))
+    run("lineitem_pricing", lambda: qs["lineitem_pricing"](spark, sf_dir))
+
+    value = position_rows / position_secs if position_secs else 0.0
+    print(json.dumps({
+        "metric": "sun-position rows/sec (SPA+Grena3, token-stream + sweep)",
+        "value": round(value, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "position_rows": position_rows,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

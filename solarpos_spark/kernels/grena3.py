@@ -55,11 +55,17 @@ def solar_position(
     te = t + 1.1574e-5 * delta_t
     wa_te = 0.0172019715 * te
 
-    lam = (
+    # lam and the sidereal product are reduced mod 2*pi with EXACT remainders
+    # before any transcendental: sin/asin/atan2 results are then insensitive
+    # to cross-library argument-reduction ULP differences, keeping the numpy
+    # kernel and the generated SQL oracle bit-aligned (values change by
+    # <1e-15 rad, far inside the reference's 5e-7 deg output tolerance).
+    lam = np.mod(
         -1.388803
         + 1.720279216e-2 * te
         + 3.3366e-2 * np.sin(wa_te - 0.06172)
-        + 3.53e-4 * np.sin(2.0 * wa_te - 0.1163)
+        + 3.53e-4 * np.sin(2.0 * wa_te - 0.1163),
+        PI2,
     )
 
     epsilon = 4.089567e-1 - 6.19e-9 * te
@@ -74,7 +80,7 @@ def solar_position(
 
     delta = np.arcsin(s_lambda * s_epsilon)
 
-    h = 1.7528311 + 6.300388099 * t + lon * DEG - alpha
+    h = 1.7528311 + np.mod(6.300388099 * t, PI2) + lon * DEG - alpha
     h = np.mod(h + PI, PI2) - PI
 
     s_phi = np.sin(lat * DEG)

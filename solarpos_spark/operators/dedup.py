@@ -1,0 +1,148 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale design (the 100 TB story):
+* exact dedup — hash-groupBy, one shuffle on the digest; AQE coalesces.
+* n-gram Jaccard — shingle explode -> co-shingle join restricted to shared
+  shingles (never all-pairs); at scale add the MinHash/LSH band filter first.
+* MinHash + LSH — k permutation-free hashes (xxhash64 with salt), banded into
+  buckets; candidate pairs only within a bucket (the classic band trick).
+* SimHash — 64-bit sign-aggregated fingerprint; near-dups differ in few bits.
+All JVM-side expressions; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents (after whitespace normalization)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.col("doc_id"), F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (distinct)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])
+    return F.when(k <= 0, F.array(F.concat_ws(" ", F.array_join(words, " ")))) \
+            .otherwise(F.array_distinct(F.transform(idx, gram)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Co-shingle join (a pair is compared only if it shares >= 1 shingle),
+    then |A ∩ B| / (|A| + |B| - |A ∩ B|). Output: (doc_a, doc_b, jaccard)
+    with doc_a < doc_b.
+    """
+    sh = df.select(
+        F.col("doc_id"), shingles_col(F.col(text_col), n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, *, num_hashes: int = 32, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of xxhash64(shingle, salt_i).
+
+    Permutation-free variant: k independent salted hash functions — the
+    standard large-scale construction (one explode + one groupBy, shuffle
+    keyed by doc_id only).
+    """
+    sh = df.select(F.col("doc_id"), shingles_col(F.col(text_col), n).alias("sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature into ``bands`` buckets; pairs sharing any band
+    bucket are candidates. Output distinct (doc_a, doc_b)."""
+    num = bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.xxhash64(*cols, F.lit(b)).alias(f"band{b}"))
+    banded = signatures.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over words: bit b set iff sum over words of
+    sign(bit b of xxhash64(word)) is positive. One explode + one groupBy."""
+    words = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+    ex = df.select("doc_id", words).withColumn("h", F.xxhash64(F.col("w")))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1).cast("long") << i) != 0, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    summed = ex.groupBy("doc_id").agg(*aggs)
+    bit_terms = [
+        F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") << i).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc.bitwiseOR(t)
+    return summed.select("doc_id", acc.alias("simhash"))

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set, score
+JVM-side with zip_with/aggregate (no Python). Scale path: LSH-bucketed ANN —
+random-hyperplane signs bucket vectors so candidate scoring touches only
+same-bucket pairs (the shuffle is keyed by bucket, never all-pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (broadcast the query side).
+
+    Output: (query_id, rank, neighbor_id, score). Deterministic: ordered by
+    rounded score desc, neighbor id asc — FP-tie stable across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    *,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign pattern of n_planes projections).
+
+    Planes are a deterministic seeded matrix embedded as literals — tiny
+    (n_planes x dim doubles) so the projection is pure JVM expression code;
+    cosine-similar vectors land in the same bucket with high probability.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in planes[p]]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.lit(1).cast("long") << p).otherwise(F.lit(0).cast("long"))
+        )
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket pairs (bucket-keyed join).
+
+    At 100 TB this is the difference between an all-pairs shuffle and a
+    bucket-partitioned one; recall is tuned by n_planes (and multi-probe
+    in later rounds).
+    """
+    cb = hyperplane_buckets(corpus, dim=dim, n_planes=n_planes, seed=seed,
+                            vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket")
+    qb = hyperplane_buckets(queries, dim=dim, n_planes=n_planes, seed=seed,
+                            vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket")
+    scored = (
+        cb.join(F.broadcast(qb), (cb.bucket == qb.bucket)
+                & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (id_a < id_b). Exact; for scale,
+    front it with hyperplane_buckets to prune the pair space."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
