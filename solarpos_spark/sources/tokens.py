@@ -44,8 +44,11 @@ def generate_token_sequences(
     seed: int = 42,
     source: str = "synthetic:paired",
     partitions: int | None = None,
+    ts_lo: int = _TS_LO,
+    ts_hi: int = _TS_HI,
+    doc_prefix: str = "doc-",
 ) -> DataFrame:
-    """Deterministic seeded token table, built with mapInPandas (no driver data)."""
+    """Deterministic seeded token table, built with mapInArrow (no driver data)."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -61,8 +64,8 @@ def generate_token_sequences(
             rec_idx = np.tile(np.arange(k, dtype=np.int64), n)
             lat = _u01(_splitmix64(seed, doc_rep, rec_idx, 0)) * 180.0 - 90.0
             lon = _u01(_splitmix64(seed, doc_rep, rec_idx, 1)) * 360.0 - 180.0
-            usec = _TS_LO + (
-                _splitmix64(seed, doc_rep, rec_idx, 2) % np.uint64(_TS_HI - _TS_LO)
+            usec = ts_lo + (
+                _splitmix64(seed, doc_rep, rec_idx, 2) % np.uint64(ts_hi - ts_lo)
             ).astype(np.int64)
             recs = codec.encode_records(
                 lat=lat, lon=lon, unix_sec=usec,
@@ -79,7 +82,7 @@ def generate_token_sequences(
                 offsets, pa.array(recs.reshape(-1), type=pa.int32()))
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.char.add("doc-", ids.astype(str))),
+                    pa.array(np.char.add(doc_prefix, ids.astype(str))),
                     tokens_arr,
                     pa.array(np.full(n, ntok, dtype=np.int32)),
                     pa.array(np.repeat(np.array([source]), n)),

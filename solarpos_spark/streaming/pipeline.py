@@ -1,0 +1,136 @@
+"""Structured-Streaming CEP pipeline over the token stream.
+
+The north_rule core: an unbounded stream of pre-tokenized sequences
+(the Spark analogue of solarpos's ``@-`` stdin mode,
+util/DateTimeIterator.java:235-238) is decoded per micro-batch, position and
+sunrise rows are derived with the same vectorized kernels as the batch path,
+and CEP operators run on event time:
+
+* tumbling/sliding windows bucketing by observation hour,
+* session windows per doc_id (a doc's coordinate sweep = one session),
+* a stateful stream-stream join aligning each position row with its
+  same-day sunrise row (equi-key + event-time range, watermark-bounded),
+* an exactly-once sink (idempotent per-epoch parquet partitions).
+
+Row values are identical to the batch path by construction — the UDFs are
+shared — so the batch oracles in __spark_entry__.py pin streaming
+correctness; streaming-specific semantics (late-data drops, resume) are
+covered in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.position import position
+from ..operators.sunrise import sunrise
+from ..sources.tokens import decode_tokens
+
+
+def decoded_stream(token_stream: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Decode + event-time column + watermark. Event time is the encoded
+    observation timestamp (the reference's input dateTime)."""
+    dec = decode_tokens(token_stream)
+    return dec.withColumn(
+        "event_time", F.timestamp_seconds(F.col("unix_sec"))
+    ).withWatermark("event_time", watermark)
+
+
+def position_stream(decoded: DataFrame, *, algorithm: str = "spa") -> DataFrame:
+    """1:1 position rows (the graft's primary path, R3)."""
+    out = position(
+        decoded, algorithm=algorithm, ts_col="unix_sec", time_is_unix=True,
+        passthrough=["doc_id", "seq_index", "event_time"],
+    )
+    return out
+
+
+def sunrise_stream(decoded: DataFrame) -> DataFrame:
+    """Per-record sunrise rows keyed like the position stream."""
+    return sunrise(
+        decoded, ts_col="unix_sec", time_is_unix=True,
+        passthrough=["doc_id", "seq_index", "event_time"],
+    )
+
+
+def hourly_window_counts(decoded: DataFrame) -> DataFrame:
+    """Tumbling 1h windows over observation hour: row counts + coordinate
+    extent per bucket (watermark-bounded, append-able)."""
+    return (
+        decoded.groupBy(F.window("event_time", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+            F.approx_count_distinct("doc_id").alias("n_docs"),
+        )
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "n_rows", "min_lat", "max_lat", "n_docs")
+    )
+
+
+def sliding_window_counts(decoded: DataFrame, *, duration: str = "1 hour",
+                          slide: str = "15 minutes") -> DataFrame:
+    return (
+        decoded.groupBy(F.window("event_time", duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("w.start").alias("window_start"), "n_rows")
+    )
+
+
+def doc_session_stats(decoded: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per doc_id: one coordinate sweep = one session."""
+    return (
+        decoded.groupBy(
+            F.session_window("event_time", gap).alias("w"), F.col("doc_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_records"),
+             F.min("seq_index").alias("first_seq"),
+             F.max("seq_index").alias("last_seq"))
+        .select("doc_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_records",
+                "first_seq", "last_seq")
+    )
+
+
+def position_sunrise_join(decoded: DataFrame, *, algorithm: str = "spa",
+                          join_window: str = "INTERVAL 1 DAY") -> DataFrame:
+    """Stateful stream-stream join: position rows ⋈ their same-key sunrise
+    rows on (doc_id, seq_index) with an event-time range bound.
+
+    Both sides carry watermarks (inherited from ``decoded``), so Spark can
+    evict join state once the watermark passes the range bound — the state
+    stays O(watermark-window), not O(stream). The time condition keeps the
+    join within one observation day (sunrise is day-resolution).
+    """
+    pos = position_stream(decoded, algorithm=algorithm).alias("p")
+    sr = (
+        sunrise_stream(decoded)
+        .select(
+            F.col("doc_id").alias("s_doc_id"),
+            F.col("seq_index").alias("s_seq_index"),
+            F.col("event_time").alias("s_event_time"),
+            "type", "sunrise", "transit", "sunset",
+        )
+        .alias("s")
+    )
+    cond = (
+        (F.col("p.doc_id") == F.col("s_doc_id"))
+        & (F.col("p.seq_index") == F.col("s_seq_index"))
+        & (F.col("s_event_time") >= F.col("p.event_time") - F.expr(join_window))
+        & (F.col("s_event_time") <= F.col("p.event_time") + F.expr(join_window))
+    )
+    joined = pos.join(sr, cond, "inner")
+    return joined.select(
+        "p.doc_id", "p.seq_index", "p.event_time",
+        "p.latitude", "p.longitude", "p.azimuth", "p.zenith",
+        "type", "sunrise", "transit", "sunset",
+        # is the observation between sunrise and sunset?
+        F.when(F.col("type") == "ALL_DAY", F.lit(True))
+        .when(F.col("type") == "ALL_NIGHT", F.lit(False))
+        .otherwise((F.col("p.event_time") >= F.col("sunrise"))
+                   & (F.col("p.event_time") <= F.col("sunset")))
+        .alias("is_daylight"),
+    )

@@ -1,0 +1,256 @@
+"""Streaming CEP tests: exactly-once sink, checkpoint resume, late-data
+determinism under a fixed watermark, stateful stream-stream join, lineage.
+
+Strategy (SURVEY.md §7 phase 3): the batch path is the oracle — the UDFs are
+shared, so streaming output must equal batch output over the same input
+regardless of micro-batch boundaries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+from solarpos_spark.sources import tokens
+from solarpos_spark.streaming import pipeline
+from solarpos_spark.streaming.lineage import attach_lineage, with_observed_metrics
+
+
+T0 = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def make_token_files(spark, path: str, n_docs: int = 60, files: int = 6,
+                     *, slice_sec: int = 3600, overlap_sec: int = 0):
+    """Materialize the token table as several time-sliced parquet files.
+
+    File i carries event times in [T0 + i*slice - overlap, T0 + (i+1)*slice):
+    an ordered stream with bounded disorder (<= overlap_sec), the regime a
+    watermark is designed for. Files are written sequentially so the file
+    source replays them in order.
+    """
+    per_file = n_docs // files
+    for i in range(files):
+        lo = T0 + i * slice_sec - (overlap_sec if i > 0 else 0)
+        hi = T0 + (i + 1) * slice_sec
+        df = tokens.generate_token_sequences(
+            spark, per_file, records_per_doc=4, ts_lo=lo, ts_hi=hi,
+            doc_prefix=f"doc{i}-", partitions=1)
+        df.write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+def drain(q):
+    q.awaitTermination(300)
+
+
+class TestExactlyOnceSink:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        src = str(tmp_path / "tok")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        batch_input = make_token_files(spark, src)
+
+        stream = tokens.read_token_stream(spark, src, max_files_per_trigger=2)
+        dec = pipeline.decoded_stream(stream)
+        pos = pipeline.position_stream(dec)
+        q = exactly_once_parquet_sink(pos, out, ckpt, trigger_available_now=True)
+        drain(q)
+
+        got = spark.read.parquet(out)
+        batch_dec = tokens.decode_tokens(batch_input)
+        from solarpos_spark.operators.position import position
+        want = position(batch_dec, ts_col="unix_sec", time_is_unix=True,
+                        passthrough=["doc_id", "seq_index"])
+        assert got.count() == want.count() == 240
+        # value equality, order-insensitive
+        key = ["doc_id", "seq_index"]
+        j = got.select(*key, F.round("azimuth", 9).alias("az_s")).join(
+            want.select(*key, F.round("azimuth", 9).alias("az_b")), key)
+        assert j.filter(F.col("az_s") != F.col("az_b")).count() == 0
+
+    def test_resume_from_checkpoint_no_duplicates(self, spark, tmp_path):
+        src = str(tmp_path / "tok")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        make_token_files(spark, src, n_docs=60, files=6)
+
+        stream = tokens.read_token_stream(spark, src, max_files_per_trigger=1)
+        dec = pipeline.decoded_stream(stream)
+        pos = pipeline.position_stream(dec)
+
+        # phase 1: process a couple of micro-batches, then kill the query
+        q = exactly_once_parquet_sink(pos, out, ckpt)
+        import time
+        seen, deadline = 0, time.monotonic() + 120
+        while seen < 2 and time.monotonic() < deadline:
+            time.sleep(1.0)
+            seen = len([f for f in os.listdir(os.path.join(ckpt, "commits"))
+                        if not f.startswith(".")]) if os.path.isdir(
+                os.path.join(ckpt, "commits")) else 0
+        assert seen >= 2, "no micro-batch committed before kill"
+        q.stop()
+        q.awaitTermination(60)
+
+        # phase 2: restart from the same checkpoint, drain everything
+        stream2 = tokens.read_token_stream(spark, src, max_files_per_trigger=1)
+        pos2 = pipeline.position_stream(pipeline.decoded_stream(stream2))
+        q2 = exactly_once_parquet_sink(pos2, out, ckpt, trigger_available_now=True)
+        drain(q2)
+
+        got = spark.read.parquet(out)
+        assert got.count() == 240  # 60 docs x 4 records, exactly once
+        dupes = (got.groupBy("doc_id", "seq_index").count()
+                 .filter(F.col("count") > 1).count())
+        assert dupes == 0
+
+    def test_overwrite_same_batch_is_idempotent(self, spark, tmp_path):
+        # simulate a batch replay: writing batch_id=7 twice leaves one copy
+        out = str(tmp_path / "out")
+        df = spark.range(10).select(F.col("id"), F.lit(7).alias("batch_id"))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy("batch_id").parquet(out)
+            df.write.mode("overwrite").partitionBy("batch_id").parquet(out)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        assert spark.read.parquet(out).count() == 10
+
+
+class TestWindowsAndLateData:
+    def test_hourly_windows_deterministic_across_batching(self, spark, tmp_path):
+        """Same input at different micro-batch granularity -> same committed
+        windows (late arrivals bounded by the watermark)."""
+        src = str(tmp_path / "tok")
+        make_token_files(spark, src, n_docs=80, files=8)
+
+        def run(trigger_files: int, tag: str):
+            out = str(tmp_path / f"out_{tag}")
+            ckpt = str(tmp_path / f"ckpt_{tag}")
+            stream = tokens.read_token_stream(spark, src,
+                                              max_files_per_trigger=trigger_files)
+            dec = pipeline.decoded_stream(stream, watermark="10 years")
+            agg = pipeline.hourly_window_counts(dec)
+            q = (agg.writeStream.outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .format("parquet").option("path", out).start())
+            drain(q)
+            return spark.read.parquet(out) if os.path.isdir(out) else None
+
+        # watermark "10 years" covers the 2020-2030 synthetic event spread,
+        # so no window is ever finalized early -> nothing emits in append
+        # mode until end; use update-to-memory instead for full comparison
+        def run_mem(trigger_files: int, name: str):
+            stream = tokens.read_token_stream(spark, src,
+                                              max_files_per_trigger=trigger_files)
+            dec = pipeline.decoded_stream(stream, watermark="1 hour")
+            agg = pipeline.hourly_window_counts(dec)
+            q = (agg.writeStream.outputMode("complete")
+                 .format("memory").queryName(name)
+                 .trigger(availableNow=True).start())
+            drain(q)
+            return spark.table(name)
+
+        a = run_mem(1, "win_a").orderBy("window_start").collect()
+        b = run_mem(8, "win_b").orderBy("window_start").collect()
+        assert a == b
+        assert len(a) > 0
+
+    def test_session_windows_stream_match_batch(self, spark, tmp_path):
+        src = str(tmp_path / "tok")
+        make_token_files(spark, src, n_docs=40, files=4)
+        stream = tokens.read_token_stream(spark, src, max_files_per_trigger=2)
+        dec = pipeline.decoded_stream(stream, watermark="1 hour")
+        sess = pipeline.doc_session_stats(dec)
+        q = (sess.writeStream.outputMode("complete")
+             .format("memory").queryName("sessions")
+             .trigger(availableNow=True).start())
+        drain(q)
+        got = spark.table("sessions")
+        # batch equivalent over the same decoded rows
+        batch = tokens.decode_tokens(spark.read.parquet(src)).withColumn(
+            "event_time", F.timestamp_seconds("unix_sec"))
+        want = (batch.groupBy(F.session_window("event_time", "30 minutes")
+                              .alias("w"), "doc_id")
+                .agg(F.count(F.lit(1)).alias("n_records"))
+                .select("doc_id", F.col("w.start").alias("session_start"),
+                        "n_records"))
+        gk = got.select("doc_id", "session_start", "n_records")
+        assert gk.exceptAll(want).count() == 0
+        assert want.exceptAll(gk).count() == 0
+
+
+class TestStreamStreamJoin:
+    def test_join_emits_one_row_per_record(self, spark, tmp_path):
+        src = str(tmp_path / "tok")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        make_token_files(spark, src, n_docs=30, files=3)
+        stream = tokens.read_token_stream(spark, src, max_files_per_trigger=1)
+        dec = pipeline.decoded_stream(stream, watermark="1 hour")
+        joined = pipeline.position_sunrise_join(dec)
+        q = exactly_once_parquet_sink(joined, out, ckpt, trigger_available_now=True)
+        drain(q)
+        # join results within the time bound are held in state until the
+        # watermark passes; append a far-future sentinel doc to advance it,
+        # then drain again from the same checkpoint (exactly-once resume).
+        tokens.generate_token_sequences(
+            spark, 1, records_per_doc=1, doc_prefix="sentinel-",
+            ts_lo=1930000000, ts_hi=1930000001,
+        ).write.mode("append").parquet(src)
+        stream2 = tokens.read_token_stream(spark, src, max_files_per_trigger=1)
+        joined2 = pipeline.position_sunrise_join(
+            pipeline.decoded_stream(stream2, watermark="1 hour"))
+        q2 = exactly_once_parquet_sink(joined2, out, ckpt, trigger_available_now=True)
+        drain(q2)
+        got = spark.read.parquet(out).filter(~F.col("doc_id").startswith("sentinel"))
+        assert got.count() == 120  # one joined row per decoded record
+        assert got.filter(F.col("is_daylight").isNull()).count() == 0
+        # daylight flag consistent with zenith where the UT-day event window
+        # is guaranteed aligned (the A.2 solver reports events within the UT
+        # day of the observation's calendar date, as the reference does —
+        # near the dateline morning events wrap to the other day edge)
+        bad = got.filter(
+            (F.col("zenith") < 80.0) & ~F.col("is_daylight")
+            & (F.abs(F.col("longitude")) < 30.0) & (F.col("type") == "NORMAL")
+        ).count()
+        assert bad == 0
+
+
+class TestLineage:
+    def test_lineage_log_written(self, spark, tmp_path):
+        src = str(tmp_path / "tok")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        log = str(tmp_path / "lineage" / "log.jsonl")
+        make_token_files(spark, src, n_docs=20, files=4)
+        listener = attach_lineage(spark, log)
+        try:
+            stream = tokens.read_token_stream(spark, src, max_files_per_trigger=2)
+            dec = with_observed_metrics(pipeline.decoded_stream(stream))
+            pos = pipeline.position_stream(dec)
+            q = exactly_once_parquet_sink(pos, out, ckpt, trigger_available_now=True)
+            drain(q)
+            # listener delivery is async: poll for both batch records
+            import time
+            deadline = time.monotonic() + 30
+            recs = []
+            while time.monotonic() < deadline:
+                if os.path.exists(log):
+                    with open(log) as f:
+                        recs = [json.loads(line) for line in f if line.strip()]
+                    if len(recs) >= 2:
+                        break
+                time.sleep(0.5)
+        finally:
+            spark.streams.removeListener(listener)
+        assert len(recs) >= 2  # >= 2 micro-batches
+        assert all("sources" in r and r["sources"] for r in recs)
+        assert any(r["numInputRows"] > 0 for r in recs)
+        # per-partition lineage: file-source offsets recorded per batch
+        assert all(r["sources"][0]["endOffset"] is not None for r in recs)
