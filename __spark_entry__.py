@@ -161,17 +161,35 @@ def _q_cartesian_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sunrise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6: sunrise/transit/set per derived coordinate/date (rows-only check;
-    the iterative solver is pinned by golden pytest vectors instead)."""
-    src = _astro_df(spark, sf_dir).limit(2000)
-    res = sunrise(src, ts_col="usec", time_is_unix=True)
+    """F6: sunrise/transit/set per derived coordinate/date — full value
+    oracle via the generated NREL A.2 SQL (oracle_sql.sunrise_sql)."""
+    src = _astro_df(spark, sf_dir).filter(F.col("event_id") < 2000)
+    res = sunrise(src, ts_col="usec", time_is_unix=True,
+                  passthrough=["event_id"])
     return res.select(
+        "event_id",
         F.round("latitude", 5).alias("lat"), F.round("longitude", 5).alias("lon"),
-        F.unix_timestamp("dateTime").alias("usec"),
         "type",
         F.unix_timestamp("sunrise").alias("sunrise_usec"),
         F.unix_timestamp("transit").alias("transit_usec"),
         F.unix_timestamp("sunset").alias("sunset_usec"),
+    )
+
+
+def _q_twilight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: the three twilight horizons (--twilight), value-checked against
+    three more sunrise_sql instantiations (civil/nautical/astronomical)."""
+    src = _astro_df(spark, sf_dir).filter(F.col("event_id") < 500)
+    res = sunrise(src, twilight=True, ts_col="usec", time_is_unix=True,
+                  passthrough=["event_id"])
+    return res.select(
+        "event_id",
+        F.unix_timestamp("civil_start").alias("civil_start_usec"),
+        F.unix_timestamp("civil_end").alias("civil_end_usec"),
+        F.unix_timestamp("nautical_start").alias("nautical_start_usec"),
+        F.unix_timestamp("nautical_end").alias("nautical_end_usec"),
+        F.unix_timestamp("astronomical_start").alias("astronomical_start_usec"),
+        F.unix_timestamp("astronomical_end").alias("astronomical_end_usec"),
     )
 
 
@@ -214,6 +232,49 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (rows-only: xxhash64 has no DuckDB
+    counterpart; end-state correctness is pinned by tests/test_dedup.py
+    against exact Jaccard)."""
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=32, n=3)
+    return dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only, same xxhash64 caveat)."""
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_duplicates(emb, threshold=0.3)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk(emb, q, dim=64, k=3, n_planes=6)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_docs(spark, sf_dir))
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column + Arrow-batched metadata
+    extraction (the real decode is stubbed deterministically — no image
+    libs in this container; the Spark-side schema/batching is real)."""
+    from solarpos_spark.operators.multimodal import extract_binary_metadata
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return extract_binary_metadata(docs)
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_quality(_docs(spark, sf_dir))
 
@@ -241,6 +302,158 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUNRISE_BASE_SQL = """
+SELECT event_id,
+       ((event_id * 37) % 14400) / 100.0 - 72.0 AS lat,
+       ((event_id * 73) % 36000) / 100.0 - 180.0 AS lon,
+       CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) * 86400 AS BIGINT) AS day0,
+       69.0 AS delta_t
+FROM events
+WHERE event_id < {limit}
+"""
+
+
+def _sunrise_oracle() -> str:
+    inner = _osql.sunrise_sql(_SUNRISE_BASE_SQL.format(limit=2000))
+    return (
+        "SELECT event_id, round(lat,5) AS lat, round(lon,5) AS lon, type, "
+        "sunrise_usec, transit_usec, sunset_usec FROM (" + inner + ")"
+    )
+
+
+def _twilight_oracle() -> str:
+    base = _SUNRISE_BASE_SQL.format(limit=500)
+    parts = []
+    for name, hz in (("civil", -6.0), ("nautical", -12.0),
+                     ("astronomical", -18.0)):
+        inner = _osql.sunrise_sql(base, horizon=hz)
+        parts.append(
+            f"{name} AS (SELECT event_id, sunrise_usec AS {name}_start_usec, "
+            f"sunset_usec AS {name}_end_usec FROM ({inner}))"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT c.event_id, c.civil_start_usec, c.civil_end_usec, "
+        "n.nautical_start_usec, n.nautical_end_usec, "
+        "a.astronomical_start_usec, a.astronomical_end_usec "
+        "FROM civil c JOIN nautical n USING (event_id) "
+        "JOIN astronomical a USING (event_id)"
+    )
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) <= 2
+      THEN [array_to_string(ws, ' ')]
+      ELSE list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      END) AS shingles
+  FROM w
+),
+ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS sg FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb,
+         count(*) AS n_common
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+FROM inter
+WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5
+"""
+
+_NEAR_DUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+"""
+
+_LANG_ID_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+),
+h AS (
+  SELECT doc_id,
+    len(list_filter(ws, x -> lower(x) IN
+        ('the','a','of','and','to','in','is'))) AS en_hits,
+    len(list_filter(ws, x -> lower(x) IN
+        ('der','die','das','und','zu','ist','ein'))) AS de_hits,
+    len(list_filter(ws, x -> lower(x) IN
+        ('le','la','de','et','un','est','les'))) AS fr_hits
+  FROM w
+)
+SELECT doc_id, en_hits, de_hits, fr_hits,
+  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+       WHEN fr_hits > 0 THEN 'fr'
+       ELSE 'unknown' END AS pred_lang
+FROM h
+"""
+
+_MULTIMODAL_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         strlen(text) AS n_bytes,
+         ascii(substr(text, 1, 1)) AS first_byte,
+         list_sum(list_transform(range(1, strlen(text) + 1),
+                                 i -> ascii(substr(text, i, 1)))) AS checksum
+  FROM documents
+)
+SELECT doc_id, n_bytes, first_byte, CAST(checksum AS BIGINT) AS checksum,
+       CAST(n_bytes % 64 + 16 AS INT) AS fake_width,
+       CAST(checksum % 48 + 16 AS INT) AS fake_height
+FROM b
+"""
+
+
+def _ann_oracle() -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((6, 64))
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, planes[{i + 1}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(6)
+    )
+    return f"""
+WITH p AS (SELECT [{plane_lits}]::DOUBLE[][] AS planes),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v, ({bucket_terms}) AS bucket FROM e, p
+),
+q AS (SELECT vec_id AS query_id, v AS qvec, bucket FROM bucketed WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.qvec, c.v)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+  FROM bucketed c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: SPA position over sf0.001 events (driver smoke check)."""
     return _position_query("spa")(spark, "/root/testdata/sf0.001")
@@ -257,11 +470,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_series": _q_time_series,
         "cartesian_sweep": _q_cartesian_sweep,
         "sunrise_daily": _q_sunrise,
+        "twilight": _q_twilight,
         "deltat_estimate": _q_deltat,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
         "window_session": _q_window_session,
         "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_topk": _q_ann_topk,
+        "lang_id": _q_lang_id,
+        "multimodal_meta": _q_multimodal_meta,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_fingerprint,
         "similarity_topk": _q_similarity_topk,
@@ -385,6 +606,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(range(1041379200, 1072915200, 7200)) AS unix_sec
         """,
         "cartesian_sweep": _sweep_oracle(),
+        "sunrise_daily": _sunrise_oracle(),
+        "twilight": _twilight_oracle(),
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "embedding_near_dup": _NEAR_DUP_ORACLE,
+        "ann_topk": _ann_oracle(),
+        "lang_id": _LANG_ID_ORACLE,
+        "multimodal_meta": _MULTIMODAL_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "window_tumbling": """
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,

@@ -433,8 +433,40 @@ class SpaTimeDependent(NamedTuple):
     r: np.ndarray  # earth radius vector, AU
 
 
+#: Rows per internal chunk of the periodic-term evaluation. The series sums
+#: materialize (chunk, n_terms) matrices (largest: 64-term L0); 8192 rows
+#: keeps every temporary ~4 MB — L2/L3-resident — instead of letting a 65k
+#: Arrow batch allocate ~33 MB per intermediate. Unchunked, 32 concurrent
+#: workers thrash memory bandwidth and *absolute* throughput collapses
+#: (measured: 22k rows/s at n=1.6M vs 66k at n=100k in one process).
+_TD_CHUNK = 8192
+
+
 def time_dependent_parts(unix_sec: np.ndarray, delta_t: np.ndarray) -> SpaTimeDependent:
-    """Compute the time-dependent SPA terms (eq. 3-30) for each timestamp."""
+    """Compute the time-dependent SPA terms (eq. 3-30) for each timestamp.
+
+    Chunked internally (see _TD_CHUNK) so peak temporary memory is constant
+    regardless of batch size."""
+    unix_sec = np.asarray(unix_sec, dtype=np.float64)
+    n = unix_sec.shape[0]
+    if n > _TD_CHUNK:
+        delta_t_b = np.broadcast_to(np.asarray(delta_t, dtype=np.float64), (n,))
+        alpha = np.empty(n)
+        delta = np.empty(n)
+        nu = np.empty(n)
+        r = np.empty(n)
+        for lo in range(0, n, _TD_CHUNK):
+            hi = min(lo + _TD_CHUNK, n)
+            part = _time_dependent_parts_block(unix_sec[lo:hi], delta_t_b[lo:hi])
+            alpha[lo:hi] = part.alpha
+            delta[lo:hi] = part.delta
+            nu[lo:hi] = part.nu
+            r[lo:hi] = part.r
+        return SpaTimeDependent(alpha=alpha, delta=delta, nu=nu, r=r)
+    return _time_dependent_parts_block(unix_sec, delta_t)
+
+
+def _time_dependent_parts_block(unix_sec: np.ndarray, delta_t: np.ndarray) -> SpaTimeDependent:
     unix_sec = np.asarray(unix_sec, dtype=np.float64)
     delta_t = np.broadcast_to(np.asarray(delta_t, dtype=np.float64), unix_sec.shape)
     jd = julian_day(unix_sec)

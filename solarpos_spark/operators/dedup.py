@@ -131,15 +131,18 @@ def simhash(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     sign(bit b of xxhash64(word)) is positive. One explode + one groupBy."""
     words = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
     ex = df.select("doc_id", words).withColumn("h", F.xxhash64(F.col("w")))
+    def _bit(i: int) -> int:
+        return (1 << i) if i < 63 else -(1 << 63)
+
     aggs = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1).cast("long") << i) != 0, 1).otherwise(-1)
+            F.when(F.col("h").bitwiseAND(F.lit(_bit(i))) != 0, 1).otherwise(-1)
         ).alias(f"s{i}")
         for i in range(64)
     ]
     summed = ex.groupBy("doc_id").agg(*aggs)
     bit_terms = [
-        F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") << i).otherwise(F.lit(0).cast("long"))
+        F.when(F.col(f"s{i}") > 0, F.lit(_bit(i))).otherwise(F.lit(0).cast("long"))
         for i in range(64)
     ]
     acc = bit_terms[0]

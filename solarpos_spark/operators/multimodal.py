@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with typed metadata structs.
+The Spark-side machinery here is real and tested — schema, Arrow batch shape,
+mapInArrow signature, partitioning — while the actual media *decode* step is
+a deterministic stub (`_fake_decode`): the container ships no image/audio
+libraries (SURVEY.md environment note), so the stub derives stable pseudo
+dimensions from the payload bytes. Swapping `_fake_decode` for a real
+PIL/ffmpeg call changes nothing upstream or downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+METADATA_SCHEMA = (
+    "doc_id long, n_bytes long, first_byte int, checksum long, "
+    "fake_width int, fake_height int"
+)
+
+
+def _fake_decode(n_bytes: np.ndarray, first_byte: np.ndarray,
+                 checksum: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic stand-in for a media decoder: pseudo width/height from
+    payload stats. Replace with a real decoder (PIL.Image.open etc.) when
+    the libraries exist; NotImplementedError is deliberately NOT raised so
+    the pipeline stays runnable end-to-end."""
+    width = (n_bytes % 64 + 16).astype(np.int32)
+    height = ((checksum % 48) + 16).astype(np.int32)
+    return width, height
+
+
+def extract_binary_metadata(df: DataFrame, *, payload_col: str = "payload",
+                            id_col: str = "doc_id") -> DataFrame:
+    """binary payload -> typed metadata row, vectorized over Arrow batches.
+
+    Zero-copy reads of the Arrow binary buffers: lengths come from offsets,
+    first bytes and checksums from the flat value buffer — no per-row Python.
+    """
+
+    def meta(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            payload = batch.column(names.index(payload_col))
+            if isinstance(payload, pa.ChunkedArray):
+                payload = payload.combine_chunks()
+            # BinaryArray layout: buffers = [validity, int32 offsets, data]
+            bufs = payload.buffers()
+            all_offsets = np.frombuffer(bufs[1], dtype=np.int32)
+            offsets = all_offsets[payload.offset: payload.offset
+                                  + len(payload) + 1].astype(np.int64)
+            values = (np.frombuffer(bufs[2], dtype=np.uint8)
+                      if bufs[2] is not None else np.zeros(0, np.uint8))
+            lens = np.diff(offsets)
+            if len(values) == 0:
+                first = np.zeros(len(lens), dtype=np.int32)
+                csum = np.zeros(len(lens), dtype=np.int64)
+            else:
+                first = np.where(
+                    lens > 0,
+                    values[np.minimum(offsets[:-1], len(values) - 1)],
+                    0,
+                ).astype(np.int32)
+                # vectorized additive checksum per row (segmented sum)
+                csum = np.add.reduceat(
+                    values.astype(np.int64),
+                    np.minimum(offsets[:-1], len(values) - 1),
+                )
+                csum = np.where(lens > 0, csum, 0)
+            width, height = _fake_decode(lens, first, csum)
+            ids = batch.column(names.index(id_col))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(lens),
+                    pa.array(first),
+                    pa.array(csum),
+                    pa.array(width),
+                    pa.array(height),
+                ],
+                names=["doc_id", "n_bytes", "first_byte", "checksum",
+                       "fake_width", "fake_height"],
+            )
+
+    return df.mapInArrow(meta, schema=METADATA_SCHEMA)

@@ -98,7 +98,7 @@ def hyperplane_buckets(
             lambda acc, v: acc + v,
         )
         bucket = bucket.bitwiseOR(
-            F.when(proj > 0, F.lit(1).cast("long") << p).otherwise(F.lit(0).cast("long"))
+            F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
         )
     return df.withColumn("bucket", bucket)
 

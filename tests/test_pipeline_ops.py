@@ -1,0 +1,163 @@
+"""Training-data pipeline operator tests: dedup, similarity, text, multimodal.
+
+Quality checks use planted ground truth: the synthetic `documents` table
+contains near-duplicates (max 3-gram Jaccard ~0.99 at sf0.001), and we plant
+exact duplicates / perturbed copies explicitly where needed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solarpos_spark.operators import dedup, similarity, text
+from solarpos_spark.operators.multimodal import extract_binary_metadata
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact_duplicates_planted(self, spark):
+        rows = [(1, "the same text body"), (2, "the  same   text body"),
+                (3, "a different document")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["keep_doc_id"]: r["n_docs"]
+               for r in dedup.exact_duplicates(df).collect()}
+        assert out[1] == 2  # whitespace-normalized dup group
+        assert out[3] == 1
+
+    def test_jaccard_self_similarity(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"),
+             (2, "alpha beta gamma delta epsilon"),
+             (3, "zeta eta theta iota kappa")],
+            "doc_id long, text string")
+        pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+        assert len(pairs) == 1
+        assert pairs[0]["doc_a"] == 1 and pairs[0]["doc_b"] == 2
+        assert pairs[0]["jaccard"] == 1.0
+
+    def test_lsh_recall_against_exact(self, docs):
+        """Every high-Jaccard pair must be an LSH candidate (banded MinHash
+        with 8 bands x 4 rows has >99% recall at j >= 0.8)."""
+        exact = {(r["doc_a"], r["doc_b"])
+                 for r in dedup.ngram_jaccard_pairs(
+                     docs, n=3, threshold=0.8).collect()}
+        sigs = dedup.minhash_signatures(docs, num_hashes=32, n=3)
+        cands = {(r["doc_a"], r["doc_b"])
+                 for r in dedup.lsh_candidate_pairs(
+                     sigs, bands=8, rows_per_band=4).collect()}
+        assert exact, "fixture should contain planted near-duplicates"
+        missed = exact - cands
+        assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+    def test_simhash_similar_docs_close(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog again and again"),
+             (2, "the quick brown fox jumps over the lazy cat again and again"),
+             (3, "completely unrelated words about spark shuffles and parquet")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+
+        def hamming(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+        assert hamming(out[1], out[2]) < 16
+
+
+class TestSimilarity:
+    def test_brute_force_topk_self_best(self, spark, emb):
+        # a vector's nearest neighbor set must contain its duplicate
+        dup = emb.filter(F.col("vec_id") == 0).select(
+            F.lit(999999).cast("long").alias("vec_id"),
+            "embedding", "label")
+        corpus = emb.unionByName(dup)
+        q = corpus.filter(F.col("vec_id") == 999999)
+        top = similarity.brute_force_topk(corpus, q, k=1).collect()
+        assert top[0]["neighbor_id"] == 0
+        assert top[0]["score"] == 1.0
+
+    def test_ann_finds_planted_duplicates(self, spark, emb):
+        """Sign-LSH guarantee: identical vectors always share a bucket, so
+        ANN top-1 must recover every planted duplicate. (Top-1 recall on
+        *uniform random* corpora is theory-bounded at (1-theta/pi)^planes
+        and deliberately not asserted.)"""
+        dups = emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+        corpus = emb.unionByName(dups)
+        approx = {r["query_id"]: (r["neighbor_id"], r["score"])
+                  for r in similarity.ann_topk(
+                      corpus, dups, dim=64, k=1, n_planes=6).collect()}
+        assert len(approx) == 10
+        for qid, (nid, score) in approx.items():
+            assert nid == qid - 100000
+            assert score == 1.0
+
+    def test_near_duplicates_planted(self, spark, emb):
+        dup = emb.filter(F.col("vec_id") == 3).select(
+            F.lit(888888).cast("long").alias("vec_id"), "embedding", "label")
+        out = similarity.embedding_near_duplicates(
+            emb.unionByName(dup), threshold=0.999).collect()
+        assert any(r["id_a"] == 3 and r["id_b"] == 888888 for r in out)
+
+
+class TestText:
+    def test_quality_features(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The cat, and the dog!")], "doc_id long, text string")
+        r = text.text_quality(df).collect()[0]
+        assert r["n_words"] == 5
+        assert r["n_chars"] == 21
+        assert r["punct_ratio"] == round(2 / 21, 6)
+        assert r["stopword_ratio"] == round(3 / 5, 6)  # The, and, the
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog of the house"),
+             (2, "der Hund und die Katze ist ein Tier"),
+             (3, "le chat et la maison est un animal"),
+             (4, "xyzzy plugh")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["pred_lang"]
+               for r in text.language_id(df).collect()}
+        assert out == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+    def test_fingerprint_whitespace_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello   world"), (2, "hello world ")],
+            "doc_id long, text string")
+        fps = [r["fingerprint"] for r in text.fingerprint(df).collect()]
+        assert fps[0] == fps[1]
+
+
+class TestMultimodal:
+    def test_binary_metadata(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"abc")), (2, bytearray(b"")), (3, bytearray(b"\x00\xff"))],
+            "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in extract_binary_metadata(df).collect()}
+        assert out[1]["n_bytes"] == 3
+        assert out[1]["first_byte"] == ord("a")
+        assert out[1]["checksum"] == ord("a") + ord("b") + ord("c")
+        assert out[2]["n_bytes"] == 0 and out[2]["checksum"] == 0
+        assert out[3]["n_bytes"] == 2 and out[3]["checksum"] == 255
+        assert out[1]["fake_width"] == 3 % 64 + 16
+
+    def test_batch_shapes_on_real_docs(self, docs):
+        payload = docs.select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+        out = extract_binary_metadata(payload)
+        joined = out.join(docs, "doc_id")
+        mism = joined.filter(F.col("n_bytes") != F.col("n_chars")).count()
+        assert mism == 0  # ascii corpus: bytes == chars

@@ -1,0 +1,192 @@
+"""N vs 4N scaling study (BASELINE.json north_rule criterion).
+
+No real cluster exists in this sandbox, so per the driver instruction the
+two-cluster-size criterion is evidenced by running the SAME job on the SAME
+input at two local parallelism levels (local[8] vs local[32]) and reporting
+throughput + scaling efficiency = r_4N / (4 * r_N).
+
+Measurement hygiene: the sandbox host is shared (load averages ~10 with no
+local work), so each parallelism level runs in a FRESH subprocess, levels
+are interleaved A/B/A/B..., and the minimum wall time per (job, level) is
+reported — min is the standard noise-robust estimator for throughput under
+external interference.
+
+Jobs:
+* token_stream_spa — flagship map-only pipeline (decode -> SPA position).
+* sweep_spa       — cartesian grid x time with per-timestamp hoisting.
+* window_agg      — shuffle-bearing tumbling aggregation.
+
+Writes BENCH/BASELINE.md. Usage:
+    python tools/bench_scaling.py [n_docs] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_SMALL = 4
+N_BIG = 16
+JOBS = ("token_stream_spa", "sweep_spa", "window_agg")
+
+
+def worker(cores: int, token_path: str) -> None:
+    """Run all jobs once at the given parallelism; print one JSON line."""
+    from pyspark.sql import functions as F
+
+    from solarpos_spark.operators.position import position
+    from solarpos_spark.operators.windows import tumbling_counts
+    from solarpos_spark.plans.session import build_session
+    from solarpos_spark.sources import inputs, tokens
+
+    spark = build_session(app_name=f"scaling-{cores}", cores=cores,
+                          shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force_count(df):
+        # count() alone lets Catalyst prune deterministic UDF projections
+        r = df.select(F.xxhash64(*df.columns).alias("h")) \
+              .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("h")).collect()[0]
+        return r["n"]
+
+    tok = tokens.read_token_table(spark, token_path)
+
+    def token_job():
+        return position(
+            tokens.decode_tokens(tok).withColumn("ts", F.col("unix_sec")),
+            algorithm="spa", ts_col="ts", time_is_unix=True)
+
+    def sweep_job():
+        grid = inputs.grid_df(spark, (50.0, 55.0, 0.25), (10.0, 15.0, 0.25))
+        times = inputs.time_series_df(spark, 2024, step_sec=1800)  # 17,568 instants x 441 coords = 7.7M rows
+        return position(
+            inputs.grid_times_df(grid, times, parallelism=cores * 4)
+            .withColumn("delta_t", F.lit(69.0)),
+            algorithm="spa", ts_col="unix_sec", time_is_unix=True)
+
+    def window_job():
+        dec = tokens.decode_tokens(tok).withColumn(
+            "ts", F.timestamp_seconds("unix_sec")).withColumn(
+            "value", F.col("lat"))
+        return tumbling_counts(dec, key_col="doc_id")
+
+    fns = {"token_stream_spa": token_job, "sweep_spa": sweep_job,
+           "window_agg": window_job}
+
+    # warm: JVM codegen + ALL python workers (a limit() warmup only spawns a
+    # few workers, so the timed run at high parallelism would pay ~30 cold
+    # numpy/pandas imports). Full untimed passes = steady-state measurement.
+    force_count(token_job())
+    force_count(sweep_job())
+    force_count(window_job())
+
+    out = {}
+    for name in JOBS:
+        t0 = time.perf_counter()
+        n = force_count(fns[name]())
+        out[name] = (time.perf_counter() - t0, n)
+    spark.stop()
+    print("RESULT " + json.dumps(out))
+
+
+def run_level(cores: int, token_path: str) -> dict[str, tuple[float, int]]:
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker",
+         str(cores), token_path],
+        capture_output=True, text=True, cwd=REPO, timeout=1200,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            raw = json.loads(line[len("RESULT "):])
+            return {k: (float(v[0]), int(v[1])) for k, v in raw.items()}
+    raise RuntimeError(
+        f"worker failed (cores={cores}):\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+        return
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    tmp = tempfile.mkdtemp(prefix="scaling_tokens_")
+    token_path = os.path.join(tmp, "tokens")
+
+    from solarpos_spark.plans.session import build_session
+    from solarpos_spark.sources import tokens
+
+    spark = build_session(app_name="scaling-gen", cores=N_BIG)
+    spark.sparkContext.setLogLevel("ERROR")
+    tokens.generate_token_sequences(
+        spark, n_docs, records_per_doc=8, partitions=64
+    ).write.mode("overwrite").parquet(token_path)
+    spark.stop()
+
+    best: dict[int, dict[str, tuple[float, int]]] = {N_SMALL: {}, N_BIG: {}}
+    for rep in range(reps):
+        for cores in (N_SMALL, N_BIG):  # interleaved A/B
+            res = run_level(cores, token_path)
+            for job, (dt, n) in res.items():
+                cur = best[cores].get(job)
+                if cur is None or dt < cur[0]:
+                    best[cores][job] = (dt, n)
+            print(f"rep {rep} cores {cores}: "
+                  + ", ".join(f"{j}={res[j][0]:.2f}s" for j in JOBS),
+                  flush=True)
+
+    lines = [
+        "# BENCH — N vs 4N scaling study",
+        "",
+        f"Same jobs, same input ({n_docs:,} docs x 8 records, deterministic "
+        f"seed), run at local[{N_SMALL}] and local[{N_BIG}] — the sandbox "
+        "stand-in for N and 4N executors per the driver instruction "
+        "(BASELINE.md; levels chosen to leave headroom for the host's "
+        "other tenants — background load avg ~10 on 32 vCPUs with no "
+        "local work — so neither level is externally throttled). "
+        f"Interleaved fresh-subprocess runs, min of {reps} reps per level.",
+        "",
+        f"| job | rows | local[{N_SMALL}] s | rows/s @{N_SMALL} | local[{N_BIG}] s "
+        f"| rows/s @{N_BIG} | speedup | efficiency r{N_BIG}/(4*r{N_SMALL}) |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    effs = {}
+    for name in JOBS:
+        dt8, n8 = best[N_SMALL][name]
+        dt32, n32 = best[N_BIG][name]
+        r8, r32 = n8 / dt8, n32 / dt32
+        eff = r32 / (4.0 * r8)
+        effs[name] = round(eff, 3)
+        lines.append(
+            f"| {name} | {n8:,} | {dt8:.2f} | {r8:,.0f} | {dt32:.2f} "
+            f"| {r32:,.0f} | {r32 / r8:.2f}x | **{eff:.3f}** |"
+        )
+    lines += [
+        "",
+        "Efficiency target (BASELINE.json): >= 0.8 from N to 4N.",
+        "",
+        "Caveats (single shared machine, not a cluster):",
+        f"- local[{N_SMALL}] and local[{N_BIG}] share one memory bus, one",
+        "  page cache and the host's other tenants; the small run benefits",
+        "  from idle hardware threads (GC, Arrow IPC, OS run for free),",
+        "  which deflates measured efficiency vs isolated executors.",
+        "- The position jobs are shuffle-free (scan -> Arrow -> numpy",
+        "  kernel); on a real cluster their scaling limit is input-split",
+        "  granularity, not communication.",
+    ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(effs))
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
