@@ -244,6 +244,15 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
 
 
+def _q_minhash_lsh_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the engine-portable poly31 universal-hash family —
+    same operator topology as minhash_lsh, full SQL-oracle value parity."""
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=32, n=3,
+                                    hash_fn="poly31")
+    return dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4,
+                                     hash_fn="poly31")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only, same xxhash64 caveat)."""
     return dedup.simhash(_docs(spark, sf_dir))
@@ -418,6 +427,60 @@ FROM b
 """
 
 
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8,
+                    rows_per_band: int = 4) -> str:
+    """Mirror of dedup.minhash_signatures/lsh_candidate_pairs with
+    hash_fn='poly31' — pure integer arithmetic, bit-identical in DuckDB."""
+    P = 2147483647
+    salted_mins = ", ".join(
+        f"min(({(2 * i + 1) * 2654435761 % P} * h + "
+        f"{(i * 40503 + 12345) % P}) % {P}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_exprs = []
+    for b in range(bands):
+        acc = f"CAST({b} AS BIGINT)"
+        for r in range(rows_per_band):
+            acc = f"((({acc}) * 31 + h{b * rows_per_band + r} % {P}) % {P})"
+        band_exprs.append(f"{acc} AS band{b}")
+    bands_sql = ", ".join(band_exprs)
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) <= 2
+      THEN [array_to_string(ws, ' ')]
+      ELSE list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      END) AS shingles
+  FROM w
+),
+ex AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+hashed AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, strlen(sg) + 1),
+                       i -> CAST(ascii(substr(sg, i, 1)) AS BIGINT))),
+      (acc, c) -> (acc * 31 + c) % {P}) AS h
+  FROM ex
+),
+sigs AS (SELECT doc_id, {salted_mins} FROM hashed GROUP BY doc_id),
+banded AS (SELECT doc_id, {bands_sql} FROM sigs),
+stacked AS ({stacked})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM stacked a JOIN stacked b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
 def _ann_oracle() -> str:
     import numpy as np
 
@@ -478,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
+        "minhash_lsh_checkable": _q_minhash_lsh_checkable,
         "simhash": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
@@ -609,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "sunrise_daily": _sunrise_oracle(),
         "twilight": _twilight_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "minhash_lsh_checkable": _minhash_oracle(),
         "embedding_near_dup": _NEAR_DUP_ORACLE,
         "ann_topk": _ann_oracle(),
         "lang_id": _LANG_ID_ORACLE,

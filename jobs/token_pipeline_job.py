@@ -1,0 +1,62 @@
+"""spark-submit entry point: the flagship streaming CEP pipeline.
+
+Reads the token table as a stream, decodes, computes positions, joins them
+with their same-key sunrise rows, and commits exactly-once with lineage.
+
+    spark-submit --py-files dist/solarpos_spark.zip jobs/token_pipeline_job.py \
+        --input /data/tokens --output /data/out --checkpoint /data/ckpt \
+        [--watermark "1 hour"] [--algorithm spa] [--available-now]
+
+On a cluster, drop the local master: the session builder only forces
+``local[N]`` when no master is configured externally.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--watermark", default="1 hour")
+    ap.add_argument("--algorithm", default="spa", choices=["spa", "grena3"])
+    ap.add_argument("--available-now", action="store_true")
+    ap.add_argument("--max-files-per-trigger", type=int, default=32)
+    ap.add_argument("--lineage-log", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.sources import tokens
+    from solarpos_spark.streaming import pipeline
+    from solarpos_spark.streaming.lineage import attach_lineage, with_observed_metrics
+
+    spark = (
+        SparkSession.builder.appName("solarpos-token-pipeline")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .getOrCreate()
+    )
+
+    lineage_log = args.lineage_log or os.path.join(args.output, "_lineage.jsonl")
+    attach_lineage(spark, lineage_log)
+
+    stream = tokens.read_token_stream(
+        spark, args.input, max_files_per_trigger=args.max_files_per_trigger)
+    dec = with_observed_metrics(
+        pipeline.decoded_stream(stream, watermark=args.watermark))
+    joined = pipeline.position_sunrise_join(dec, algorithm=args.algorithm)
+    q = exactly_once_parquet_sink(
+        joined, args.output, args.checkpoint,
+        trigger_available_now=args.available_now)
+    q.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()

@@ -80,34 +80,72 @@ def ngram_jaccard_pairs(
     )
 
 
+#: 2^31 - 1 (Mersenne prime) — universal-hash modulus small enough that
+#: (a * h + b) stays inside int64, so the arithmetic is bit-identical in any
+#: engine (the property the DuckDB oracle relies on).
+POLY_P = 2147483647
+
+
+def poly31_hash(col: Column) -> Column:
+    """Engine-portable string hash: left-fold (acc*31 + charcode) mod P.
+
+    Pure integer arithmetic over code points — identical results in Spark
+    and DuckDB SQL, unlike xxhash64 (Spark-only). Used by the *_checkable
+    operator variants; production paths keep xxhash64 (cheaper, 64-bit).
+    """
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % POLY_P,
+    )
+
+
+def _salted_poly(h: Column, i: int) -> Column:
+    """Universal-hash family over a base hash: (a_i*h + b_i) mod P."""
+    a = (2 * i + 1) * 2654435761 % POLY_P  # odd multipliers, Knuth constant
+    b = (i * 40503 + 12345) % POLY_P
+    return (F.lit(a) * h + F.lit(b)) % F.lit(POLY_P)
+
+
 def minhash_signatures(
-    df: DataFrame, *, num_hashes: int = 32, n: int = 3, text_col: str = "text"
+    df: DataFrame, *, num_hashes: int = 32, n: int = 3, text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per doc: min over shingles of xxhash64(shingle, salt_i).
+    """MinHash signature per doc: min over shingles of hash_i(shingle).
 
     Permutation-free variant: k independent salted hash functions — the
     standard large-scale construction (one explode + one groupBy, shuffle
-    keyed by doc_id only).
+    keyed by doc_id only). ``hash_fn='poly31'`` switches to the
+    engine-portable universal-hash family (SQL-oracle checkable).
     """
     sh = df.select(F.col("doc_id"), shingles_col(F.col(text_col), n).alias("sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "poly31":
+        ex = ex.withColumn("__h", poly31_hash(F.col("shingle")))
+        aggs = [F.min(_salted_poly(F.col("__h"), i)).alias(f"h{i}")
+                for i in range(num_hashes)]
+    else:
+        aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)]
     return ex.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame, *, bands: int = 8, rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature into ``bands`` buckets; pairs sharing any band
     bucket are candidates. Output distinct (doc_a, doc_b)."""
-    num = bands * rows_per_band
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.xxhash64(*cols, F.lit(b)).alias(f"band{b}"))
+        if hash_fn == "poly31":
+            acc = F.lit(b).cast("long")
+            for c in cols:
+                acc = (acc * 31 + c % F.lit(POLY_P)) % F.lit(POLY_P)
+            band_cols.append(acc.alias(f"band{b}"))
+        else:
+            band_cols.append(F.xxhash64(*cols, F.lit(b)).alias(f"band{b}"))
     banded = signatures.select("doc_id", *band_cols)
     stacked = banded.select(
         "doc_id",

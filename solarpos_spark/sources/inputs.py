@@ -126,14 +126,12 @@ def time_series_df(
     if day is not None and step_sec >= 86400:
         end = start + 1  # single midnight row
     n = (end - 1 - start) // step_sec + 1
+    # spark.range is already distributed and the arithmetic is pure-integer
+    # (exact — unlike the FP coordinate axes), so a partitioned range beats a
+    # single-task sequence+explode and needs no repartition downstream.
     return (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.sequence(F.lit(start), F.lit(start + (n - 1) * step_sec),
-                           F.lit(step_sec))
-            ).alias("unix_sec")
-        )
+        spark.range(n)
+        .select((F.lit(start) + F.col("id") * step_sec).alias("unix_sec"))
         .select(
             F.timestamp_seconds(F.col("unix_sec")).alias("ts"),
             F.col("unix_sec"),
@@ -154,7 +152,9 @@ def grid_times_df(grid: DataFrame, times: DataFrame,
     (one SPA time-dependent computation per ~grid_size rows, exactly like
     the reference's loop structure PositionCommand.java:115-122)."""
     if parallelism is None:
-        parallelism = times.sparkSession.sparkContext.defaultParallelism
+        # time_series_df is a partitioned range (contiguous timestamp runs
+        # per partition — ideal for hoisting); no shuffle needed.
+        return times.crossJoin(F.broadcast(grid))
     return times.repartition(parallelism).crossJoin(F.broadcast(grid))
 
 

@@ -254,3 +254,29 @@ class TestLineage:
         assert any(r["numInputRows"] > 0 for r in recs)
         # per-partition lineage: file-source offsets recorded per batch
         assert all(r["sources"][0]["endOffset"] is not None for r in recs)
+
+
+class TestCustomStatefulOperator:
+    def test_sweep_progress_completion(self, spark, tmp_path):
+        """applyInPandasWithState sweep tracker: every doc whose 4 records
+        all arrive must emit exactly one COMPLETE row, across micro-batches."""
+        from solarpos_spark.streaming.stateful import sweep_progress
+
+        src = str(tmp_path / "tok")
+        make_token_files(spark, src, n_docs=24, files=2)
+        stream = tokens.read_token_stream(spark, src, max_files_per_trigger=1)
+        dec = tokens.decode_tokens(stream)
+        out = sweep_progress(dec, expected=4, timeout_ms=60_000)
+        q = (out.writeStream.outputMode("append")
+             .format("memory").queryName("sweeps")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        drain(q)
+        got = spark.table("sweeps").collect()
+        complete = [r for r in got if r["status"] == "COMPLETE"]
+        assert len(complete) == 24
+        assert all(r["n_records"] == 4 for r in complete)
+        assert all(r["min_seq"] == 0 and r["max_seq"] == 3 for r in complete)
+        assert all(r["first_event_usec"] <= r["last_event_usec"] for r in complete)
+        # exactly-once per doc
+        assert len({r["doc_id"] for r in complete}) == 24
