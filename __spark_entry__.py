@@ -298,6 +298,32 @@ def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, q, k=3)
 
 
+def _q_csv_position_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 format contract in the gate: full --show-inputs CSV rows, exact
+    byte strings compared against a printf-built oracle."""
+    from solarpos_spark.sinks import formatters as fmt
+
+    src = _astro_df(spark, sf_dir).filter(F.col("event_id") < 3000)
+    res = position(src, algorithm="spa", ts_col="usec", time_is_unix=True,
+                   show_inputs=True)
+    return fmt.csv_lines(res, fmt.POSITION_FIELDS)
+
+
+_CSV_LINES_ORACLE_TMPL = """
+SELECT printf('%.5f,%.5f,%.3f,%.3f,%.3f,%s,%.3f,%.5f,%.5f',
+              lat, lon, elevation, pressure, temperature,
+              strftime(to_timestamp(usec), '%Y-%m-%dT%H:%M:%SZ'),
+              delta_t, azimuth, zenith) AS line
+FROM ({inner})
+"""
+
+
+def _csv_lines_oracle() -> str:
+    base = _ASTRO_BASE_SQL.rstrip() + "\nWHERE event_id < 3000"
+    inner = _osql.spa_sql(base, round_digits=12)
+    return _CSV_LINES_ORACLE_TMPL.format(inner=inner)
+
+
 def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -550,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_fingerprint,
         "similarity_topk": _q_similarity_topk,
+        "csv_position_lines": _q_csv_position_lines,
         "lineitem_pricing": _q_lineitem_pricing,
     }
 
@@ -678,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_oracle(),
         "lang_id": _LANG_ID_ORACLE,
         "multimodal_meta": _MULTIMODAL_ORACLE,
+        "csv_position_lines": _csv_lines_oracle(),
         "deltat_estimate": _DELTAT_ORACLE,
         "window_tumbling": """
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,

@@ -206,3 +206,41 @@ def to_json_string(df: DataFrame, all_fields: list[FieldSpec],
     rows = [r["line"] for r in
             json_lines(df, all_fields, subset, offset_col).collect()]
     return "".join(x + "\n" for x in rows)
+
+
+# --- K3 human text formatter (smoke level, SimpleTextFormatter.java) -------
+
+#: display-name overrides + units (FieldDescriptor hints, PositionCommand).
+HUMAN_NAMES = {"dateTime": "date/time"}
+HUMAN_UNITS = {
+    "latitude": "°", "longitude": "°", "elevation": " m",
+    "pressure": " hPa", "temperature": " °C", "deltaT": " s",
+    "azimuth": "°", "zenith": "°", "elevation-angle": "°",
+}
+HUMAN_TYPE_NAMES = {"NORMAL": "normal", "ALL_DAY": "all day",
+                    "ALL_NIGHT": "all night"}
+
+
+def human_blocks(df: DataFrame, all_fields: list[FieldSpec],
+                 subset: list[str] | None = None,
+                 offset_col: str | None = None) -> DataFrame:
+    """Aligned ``name: value`` text blocks, blank line between records
+    (SimpleTextFormatter.java:10-88; smoke-level parity — value formatting
+    uses the CSV precision table, units appended, human type names)."""
+    fields = select_fields(all_fields, df, subset)
+    off = F.col(offset_col) if offset_col and offset_col in df.columns else None
+    width = max(len(HUMAN_NAMES.get(f.name, f.name)) for f in fields)
+    parts: list[Column] = []
+    for i, spec in enumerate(fields):
+        if i:
+            parts.append(F.lit("\n"))
+        label = HUMAN_NAMES.get(spec.name, spec.name).ljust(width)
+        raw = _serialize(spec, off)
+        if spec.name == "type":
+            for k, v in HUMAN_TYPE_NAMES.items():
+                raw = F.when(raw == k, F.lit(v)).otherwise(raw)
+        unit = HUMAN_UNITS.get(spec.name, "")
+        val = F.when(raw.isNull(), F.lit("none")).otherwise(
+            F.concat(raw, F.lit(unit)))
+        parts.append(F.concat(F.lit(f"{label}: "), val))
+    return df.select(F.concat(*parts).alias("block"))

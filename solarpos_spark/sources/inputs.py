@@ -209,3 +209,30 @@ def paired_from_text(spark: SparkSession, path: str) -> DataFrame:
         F.element_at("p", 2).cast("double").alias("lon"),
         ts.alias("ts"),
     )
+
+
+def validate_decoded(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """R7 data-path validation: reference domain rules applied to decoded
+    records (CoordinateRange.java:70-96, PositionCommand.java:301-313).
+
+    ``strict=True`` mirrors the reference's abort-on-violation: any bad row
+    raises at execution time (F.raise_error inside a when-guard, JVM-side).
+    ``strict=False`` filters violations out instead (pipeline mode).
+    """
+    ok = (
+        F.col("lat").between(-90.0, 90.0)
+        & F.col("lon").between(-180.0, 180.0)
+        & (F.col("pressure").isNull() | F.col("pressure").between(0.1, 2000.0))
+        & (F.col("temperature").isNull()
+           | F.col("temperature").between(-100.0, 100.0))
+    )
+    if not strict:
+        return df.filter(ok)
+    guard = F.when(
+        ok, F.lit(True)
+    ).otherwise(
+        F.raise_error(F.format_string(
+            "record out of range: lat=%s lon=%s pressure=%s temperature=%s",
+            F.col("lat"), F.col("lon"), F.col("pressure"), F.col("temperature")))
+    )
+    return df.filter(guard)

@@ -103,3 +103,26 @@ class TestJsonContract:
         obj = json.loads(out)
         assert obj["sunrise"] is None
         assert '"sunrise":null' in out.replace(" ", "")
+
+
+class TestHumanFormat:
+    def test_human_block_shape(self, spark):
+        # SimpleTextFormatter smoke: display-name override, units, alignment
+        df = ts_df(spark, 52.0, 25.0, "2022-10-17 12:00:00")
+        res = position(df, algorithm="spa")
+        block = fmt.human_blocks(
+            res, fmt.POSITION_FIELDS,
+            subset=["dateTime", "azimuth", "zenith"]).collect()[0]["block"]
+        lines = block.split("\n")
+        assert lines[0].startswith("date/time: 2022-10-17T12:00:00Z")
+        assert "211.17614°" in lines[1]
+        assert "66.06832°" in lines[2]
+
+    def test_human_type_names(self, spark):
+        # SunriseCommand.java:182-192: 'all night' in human format
+        df = ts_df(spark, 78.22, 15.63, "2023-02-01 00:00:00", delta_t=0.0)
+        res = sunrise(df, show_inputs=False)
+        block = fmt.human_blocks(res, fmt.SUNRISE_FIELDS,
+                                 subset=["type", "sunrise"]).collect()[0]["block"]
+        assert "all night" in block
+        assert "none" in block  # null sunrise -> 'none' (forText nullValue)

@@ -228,3 +228,25 @@ class TestFileScans:
         out = position(df.withColumn("delta_t", F.lit(69.0)), algorithm="spa")
         r = out.orderBy(F.desc("latitude")).collect()[0]
         assert round(r["azimuth"], 5) == 211.17614
+
+
+class TestDataPathValidation:
+    def test_strict_raises_on_bad_row(self, spark):
+        from solarpos_spark.sources.inputs import validate_decoded
+
+        df = spark.createDataFrame(
+            [(52.0, 25.0, 1013.0, 15.0), (95.0, 0.0, 1013.0, 15.0)],
+            "lat double, lon double, pressure double, temperature double")
+        ok = validate_decoded(df.filter(F.col("lat") <= 90.0))
+        assert ok.count() == 1
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="out of range"):
+            validate_decoded(df).count()
+
+    def test_filter_mode_drops(self, spark):
+        from solarpos_spark.sources.inputs import validate_decoded
+
+        df = spark.createDataFrame(
+            [(52.0, 25.0, 1013.0, 15.0), (0.0, 0.0, 5000.0, 15.0)],
+            "lat double, lon double, pressure double, temperature double")
+        assert validate_decoded(df, strict=False).count() == 1

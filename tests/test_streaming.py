@@ -43,8 +43,11 @@ def make_token_files(spark, path: str, n_docs: int = 60, files: int = 6,
     return spark.read.parquet(path)
 
 
-def drain(q):
-    q.awaitTermination(300)
+def drain(q, timeout=300):
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(60)
 
 
 class TestExactlyOnceSink:
@@ -266,7 +269,7 @@ class TestCustomStatefulOperator:
         make_token_files(spark, src, n_docs=24, files=2)
         stream = tokens.read_token_stream(spark, src, max_files_per_trigger=1)
         dec = tokens.decode_tokens(stream)
-        out = sweep_progress(dec, expected=4, timeout_ms=60_000)
+        out = sweep_progress(dec, expected=4, timeout_ms=5_000)
         q = (out.writeStream.outputMode("append")
              .format("memory").queryName("sweeps")
              .option("checkpointLocation", str(tmp_path / "ckpt"))
