@@ -65,7 +65,7 @@ def worker(cores: int, token_path: str) -> None:
 
     def sweep_job():
         grid = inputs.grid_df(spark, (50.0, 55.0, 0.25), (10.0, 15.0, 0.25))
-        times = inputs.time_series_df(spark, 2024, step_sec=450)  # 70k instants x 441 coords = 31M rows
+        times = inputs.time_series_df(spark, 2024, step_sec=150)  # 210k instants x 441 coords = 93M rows
         return position(
             inputs.grid_times_df(grid, times)
             .withColumn("delta_t", F.lit(69.0)),
