@@ -258,6 +258,11 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def _q_simhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash on the poly31 hash family — full SQL-oracle value parity."""
+    return dedup.simhash(_docs(spark, sf_dir), hash_fn="poly31")
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.embedding_near_duplicates(emb, threshold=0.3)
@@ -507,6 +512,40 @@ FROM stacked a JOIN stacked b
 """
 
 
+def _simhash_oracle() -> str:
+    """Mirror of dedup.simhash(hash_fn='poly31'): 62-bit fingerprint from
+    two polynomial word hashes, sign-aggregated per bit."""
+    P = 2147483647
+
+    def poly(base: int) -> str:
+        return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform(range(1, strlen(w) + 1), "
+                f"i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), "
+                f"(acc, c) -> (acc * {base} + c) % {P})")
+
+    sums = ", ".join(
+        f"sum(CASE WHEN ({'h1' if i < 31 else 'h2'} & {1 << (i % 31)}) <> 0 "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(62)
+    )
+    fingerprint = " | ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(62)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {poly(31)} AS h1, {poly(131)} AS h2 FROM ex
+),
+summed AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({fingerprint}) AS simhash FROM summed
+"""
+
+
 def _ann_oracle() -> str:
     import numpy as np
 
@@ -569,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "minhash_lsh_checkable": _q_minhash_lsh_checkable,
         "simhash": _q_simhash,
+        "simhash_checkable": _q_simhash_checkable,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
         "lang_id": _q_lang_id,
@@ -701,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "twilight": _twilight_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "minhash_lsh_checkable": _minhash_oracle(),
+        "simhash_checkable": _simhash_oracle(),
         "embedding_near_dup": _NEAR_DUP_ORACLE,
         "ann_topk": _ann_oracle(),
         "lang_id": _LANG_ID_ORACLE,

@@ -86,8 +86,8 @@ def ngram_jaccard_pairs(
 POLY_P = 2147483647
 
 
-def poly31_hash(col: Column) -> Column:
-    """Engine-portable string hash: left-fold (acc*31 + charcode) mod P.
+def poly31_hash(col: Column, base: int = 31) -> Column:
+    """Engine-portable string hash: left-fold (acc*base + charcode) mod P.
 
     Pure integer arithmetic over code points — identical results in Spark
     and DuckDB SQL, unlike xxhash64 (Spark-only). Used by the *_checkable
@@ -96,7 +96,7 @@ def poly31_hash(col: Column) -> Column:
     codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
     return F.aggregate(
         codes, F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + c) % POLY_P,
+        lambda acc, c: (acc * base + c) % POLY_P,
     )
 
 
@@ -164,24 +164,40 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash(df: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over words: bit b set iff sum over words of
-    sign(bit b of xxhash64(word)) is positive. One explode + one groupBy."""
+def simhash(df: DataFrame, *, text_col: str = "text",
+            hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash over words: bit b set iff sum over words of sign(bit b of
+    hash(word)) is positive. One explode + one groupBy.
+
+    ``hash_fn='xxhash64'`` (default): 64-bit fingerprint.
+    ``hash_fn='poly31'``: 62-bit fingerprint from two engine-portable
+    polynomial hashes (bits 0-30 and 31-61) — SQL-oracle checkable.
+    """
     words = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
-    ex = df.select("doc_id", words).withColumn("h", F.xxhash64(F.col("w")))
+    ex = df.select("doc_id", words)
+
     def _bit(i: int) -> int:
         return (1 << i) if i < 63 else -(1 << 63)
 
+    if hash_fn == "poly31":
+        n_bits = 62
+        ex = (ex.withColumn("h1", poly31_hash(F.col("w"), 31))
+                .withColumn("h2", poly31_hash(F.col("w"), 131)))
+        bit_of = lambda i: (F.col("h1") if i < 31 else F.col("h2")) \
+            .bitwiseAND(F.lit(1 << (i % 31)))
+    else:
+        n_bits = 64
+        ex = ex.withColumn("h", F.xxhash64(F.col("w")))
+        bit_of = lambda i: F.col("h").bitwiseAND(F.lit(_bit(i)))
+
     aggs = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(_bit(i))) != 0, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(64)
+        F.sum(F.when(bit_of(i) != 0, 1).otherwise(-1)).alias(f"s{i}")
+        for i in range(n_bits)
     ]
     summed = ex.groupBy("doc_id").agg(*aggs)
     bit_terms = [
         F.when(F.col(f"s{i}") > 0, F.lit(_bit(i))).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
+        for i in range(n_bits)
     ]
     acc = bit_terms[0]
     for t in bit_terms[1:]:

@@ -274,7 +274,16 @@ class TestCustomStatefulOperator:
              .format("memory").queryName("sweeps")
              .option("checkpointLocation", str(tmp_path / "ckpt"))
              .trigger(availableNow=True).start())
-        drain(q)
+        # availableNow does NOT self-terminate under processing-time
+        # timeouts (the query idles waiting for potential timeout fires);
+        # poll the sink for completeness, then stop.
+        import time
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if spark.table("sweeps").count() >= 24:
+                break
+            time.sleep(1.0)
+        drain(q, 5)
         got = spark.table("sweeps").collect()
         complete = [r for r in got if r["status"] == "COMPLETE"]
         assert len(complete) == 24
