@@ -303,6 +303,31 @@ def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, q, k=3)
 
 
+def _q_geohash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density over Z-order geohash cells (the skew-handling
+    primitive of plans/partitioning.py, value-checked in the gate)."""
+    from solarpos_spark.plans.partitioning import per_cell_counts
+
+    src = _astro_df(spark, sf_dir)
+    return per_cell_counts(src, precision_bits=8)
+
+
+def _geohash_oracle(precision_bits: int = 8) -> str:
+    n = 1 << precision_bits
+    lat_q = f"least({n - 1}, CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT))"
+    lon_q = f"least({n - 1}, CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT))"
+    interleave = " | ".join(
+        f"((({lat_q} >> {b}) & 1) << {2 * b + 1}) | "
+        f"((({lon_q} >> {b}) & 1) << {2 * b})"
+        for b in range(precision_bits)
+    )
+    return f"""
+WITH base AS ({_ASTRO_BASE_SQL})
+SELECT ({interleave}) AS cell, count(*) AS n_rows
+FROM base GROUP BY 1
+"""
+
+
 def _q_csv_position_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 format contract in the gate: full --show-inputs CSV rows, exact
     byte strings compared against a printf-built oracle."""
@@ -617,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "similarity_topk": _q_similarity_topk,
         "csv_position_lines": _q_csv_position_lines,
+        "geohash_density": _q_geohash_density,
         "lineitem_pricing": _q_lineitem_pricing,
     }
 
@@ -747,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_ORACLE,
         "multimodal_meta": _MULTIMODAL_ORACLE,
         "csv_position_lines": _csv_lines_oracle(),
+        "geohash_density": _geohash_oracle(),
         "deltat_estimate": _DELTAT_ORACLE,
         "window_tumbling": """
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,

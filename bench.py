@@ -84,6 +84,37 @@ def main() -> None:
 
     run("token_stream_spa", token_pipeline, count_positions=True)
 
+    # true micro-batch throughput: the streaming CEP pipeline end-to-end
+    # (readStream -> decode -> SPA position -> exactly-once sink), measured
+    # over committed rows. Input files are pre-materialized so only the
+    # streaming machinery is timed.
+    def stream_pipeline():
+        import tempfile
+
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming import pipeline as spipe
+
+        d = tempfile.mkdtemp(prefix="bench_stream_")
+        src, outp, ckpt = f"{d}/tok", f"{d}/out", f"{d}/ckpt"
+        tok.generate_token_sequences(spark, 40000, records_per_doc=8,
+                                     partitions=16).write.parquet(src)
+        stream = tok.read_token_stream(spark, src, max_files_per_trigger=4)
+        pos = spipe.position_stream(spipe.decoded_stream(stream))
+        t0 = time.perf_counter()
+        q = exactly_once_parquet_sink(pos, outp, ckpt,
+                                      trigger_available_now=True)
+        q.awaitTermination(400)
+        if q.isActive:
+            q.stop()
+        dt = time.perf_counter() - t0
+        n = spark.read.parquet(outp).count()
+        return dt, n
+
+    s_dt, s_n = stream_pipeline()
+    timings["stream_pipeline_spa"] = round(s_dt, 3)
+    position_rows += s_n
+    position_secs += s_dt
+
     # CEP + pipeline operators
     run("sunrise_daily", lambda: qs["sunrise_daily"](spark, sf_dir))
     run("window_tumbling", lambda: qs["window_tumbling"](spark, sf_dir))
