@@ -250,3 +250,44 @@ class TestDataPathValidation:
             [(52.0, 25.0, 1013.0, 15.0), (0.0, 0.0, 5000.0, 15.0)],
             "lat double, lon double, pressure double, temperature double")
         assert validate_decoded(df, strict=False).count() == 1
+
+
+class TestReferenceParityExtras:
+    def test_combined_grid_time_count_and_order(self, spark):
+        # GeographicSweepTest.java:70-88: 2x2 grid x 2 times -> 8 rows,
+        # time-major then lat-major order
+        grid = inputs.grid_df(spark, (40.0, 41.0, 1.0), (73.0, 74.0, 1.0))
+        times = inputs.time_series_df(spark, 2024, 6, 1, step_sec=43200)
+        gt = inputs.grid_times_df(grid, times)
+        rows = gt.orderBy("unix_sec", "lat_ord", "lon_ord").collect()
+        assert len(rows) == 8
+        assert [(r["lat"], r["lon"]) for r in rows[:4]] == [
+            (40.0, 73.0), (40.0, 74.0), (41.0, 73.0), (41.0, 74.0)]
+        assert rows[0]["unix_sec"] < rows[4]["unix_sec"]
+
+    def test_sunrise_year_cardinality(self, spark):
+        # SunriseTest.java:179-202: year 2023 -> 365 rows, fixed 1-day step
+        days = inputs.time_series_df(spark, 2023, step_sec=86400)
+        df = days.withColumn("lat", F.lit(52.0)).withColumn("lon", F.lit(25.0))
+        out = sunrise(df, ts_col="unix_sec", time_is_unix=True)
+        assert out.count() == 365
+        bounds = out.agg(F.min("dateTime"), F.max("dateTime")).collect()[0]
+        assert bounds[0].strftime("%Y-%m-%d") == "2023-01-01"
+        assert bounds[1].strftime("%Y-%m-%d") == "2023-12-31"
+
+    def test_sunrise_month_cardinality(self, spark):
+        # SunriseTest.java:204-227: 2023-02 -> 28 rows
+        days = inputs.time_series_df(spark, 2023, 2, step_sec=86400)
+        df = days.withColumn("lat", F.lit(52.0)).withColumn("lon", F.lit(25.0))
+        assert sunrise(df, ts_col="unix_sec", time_is_unix=True).count() == 28
+
+    def test_times_file_fractional_seconds(self, spark, tmp_path):
+        # DateTimeConverterTest.java:213-231 (regression #77): fractional
+        # seconds accepted
+        p = tmp_path / "times.txt"
+        p.write_text("2024-01-01T06:00:00.000Z\n2024-01-01T07:30:15.250+01:00\n")
+        rows = inputs.times_from_text(spark, str(p)).orderBy("ts").collect()
+        assert len(rows) == 2
+        assert rows[0]["ts"].hour == 6
+        assert rows[1]["ts"].hour == 6  # 07:30+01:00 == 06:30Z
+        assert rows[1]["ts"].minute == 30
