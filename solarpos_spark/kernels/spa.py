@@ -349,6 +349,7 @@ _NUT_A = _NUTATION[:, 5]
 _NUT_B = _NUTATION[:, 6]
 _NUT_C = _NUTATION[:, 7]
 _NUT_D = _NUTATION[:, 8]
+_NUT_EPS_MASK = (_NUT_C != 0) | (_NUT_D != 0)
 
 #: Default refraction threshold: correction applied when the true elevation is
 #: above -(sun radius + typical horizon refraction), as in the NREL reference
@@ -358,12 +359,17 @@ ATMOS_REFRACT = 0.5667
 
 
 def _series_sum(terms: np.ndarray, jme: np.ndarray) -> np.ndarray:
-    """sum(A * cos(B + C*JME)) for one Lx/Bx/Rx table, vectorized over jme."""
-    # terms: (k, 3); jme: (n,) → (n,)
-    a = terms[:, 0][None, :]
-    b = terms[:, 1][None, :]
-    c = terms[:, 2][None, :]
-    return np.sum(a * np.cos(b + c * jme[:, None]), axis=1)
+    """sum(A * cos(B + C*JME)) for one Lx/Bx/Rx table, vectorized over jme.
+
+    The weighted sum is a BLAS matvec (cos_matrix @ A); cos() dominates and
+    is irreducible — every term's amplitude exceeds the 5-decimal output
+    budget, so no truncation is possible.
+    """
+    # terms: (k, 3); jme: (n,) -> (n,)
+    arg = np.outer(jme, terms[:, 2])
+    arg += terms[:, 1][None, :]
+    np.cos(arg, out=arg)
+    return arg @ terms[:, 0]
 
 
 def heliocentric_longitude(jme: np.ndarray) -> np.ndarray:
@@ -407,7 +413,12 @@ def nutation(jce: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     arg = (x @ _NUT_Y.T) * DEG  # (n, 63)
     jce_col = jce[:, None]
     dpsi = np.sum((_NUT_A[None, :] + _NUT_B[None, :] * jce_col) * np.sin(arg), axis=1) / 36e6
-    deps = np.sum((_NUT_C[None, :] + _NUT_D[None, :] * jce_col) * np.cos(arg), axis=1) / 36e6
+    # delta-epsilon only involves the 38 rows with nonzero c/d coefficients;
+    # skip cos() on the zero columns (~20% of the nutation trig)
+    m = _NUT_EPS_MASK
+    deps = np.sum(
+        (_NUT_C[None, m] + _NUT_D[None, m] * jce_col) * np.cos(arg[:, m]),
+        axis=1) / 36e6
     return dpsi, deps
 
 

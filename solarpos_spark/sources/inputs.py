@@ -18,7 +18,6 @@ crossJoin of two broadcast-size DataFrames.
 
 from __future__ import annotations
 
-import calendar
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -112,7 +111,7 @@ def time_series_df(
     step_sec: int = 3600,
     offset_sec: int = 0,
 ) -> DataFrame:
-    """S2: explode(sequence(...)) — fully JVM-side, no Python.
+    """S2: partitioned integer range -> timestamps, fully JVM-side.
 
     Partial date semantics per util/DateTimeIterator.java:68-91: start at
     local midnight, step until the period boundary (exclusive); a plain date
