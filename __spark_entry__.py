@@ -40,6 +40,10 @@ FROM events
 
 
 def _astro_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the engine's time semantics are UTC instants; pin the session so
+    # unix_timestamp/date_format on ntz columns can't shift under a
+    # non-UTC driver configuration
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.select(
         F.col("event_id"),
@@ -54,6 +58,7 @@ def _astro_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
