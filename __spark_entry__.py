@@ -66,15 +66,6 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _round_pos(df: DataFrame, extra: list[str]) -> DataFrame:
-    cols = [F.col(c) for c in extra]
-    return df.select(
-        *cols,
-        F.round("azimuth", 5).alias("azimuth"),
-        F.round(df.columns[-1], 5).alias(df.columns[-1]),
-    )
-
-
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -101,7 +92,7 @@ def _position_query(algorithm: str, *, refraction: bool = True,
 
 def _q_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec bijection: derive tuples -> encode -> decode -> emit fields."""
-    src = _astro_df(spark, sf_dir).limit(20000)
+    src = _astro_df(spark, sf_dir).filter(F.col("event_id") < 20000)
     import numpy as np
     import pandas as pd
 
@@ -755,7 +746,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts)) AS BIGINT) AS usec,
                    69.0 AS delta_t, 1013.0 AS pressure
             FROM events
-            ORDER BY event_id LIMIT 20000
+            WHERE event_id < 20000
         """,
         "coord_grid": """
             SELECT la.i * 241 + lo.i AS ord,
