@@ -299,6 +299,68 @@ def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, q, k=3)
 
 
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: exact dedup -> near-dup pruning ->
+    quality gate -> token accounting (operators/curate.py)."""
+    from solarpos_spark.operators.curate import curate
+
+    return curate(_docs(spark, sf_dir))
+
+
+_CURATE_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, text,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+),
+keep1 AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+uniq AS (SELECT fp.doc_id, fp.text FROM fp JOIN keep1
+         ON fp.f = keep1.f AND fp.doc_id = keep1.doc_id),
+w AS (SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS lws FROM uniq),
+sh AS (
+  SELECT doc_id, text,
+    list_distinct(CASE WHEN len(lws) <= 2
+      THEN [array_to_string(lws, ' ')]
+      ELSE list_transform(range(1, len(lws) - 1),
+                          i -> lws[i] || ' ' || lws[i+1] || ' ' || lws[i+2])
+      END) AS shingles
+  FROM w
+),
+ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS sg FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb,
+         count(*) AS n_common
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+dropped AS (
+  SELECT DISTINCT doc_b AS doc_id FROM inter
+  WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5
+),
+pruned AS (
+  SELECT u.doc_id, u.text FROM uniq u
+  WHERE u.doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> lower(x) IN ('the','a','of','and','to','in','is'))) * 1.0
+               / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio,
+         round(length(text) * 1.0
+               / len(string_split_regex(trim(text), '\\s+')), 6) AS avg_word_len,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+  FROM pruned
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words, est_bpe_tokens, stopword_ratio
+FROM q
+WHERE n_words >= 20 AND stopword_ratio >= 0.02 AND avg_word_len <= 12.0
+"""
+
+
 def _q_geohash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial density over Z-order geohash cells (the skew-handling
     primitive of plans/partitioning.py, value-checked in the gate)."""
@@ -639,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "csv_position_lines": _q_csv_position_lines,
         "geohash_density": _q_geohash_density,
+        "curate_corpus": _q_curate,
         "lineitem_pricing": _q_lineitem_pricing,
     }
 
@@ -770,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _MULTIMODAL_ORACLE,
         "csv_position_lines": _csv_lines_oracle(),
         "geohash_density": _geohash_oracle(),
+        "curate_corpus": _CURATE_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "window_tumbling": """
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
