@@ -197,3 +197,49 @@ class TestDeltaT:
     def test_historical(self):
         v = deltat.estimate(np.array([1900.5]))
         assert -4.0 < v[0] < 0.0
+
+
+class TestSunriseProperties:
+    """Hypothesis-style invariants over the rise/set solver (plain
+    parametrization — the input space is structured, not adversarial)."""
+
+    def test_kind_geography(self):
+        import numpy as np
+        # mid-latitudes are NORMAL year-round; polar summer/winter flip
+        days_jun = np.full(30, datetime(2024, 6, 10, tzinfo=timezone.utc).timestamp())
+        days_dec = np.full(30, datetime(2024, 12, 10, tzinfo=timezone.utc).timestamp())
+        lats = np.linspace(-59, 59, 30)
+        r = sunrise.sunrise_transit_set(days_jun, lats, np.zeros(30), 69.0)
+        assert np.all(r.kind[:, 0] == sunrise.TYPE_NORMAL)
+        hi = np.full(10, 85.0)
+        r_jun = sunrise.sunrise_transit_set(days_jun[:10], hi, np.zeros(10), 69.0)
+        r_dec = sunrise.sunrise_transit_set(days_dec[:10], hi, np.zeros(10), 69.0)
+        assert np.all(r_jun.kind[:, 0] == sunrise.TYPE_ALL_DAY)
+        assert np.all(r_dec.kind[:, 0] == sunrise.TYPE_ALL_NIGHT)
+
+    def test_event_ordering_near_meridian(self):
+        import numpy as np
+        rng = np.random.default_rng(11)
+        n = 200
+        day0 = (rng.integers(1577836800, 1924991999, n) // 86400) * 86400
+        lats = rng.uniform(-55, 55, n)
+        lons = rng.uniform(-25, 25, n)  # near-meridian: no UT-day wrap
+        r = sunrise.sunrise_transit_set(day0.astype(float), lats, lons, 69.0)
+        assert np.all(r.kind[:, 0] == sunrise.TYPE_NORMAL)
+        assert np.all(r.sunrise[:, 0] < r.transit)
+        assert np.all(r.transit < r.sunset[:, 0])
+
+    def test_twilight_ordering(self):
+        import numpy as np
+        day0 = np.full(50, datetime(2024, 3, 15, tzinfo=timezone.utc).timestamp())
+        lats = np.linspace(-50, 50, 50)
+        hz = np.array([sunrise.HORIZON_SUNRISE_SUNSET, sunrise.HORIZON_CIVIL,
+                       sunrise.HORIZON_NAUTICAL, sunrise.HORIZON_ASTRONOMICAL])
+        r = sunrise.sunrise_transit_set(day0, lats, np.zeros(50), 69.0, hz)
+        # deeper horizon -> earlier dawn, later dusk
+        assert np.all(r.sunrise[:, 3] < r.sunrise[:, 2])
+        assert np.all(r.sunrise[:, 2] < r.sunrise[:, 1])
+        assert np.all(r.sunrise[:, 1] < r.sunrise[:, 0])
+        assert np.all(r.sunset[:, 0] < r.sunset[:, 1])
+        assert np.all(r.sunset[:, 1] < r.sunset[:, 2])
+        assert np.all(r.sunset[:, 2] < r.sunset[:, 3])
