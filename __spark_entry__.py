@@ -412,6 +412,65 @@ def _csv_lines_oracle() -> str:
     return _CSV_LINES_ORACLE_TMPL.format(inner=inner)
 
 
+def _q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata extraction (training pipelines parse JSON
+    sidecar fields): per-event_type stats over a JSON-encoded property."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+_PROPS_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def _q_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table equi-join + aggregation (TPC-H Q10 shape): top revenue
+    per nation via customer ⋈ orders ⋈ lineitem ⋈ nation — exercises the
+    broadcast/SMJ join planning the reference never needed."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.approx_count_distinct("c_custkey").alias("approx_customers"),
+        )
+        .select("n_name", "revenue", "n_items")
+    )
+
+
+_CUSTOMER_REVENUE_ORACLE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -702,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_position_lines": _q_csv_position_lines,
         "geohash_density": _q_geohash_density,
         "curate_corpus": _q_curate,
+        "props_extract": _q_props_extract,
+        "customer_revenue": _q_customer_revenue,
         "lineitem_pricing": _q_lineitem_pricing,
     }
 
@@ -834,6 +895,8 @@ def oracle_sql() -> dict[str, str]:
         "csv_position_lines": _csv_lines_oracle(),
         "geohash_density": _geohash_oracle(),
         "curate_corpus": _CURATE_ORACLE,
+        "props_extract": _PROPS_ORACLE,
+        "customer_revenue": _CUSTOMER_REVENUE_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "window_tumbling": """
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
