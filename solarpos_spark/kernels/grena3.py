@@ -91,10 +91,12 @@ def solar_position(
     c_h = np.cos(h)
 
     s_epsilon0 = s_phi * s_delta + c_phi * c_delta * c_h
-    # Parallax coefficient calibrated against the reference's Grena3 golden
-    # (PositionTest.java:78-79): 4.265e-5 rad reproduces az 211.17436 /
-    # zen 66.0685 exactly at 6-decimal rounding.
-    e_p = np.arcsin(s_epsilon0) - 4.265e-5 * np.sqrt(1.0 - s_epsilon0 * s_epsilon0)
+    # Parallax coefficient: the published 4.26e-5 rad (Grena 2012, alg. 3).
+    # Matches the reference's Grena3 golden (PositionTest.java:78-79,
+    # az 211.17436 / zen 66.0685) at the reference's %.5f output precision;
+    # round 1 had over-calibrated 4.265e-5 against a 6-decimal reading of
+    # that 5-decimal golden.
+    e_p = np.arcsin(s_epsilon0) - 4.26e-5 * np.sqrt(1.0 - s_epsilon0 * s_epsilon0)
     gamma = np.arctan2(s_h, c_h * s_phi - s_delta * c_phi / c_delta)
 
     if pressure is not None and temperature is not None:

@@ -67,12 +67,13 @@ def extract_binary_metadata(df: DataFrame, *, payload_col: str = "payload",
                     values[np.minimum(offsets[:-1], len(values) - 1)],
                     0,
                 ).astype(np.int32)
-                # vectorized additive checksum per row (segmented sum)
-                csum = np.add.reduceat(
-                    values.astype(np.int64),
-                    np.minimum(offsets[:-1], len(values) - 1),
-                )
-                csum = np.where(lens > 0, csum, 0)
+                # vectorized additive checksum per row: prefix-sum difference
+                # with an explicit end bound (offsets[i+1]), exact for empty
+                # rows AND for sliced arrays / padded buffers — reduceat's
+                # last segment would run to the end of the data buffer
+                cs = np.concatenate(
+                    ([0], np.cumsum(values, dtype=np.int64)))
+                csum = cs[offsets[1:]] - cs[offsets[:-1]]
             width, height = _fake_decode(lens, first, csum)
             ids = batch.column(names.index(id_col))
             yield pa.RecordBatch.from_arrays(

@@ -32,6 +32,11 @@ ALGORITHM_GRENA3 = "grena3"
 _POSITION_SCHEMA = StructType([
     StructField("azimuth", DoubleType()),
     StructField("zenith", DoubleType()),
+    # the deltaT actually used: echoes the input unless it was the NaN
+    # estimate sentinel, in which case this is the Espenak-Meeus estimate —
+    # the reference prints the estimated value (Main.java:214-216 feeds
+    # PositionData.deltaT), not the sentinel
+    StructField("delta_t_res", DoubleType()),
 ])
 
 
@@ -105,7 +110,7 @@ def position_udf(
         dt,
         flags.to_numpy(dtype=np.int64),
     )
-    return pd.DataFrame({"azimuth": az, "zenith": zen})
+    return pd.DataFrame({"azimuth": az, "zenith": zen, "delta_t_res": dt})
 
 
 def position(
@@ -163,7 +168,7 @@ def position(
                      get("temperature", 15.0).cast("double").alias("temperature")]
     proj += [
         (F.timestamp_seconds(unix) if time_is_unix else F.col(ts_col)).alias("dateTime"),
-        get("delta_t", 0.0).cast("double").alias("deltaT"),
+        F.col("__pos.delta_t_res").alias("deltaT"),
         F.col("__pos.azimuth").alias("azimuth"),
     ]
     if elevation_angle:

@@ -15,7 +15,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
 
 from ..kernels import sunrise as k
 from .position import resolve_delta_t
@@ -27,6 +28,9 @@ _BASIC_FIELDS = [
     StructField("transit", LongType()),
     StructField("sunrise", LongType()),
     StructField("sunset", LongType()),
+    # deltaT actually used (estimate resolved from the NaN sentinel, like
+    # the reference's PositionData.deltaT echo — Main.java:214-216)
+    StructField("delta_t_res", DoubleType()),
 ]
 _TWILIGHT_FIELDS = _BASIC_FIELDS + [
     StructField(n, LongType())
@@ -58,6 +62,7 @@ def _solve(day0_unix: np.ndarray, lat: np.ndarray, lon: np.ndarray,
                             dtype="Int64"),
         "sunrise": _nullable_seconds(day0_unix, r.sunrise[:, 0]),
         "sunset": _nullable_seconds(day0_unix, r.sunset[:, 0]),
+        "delta_t_res": delta_t,
     })
     if twilight:
         for j, name in ((1, "civil"), (2, "nautical"), (3, "astronomical")):
@@ -111,7 +116,7 @@ def sunrise(
         proj += [F.col("lat").alias("latitude"), F.col("lon").alias("longitude")]
     proj += [
         (F.timestamp_seconds(unix) if time_is_unix else F.col(ts_col)).alias("dateTime"),
-        get("delta_t", 0.0).cast("double").alias("deltaT"),
+        F.col("__sr.delta_t_res").alias("deltaT"),
         F.col("__sr.type").alias("type"),
         F.timestamp_seconds(F.col("__sr.sunrise")).alias("sunrise"),
         F.timestamp_seconds(F.col("__sr.transit")).alias("transit"),

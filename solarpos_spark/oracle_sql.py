@@ -298,7 +298,7 @@ g_topo AS (
 ),
 g_ep AS (
   SELECT *,
-    asin(se0) - 4.265e-5*sqrt(1.0 - se0*se0) AS ep,
+    asin(se0) - 4.26e-5*sqrt(1.0 - se0*se0) AS ep,
     atan2(sin(h), cos(h)*sin(radians(lat)) - sin(delta)*cos(radians(lat))/cos(delta)) AS gamma
   FROM g_topo
 ),

@@ -181,12 +181,22 @@ def write_csv(df: DataFrame, all_fields: list[FieldSpec], path: str,
               offset_col: str | None = None) -> None:
     """Materialize a byte-exact CSV (CRLF, optional header) as text files.
 
-    The header travels as a first-ordered row; for single-file export use
-    ``to_csv_string`` (driver-side) instead.
+    With ``headers=True`` the header row is written as its own part file,
+    named so it sorts lexicographically before every Spark-written
+    ``part-00000-<uuid>`` data file ('-' < any hex digit) — so
+    ``cat path/part-*`` reproduces the reference's header-first byte stream
+    (CsvFormatter.java:22-31). Single-file export: ``to_csv_string``.
     """
     lines = csv_lines(df, all_fields, subset, offset_col)
     lines.select(F.concat(F.col("line"), F.lit("\r")).alias("value")) \
         .write.mode("overwrite").text(path)
+    if headers:
+        import os
+
+        fields = select_fields(all_fields, df, subset)
+        header_file = os.path.join(path, "part-00000--header.txt")
+        with open(header_file, "w", newline="") as f:
+            f.write(csv_header(fields) + "\r\n")
 
 
 def to_csv_string(df: DataFrame, all_fields: list[FieldSpec],

@@ -142,16 +142,11 @@ def main() -> None:
                   + ", ".join(f"{j}={res[j][0]:.2f}s" for j in JOBS),
                   flush=True)
 
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     lines = [
-        "# BENCH — N vs 4N scaling study",
         "",
-        f"Same jobs, same input ({n_docs:,} docs x 8 records, deterministic "
-        f"seed), run at local[{N_SMALL}] and local[{N_BIG}] — the sandbox "
-        "stand-in for N and 4N executors per the driver instruction "
-        "(BASELINE.md; levels chosen to leave headroom for the host's "
-        "other tenants — background load avg ~10 on 32 vCPUs with no "
-        "local work — so neither level is externally throttled). "
-        f"Interleaved fresh-subprocess runs, min of {reps} reps per level.",
+        f"## Campaign ({stamp}; {n_docs:,} docs x 8 records, min of {reps} "
+        f"interleaved reps, local[{N_SMALL}] vs local[{N_BIG}])",
         "",
         f"| job | rows | local[{N_SMALL}] s | rows/s @{N_SMALL} | local[{N_BIG}] s "
         f"| rows/s @{N_BIG} | speedup | efficiency r{N_BIG}/(4*r{N_SMALL}) |",
@@ -168,24 +163,13 @@ def main() -> None:
             f"| {name} | {n8:,} | {dt8:.2f} | {r8:,.0f} | {dt32:.2f} "
             f"| {r32:,.0f} | {r32 / r8:.2f}x | **{eff:.3f}** |"
         )
-    lines += [
-        "",
-        "Efficiency target (BASELINE.json): >= 0.8 from N to 4N.",
-        "",
-        "Caveats (single shared machine, not a cluster):",
-        f"- local[{N_SMALL}] and local[{N_BIG}] share one memory bus, one",
-        "  page cache and the host's other tenants; the small run benefits",
-        "  from idle hardware threads (GC, Arrow IPC, OS run for free),",
-        "  which deflates measured efficiency vs isolated executors.",
-        "- The position jobs are shuffle-free (scan -> Arrow -> numpy",
-        "  kernel); on a real cluster their scaling limit is input-split",
-        "  granularity, not communication.",
-    ]
+    # APPEND a campaign section — BENCH/BASELINE.md carries the multi-campaign
+    # history (CLAUDE.md: merge, don't overwrite).
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps(effs))
-    print("wrote BENCH/BASELINE.md")
+    print("appended campaign to BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":
