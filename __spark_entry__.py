@@ -141,6 +141,52 @@ def _q_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("unix_sec")
 
 
+def _q_time_series_zoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 DST-aware variant: Europe/Berlin 2024 hourly series — local
+    midnight start, instant-based stepping, per-row offset flipping across
+    both DST transitions, wall-clock ISO rendering in the record's own zone
+    (util/DateTimeIterator.java:43-91; --timezone semantics)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from solarpos_spark.sinks.formatters import format_timestamp
+
+    t = inputs.time_series_zoned_df(spark, 2024, zone="Europe/Berlin")
+    return t.select(
+        "unix_sec",
+        F.col("offset_sec").cast("long").alias("offset_sec"),
+        format_timestamp(F.col("ts"), F.col("offset_sec")).alias("local_iso"),
+    )
+
+
+def _time_series_zoned_oracle() -> str:
+    """Mirror built from the SAME zoneinfo transition table the Spark plan
+    embeds — pure integer arithmetic + strftime, engine-portable."""
+    start, end = inputs.zoned_partial_bounds(2024, None, None, "Europe/Berlin")
+    trans = inputs.zone_transitions("Europe/Berlin", start, end)
+    whens = " ".join(f"WHEN unix_sec >= {t} THEN {off}"
+                     for t, off in reversed(trans[1:]))
+    off_case = f"CASE {whens} ELSE {trans[0][1]} END"
+    offs = sorted({off for _, off in trans})
+    iso_whens = " ".join(
+        "WHEN offset_sec = {o} THEN '{s}'".format(
+            o=o, s=("Z" if o == 0 else
+                    f"{'+' if o >= 0 else '-'}{abs(o) // 3600:02d}:"
+                    f"{abs(o) % 3600 // 60:02d}"))
+        for o in offs)
+    return f"""
+WITH base AS (
+  SELECT unnest(range({start}, {end}, 3600)) AS unix_sec
+),
+o AS (
+  SELECT unix_sec, CAST(({off_case}) AS BIGINT) AS offset_sec FROM base
+)
+SELECT unix_sec, offset_sec,
+       strftime(make_timestamp((unix_sec + offset_sec) * 1000000),
+                '%Y-%m-%dT%H:%M:%S')
+       || (CASE {iso_whens} END) AS local_iso
+FROM o
+"""
+
+
 def _q_cartesian_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 + F1: the reference StressTest shape — 21x21 grid x 120 times, SPA.
     (StressTest.java:40-99: 52,920 rows.)"""
@@ -738,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_roundtrip": _q_tokens_roundtrip,
         "coord_grid": _q_coord_grid,
         "time_series": _q_time_series,
+        "time_series_zoned": _q_time_series_zoned,
         "cartesian_sweep": _q_cartesian_sweep,
         "sunrise_daily": _q_sunrise,
         "twilight": _q_twilight,
@@ -882,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "time_series": """
             SELECT unnest(range(1041379200, 1072915200, 7200)) AS unix_sec
         """,
+        "time_series_zoned": _time_series_zoned_oracle(),
         "cartesian_sweep": _sweep_oracle(),
         "sunrise_daily": _sunrise_oracle(),
         "twilight": _twilight_oracle(),

@@ -139,6 +139,154 @@ def time_series_df(
     )
 
 
+# --------------------------------------------------------------------------
+# S2 zoned variant: DST-aware ZoneId semantics
+# --------------------------------------------------------------------------
+
+#: sampling stride for transition discovery — real tzdata never has two
+#: transitions within one day (DST periods are months apart)
+_TZ_SCAN_STEP = 86400
+
+
+def _utc_offset(zinfo, unix_sec: int) -> int:
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(unix_sec, tz=timezone.utc).astimezone(zinfo)
+    return int(dt.utcoffset().total_seconds())
+
+
+def zone_transitions(zone: str, start_unix: int, end_unix: int) -> list[tuple[int, int]]:
+    """UTC-offset intervals of an IANA zone over [start, end).
+
+    Returns ``[(instant, offset_sec), ...]`` where each instant is the first
+    second the offset applies (the first entry is ``start_unix``). Computed
+    from the OS tzdata via :mod:`zoneinfo` on the driver: daily samples, each
+    offset change bisected to the exact transition second. A handful of
+    entries per year — small enough to embed as JVM literals, which is what
+    keeps the per-row offset column pure expression code at any scale (the
+    Spark analogue of the reference's per-value ``ZonedDateTime`` zone
+    lookup, util/DateTimeIterator.java:43-91).
+    """
+    from zoneinfo import ZoneInfo
+
+    z = ZoneInfo(zone)
+    out = [(start_unix, _utc_offset(z, start_unix))]
+    t = start_unix
+    while t < end_unix:
+        t2 = min(t + _TZ_SCAN_STEP, end_unix - 1)
+        if t2 <= t:
+            break
+        if _utc_offset(z, t2) != out[-1][1]:
+            lo, hi = t, t2  # offset(lo) == prev, offset(hi) != prev
+            while hi - lo > 1:
+                mid = (lo + hi) // 2
+                if _utc_offset(z, mid) == out[-1][1]:
+                    lo = mid
+                else:
+                    hi = mid
+            out.append((hi, _utc_offset(z, hi)))
+        t = t2
+    return out
+
+
+def offset_column(transitions: list[tuple[int, int]], unix_col) -> "F.Column":
+    """Per-row UTC offset from embedded transition literals (latest
+    transition <= unix_sec wins). Pure JVM expression — no Python, no join."""
+    expr = F.lit(transitions[0][1])
+    for t, off in transitions[1:]:
+        # built innermost-first: the outermost (= latest) transition is
+        # checked first, so later intervals take precedence
+        expr = F.when(unix_col >= F.lit(t), F.lit(off)).otherwise(expr)
+    return expr.cast("int")
+
+
+def local_midnight_unix(year: int, month: int, day: int, zone: str) -> int:
+    """Instant of local midnight under Java's gap/overlap resolution.
+
+    Python's fold=0 semantics (PEP 495) produce the same instant as
+    ``ZonedDateTime.of``: in a DST gap the pre-gap offset applies (equal to
+    Java's shift-forward-by-gap-length), in an overlap the earlier offset
+    wins (DateTimeIterator.java:70-91 start-of-period construction).
+    """
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    return int(datetime(year, month, day, tzinfo=ZoneInfo(zone)).timestamp())
+
+
+def zoned_partial_bounds(year: int, month: int | None, day: int | None,
+                         zone: str) -> tuple[int, int]:
+    """[start, end) instants for a year / year-month / date partial in a real
+    ZoneId. The end bound is the local midnight starting the next period —
+    the reference's loop predicate (`i.getYear() == year` etc. in LOCAL time,
+    DateTimeIterator.java:70-91) reduces to `instant < end` because the step
+    is instant-based (ZonedDateTime.plus(Duration)) and tzdata has no
+    transitions at period boundaries."""
+    if month is None:
+        return (local_midnight_unix(year, 1, 1, zone),
+                local_midnight_unix(year + 1, 1, 1, zone))
+    if day is None:
+        ny, nm = (year + 1, 1) if month == 12 else (year, month + 1)
+        return (local_midnight_unix(year, month, 1, zone),
+                local_midnight_unix(ny, nm, 1, zone))
+    from datetime import date, timedelta
+
+    nxt = date(year, month, day) + timedelta(days=1)
+    return (local_midnight_unix(year, month, day, zone),
+            local_midnight_unix(nxt.year, nxt.month, nxt.day, zone))
+
+
+def time_series_zoned_df(
+    spark: SparkSession,
+    year: int,
+    month: int | None = None,
+    day: int | None = None,
+    *,
+    step_sec: int = 3600,
+    zone: str = "UTC",
+) -> DataFrame:
+    """S2 with full DST-aware ZoneId semantics (the reference's default path,
+    util/DateTimeIterator.java:43-91): starts at *local* midnight in ``zone``,
+    steps by exact instants (ZonedDateTime.plus(Duration) is instant
+    arithmetic), ends when the local period is left, and carries a per-row
+    ``offset_sec`` that flips across DST transitions.
+
+    Same output shape as :func:`time_series_df` (ts, unix_sec, offset_sec);
+    the fixed-offset variant remains for explicit numeric offsets.
+    """
+    if not (MIN_TIME_STEP <= step_sec <= MAX_TIME_STEP):
+        raise ValueError(f"step {step_sec}s outside [{MIN_TIME_STEP}, {MAX_TIME_STEP}]")
+    start, end = zoned_partial_bounds(year, month, day, zone)
+    if day is not None and step_sec >= 86400:
+        end = start + 1  # single local-midnight row (DateTimeIterator.java:85-88)
+    n = (end - 1 - start) // step_sec + 1
+    trans = zone_transitions(zone, start, end)
+    unix = (F.lit(start) + F.col("id") * step_sec).alias("unix_sec")
+    return (
+        spark.range(n)
+        .select(unix)
+        .select(
+            F.timestamp_seconds(F.col("unix_sec")).alias("ts"),
+            F.col("unix_sec"),
+            offset_column(trans, F.col("unix_sec")).alias("offset_sec"),
+        )
+    )
+
+
+def with_zone_override(df: DataFrame, *, ts_col: str, from_zone: str,
+                       to_zone: str) -> DataFrame:
+    """`--timezone` override semantics: KEEP the wall-clock time, reinterpret
+    it in the new zone (DateTimeIterator.java:59-63:
+    ``ZonedDateTime.of(zdt.toLocalDate(), zdt.toLocalTime(), overrideTz)``).
+
+    JVM-side and DST-aware: from_utc_timestamp renders the instant as its
+    wall time in ``from_zone``; to_utc_timestamp reads that wall time as
+    ``to_zone`` local and returns the new instant.
+    """
+    wall = F.from_utc_timestamp(F.col(ts_col), from_zone)
+    return df.withColumn(ts_col, F.to_utc_timestamp(wall, to_zone))
+
+
 def grid_times_df(grid: DataFrame, times: DataFrame,
                   parallelism: int | None = None) -> DataFrame:
     """R2: time x coords cartesian, time-major order (time outer loop,
