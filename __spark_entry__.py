@@ -306,8 +306,18 @@ def _q_simhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs variant — the small-scale oracle; the production
+    default is the bucketed query below."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.embedding_near_duplicates(emb, threshold=0.3)
+    return similarity.embedding_near_duplicates(emb, threshold=0.3, exact=True)
+
+
+def _q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default scale path: hyperplane-LSH buckets prune the pair space, the
+    join shuffles on the bucket key — never all-pairs (similarity.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_duplicates(emb, threshold=0.3, dim=64,
+                                                n_planes=6)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,19 +744,46 @@ SELECT doc_id, ({fingerprint}) AS simhash FROM summed
 """
 
 
-def _ann_oracle() -> str:
+def _plane_literals(n_planes: int = 6, dim: int = 64, seed: int = 42) -> tuple[str, str]:
+    """(plane array literals, bucket-id expression) mirroring
+    similarity.hyperplane_buckets' deterministic seeded plane matrix."""
     import numpy as np
 
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((6, 64))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
     plane_lits = ", ".join(
         "[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes
     )
     bucket_terms = " + ".join(
         f"(CASE WHEN list_dot_product(v, planes[{i + 1}]) > 0 "
         f"THEN {1 << i} ELSE 0 END)"
-        for i in range(6)
+        for i in range(n_planes)
     )
+    return plane_lits, bucket_terms
+
+
+def _near_dup_bucketed_oracle() -> str:
+    plane_lits, bucket_terms = _plane_literals()
+    return f"""
+WITH p AS (SELECT [{plane_lits}]::DOUBLE[][] AS planes),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v, ({bucket_terms}) AS bucket FROM e, p
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+"""
+
+
+def _ann_oracle() -> str:
+    plane_lits, bucket_terms = _plane_literals()
     return f"""
 WITH p AS (SELECT [{plane_lits}]::DOUBLE[][] AS planes),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -799,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_checkable": _q_simhash_checkable,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_bucketed": _q_embedding_near_dup_bucketed,
         "ann_topk": _q_ann_topk,
         "lang_id": _q_lang_id,
         "multimodal_meta": _q_multimodal_meta,
@@ -937,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_checkable": _minhash_oracle(),
         "simhash_checkable": _simhash_oracle(),
         "embedding_near_dup": _NEAR_DUP_ORACLE,
+        "embedding_near_dup_bucketed": _near_dup_bucketed_oracle(),
         "ann_topk": _ann_oracle(),
         "lang_id": _LANG_ID_ORACLE,
         "multimodal_meta": _MULTIMODAL_ORACLE,

@@ -145,13 +145,41 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
+    dim: int | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (id_a < id_b). Exact; for scale,
-    front it with hyperplane_buckets to prune the pair space."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """Pairs with cosine >= threshold (id_a < id_b).
+
+    Default: hyperplane-LSH-bucketed — vectors are scored only against their
+    own bucket, so the join shuffles on the bucket key instead of exploding
+    into an all-pairs cartesian (at 10^9 vectors the difference between a
+    keyed shuffle and ~5*10^17 candidate pairs). Recall is tuned by
+    n_planes; cosine-similar vectors collide with probability
+    (1 - theta/pi)^n_planes.
+
+    ``exact=True``: the O(n^2) all-pairs variant — the small-scale oracle
+    for recall studies and tests, never the 100 TB path.
+    """
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("bucketed near-dup needs dim (embedding length)")
+        bk = hyperplane_buckets(df, dim=dim, n_planes=n_planes, seed=seed,
+                                vec_col=vec_col)
+        a = bk.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                      F.col("bucket").alias("bucket_a"))
+        b = bk.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                      F.col("bucket").alias("bucket_b"))
+        # one bucket per vector -> each pair appears at most once (no distinct)
+        pairs = a.join(b, (F.col("bucket_a") == F.col("bucket_b"))
+                       & (F.col("id_a") < F.col("id_b")))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        pairs
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

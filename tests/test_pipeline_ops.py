@@ -105,11 +105,30 @@ class TestSimilarity:
             assert score == 1.0
 
     def test_near_duplicates_planted(self, spark, emb):
+        """Both variants must recover a planted duplicate: identical vectors
+        always share an LSH bucket, so the bucketed default cannot miss it."""
         dup = emb.filter(F.col("vec_id") == 3).select(
             F.lit(888888).cast("long").alias("vec_id"), "embedding", "label")
-        out = similarity.embedding_near_duplicates(
-            emb.unionByName(dup), threshold=0.999).collect()
-        assert any(r["id_a"] == 3 and r["id_b"] == 888888 for r in out)
+        corpus = emb.unionByName(dup)
+        for kw in ({"exact": True}, {"dim": 64, "n_planes": 6}):
+            out = similarity.embedding_near_duplicates(
+                corpus, threshold=0.999, **kw).collect()
+            assert any(r["id_a"] == 3 and r["id_b"] == 888888 for r in out), kw
+
+    def test_bucketed_near_dup_subset_of_exact(self, spark, emb):
+        """The bucketed default prunes candidates but never invents pairs:
+        its output must be a subset of the exact all-pairs result."""
+        exact = similarity.embedding_near_duplicates(
+            emb, threshold=0.3, exact=True)
+        bucketed = similarity.embedding_near_duplicates(
+            emb, threshold=0.3, dim=64, n_planes=6)
+        assert bucketed.exceptAll(exact).count() == 0
+        assert bucketed.count() > 0
+
+    def test_bucketed_near_dup_requires_dim(self, spark, emb):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            similarity.embedding_near_duplicates(emb, threshold=0.5)
 
 
 class TestText:
