@@ -275,7 +275,10 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    # max_shingle_df bounds hot-shingle join skew; 1000 is far above the sf
+    # corpora's max df (7 at sf0.01, 25 at sf0.1) so the oracle is unchanged
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5,
+                                     max_shingle_df=1000)
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,17 +45,34 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
     Co-shingle join (a pair is compared only if it shares >= 1 shingle),
     then |A ∩ B| / (|A| + |B| - |A ∩ B|). Output: (doc_a, doc_b, jaccard)
     with doc_a < doc_b.
+
+    ``max_shingle_df`` bounds the join-key skew: shingles whose document
+    frequency exceeds it (stopword n-grams at corpus scale — the mega-groups
+    that turn the co-shingle shuffle into a hot-partition cartesian) are
+    dropped from the shingle *sets* before pairing, so Jaccard is computed
+    over the informative shingles only. The df pre-aggregation shuffles on
+    the same shingle key as the pair join (co-partitioned). A value above
+    the corpus max df is the identity.
     """
     sh = df.select(
         F.col("doc_id"), shingles_col(F.col(text_col), n).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        dfc = (ex.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") <= max_shingle_df)
+               .select("shingle"))
+        capped = ex.drop("n_sh").join(dfc, "shingle")
+        sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        ex = capped.join(sizes, "doc_id").select("doc_id", "n_sh", "shingle")
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (

@@ -61,6 +61,30 @@ class TestDedup:
         missed = exact - cands
         assert not missed, f"LSH missed high-similarity pairs: {missed}"
 
+    def test_shingle_df_cap_drops_hot_shingle(self, spark):
+        """A stopword-ish shingle shared by every doc creates O(n^2)
+        candidate pairs through one join key; the df cap removes it so only
+        genuinely-similar docs pair."""
+        n = 20
+        rows = [(i, f"alpha beta gamma u{i} v{i} w{i}") for i in range(n)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # every pair shares exactly the hot 'alpha beta gamma' shingle:
+        # jaccard = 1/7 -> all C(20,2)=190 pairs pass threshold 0.1
+        uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+        assert uncapped.count() == n * (n - 1) // 2
+        # cap df at 2: the hot shingle (df=20) is dropped from the sets,
+        # nothing is shared anymore -> zero pairs
+        capped = dedup.ngram_jaccard_pairs(docs, threshold=0.1,
+                                           max_shingle_df=2)
+        assert capped.count() == 0
+
+    def test_shingle_df_cap_identity_when_above_max(self, spark, docs):
+        base = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+        capped = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                           max_shingle_df=10**6)
+        assert base.exceptAll(capped).count() == 0
+        assert capped.exceptAll(base).count() == 0
+
     def test_simhash_similar_docs_close(self, spark):
         df = spark.createDataFrame(
             [(1, "the quick brown fox jumps over the lazy dog again and again"),
