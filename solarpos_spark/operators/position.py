@@ -131,7 +131,21 @@ def position(
     PositionCommand.java:39-57 when absent). Output column set follows
     PositionCommand.java:149-201: [inputs...,] dateTime, deltaT, azimuth,
     zenith|elevation-angle — pressure/temperature dropped w/o refraction.
+
+    ``df`` may be an :class:`~solarpos_spark.sources.inputs.InputPlan`
+    (the unified dispatch facade): with ``show_inputs=None`` the plan's
+    mode-derived auto rule applies — files and multi-valued inputs show
+    input columns, a single point at a single instant does not
+    (Main.shouldShowInputs, Main.java:137-141). A bare DataFrame with
+    ``show_inputs=None`` defaults to True (the engine's typical
+    multi-valued case).
     """
+    from ..sources.inputs import InputPlan
+
+    if isinstance(df, InputPlan):
+        if show_inputs is None:
+            show_inputs = df.show_inputs
+        df = df.df
     cols = dict.fromkeys(df.columns)
     get = lambda name, default: (F.col(name) if name in cols else F.lit(default))
 
@@ -156,8 +170,8 @@ def position(
     )
     out = df.withColumn("__pos", pos)
 
-    # multiple coordinates or series -> inputs shown by default
-    # (InputMode auto show-inputs rule, PositionCommand.java:184-201)
+    # InputPlan carries the reference's auto show-inputs rule (resolved
+    # above); a bare DataFrame defaults to showing inputs
     show = show_inputs if show_inputs is not None else True
     proj: list[Column] = []
     if show:
@@ -166,11 +180,13 @@ def position(
         if refraction:
             proj += [get("pressure", 1013.0).cast("double").alias("pressure"),
                      get("temperature", 15.0).cast("double").alias("temperature")]
-    proj += [
-        (F.timestamp_seconds(unix) if time_is_unix else F.col(ts_col)).alias("dateTime"),
-        F.col("__pos.delta_t_res").alias("deltaT"),
-        F.col("__pos.azimuth").alias("azimuth"),
-    ]
+    proj.append(
+        (F.timestamp_seconds(unix) if time_is_unix else F.col(ts_col)).alias("dateTime"))
+    if show:
+        # deltaT appears only with inputs (PositionCommand.java:184-199:
+        # the non-show field set is dateTime, azimuth, zenith)
+        proj.append(F.col("__pos.delta_t_res").alias("deltaT"))
+    proj.append(F.col("__pos.azimuth").alias("azimuth"))
     if elevation_angle:
         proj.append((F.lit(90.0) - F.col("__pos.zenith")).alias("elevation-angle"))
     else:

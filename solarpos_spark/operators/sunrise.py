@@ -91,7 +91,7 @@ def sunrise(
     df: DataFrame,
     *,
     twilight: bool = False,
-    show_inputs: bool = True,
+    show_inputs: bool | None = None,
     ts_col: str = "ts",
     time_is_unix: bool = False,
     offset_col: str | None = None,
@@ -99,7 +99,18 @@ def sunrise(
 ) -> DataFrame:
     """Sunrise operator. The input instant is resolved to its local calendar
     date (via ``offset_col`` seconds if given, else UTC), mirroring the
-    reference's zone handling (util/DateTimeIterator.java:59-63)."""
+    reference's zone handling (util/DateTimeIterator.java:59-63).
+
+    Accepts an InputPlan like :func:`position`; ``show_inputs=None`` then
+    applies the reference's auto rule (Main.java:137-141)."""
+    from ..sources.inputs import InputPlan
+
+    if isinstance(df, InputPlan):
+        if show_inputs is None:
+            show_inputs = df.show_inputs
+        df = df.df
+    if show_inputs is None:
+        show_inputs = True
     cols = dict.fromkeys(df.columns)
     get = lambda name, default: (F.col(name) if name in cols else F.lit(default))
     unix = F.col(ts_col).cast("long") if time_is_unix else F.unix_timestamp(F.col(ts_col))
@@ -111,21 +122,24 @@ def sunrise(
               get("delta_t", 0.0).cast("double"))
     out = df.withColumn("__sr", res)
 
+    # field set + ordering = SunriseCommand.getFieldNames
+    # (SunriseCommand.java:134-160): inputs only when shown, type always,
+    # twilight events in chronological order around sunrise/transit/sunset
     proj = []
     if show_inputs:
-        proj += [F.col("lat").alias("latitude"), F.col("lon").alias("longitude")]
-    proj += [
-        (F.timestamp_seconds(unix) if time_is_unix else F.col(ts_col)).alias("dateTime"),
-        F.col("__sr.delta_t_res").alias("deltaT"),
-        F.col("__sr.type").alias("type"),
-        F.timestamp_seconds(F.col("__sr.sunrise")).alias("sunrise"),
-        F.timestamp_seconds(F.col("__sr.transit")).alias("transit"),
-        F.timestamp_seconds(F.col("__sr.sunset")).alias("sunset"),
-    ]
-    if twilight:
-        for name in ("civil_start", "civil_end", "nautical_start", "nautical_end",
-                     "astronomical_start", "astronomical_end"):
-            proj.append(F.timestamp_seconds(F.col(f"__sr.{name}")).alias(name))
+        proj += [
+            F.col("lat").alias("latitude"), F.col("lon").alias("longitude"),
+            (F.timestamp_seconds(unix) if time_is_unix
+             else F.col(ts_col)).alias("dateTime"),
+            F.col("__sr.delta_t_res").alias("deltaT"),
+        ]
+    proj.append(F.col("__sr.type").alias("type"))
+    event_order = (
+        ("astronomical_start", "nautical_start", "civil_start", "sunrise",
+         "transit", "sunset", "civil_end", "nautical_end", "astronomical_end")
+        if twilight else ("sunrise", "transit", "sunset"))
+    for name in event_order:
+        proj.append(F.timestamp_seconds(F.col(f"__sr.{name}")).alias(name))
     keep = (passthrough if passthrough is not None
             else [c for c in ("doc_id", "seq_index") if c in cols])
     return out.select(*[F.col(c) for c in keep], *proj)

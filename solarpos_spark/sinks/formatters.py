@@ -49,21 +49,22 @@ POSITION_FIELDS = [
     FieldSpec("elevation-angle", "double", 5),
 ]
 
-#: SunriseCommand.java:105-160.
+#: SunriseCommand.java:105-160; twilight events in the reference's
+#: chronological output order (getFieldNames, SunriseCommand.java:143-155).
 SUNRISE_FIELDS = [
     FieldSpec("latitude", "double", 5),
     FieldSpec("longitude", "double", 5),
     FieldSpec("dateTime", "ts"),
     FieldSpec("deltaT", "double", 3),
     FieldSpec("type", "string"),
+    FieldSpec("astronomical_start", "ts"),
+    FieldSpec("nautical_start", "ts"),
+    FieldSpec("civil_start", "ts"),
     FieldSpec("sunrise", "ts"),
     FieldSpec("transit", "ts"),
     FieldSpec("sunset", "ts"),
-    FieldSpec("civil_start", "ts"),
     FieldSpec("civil_end", "ts"),
-    FieldSpec("nautical_start", "ts"),
     FieldSpec("nautical_end", "ts"),
-    FieldSpec("astronomical_start", "ts"),
     FieldSpec("astronomical_end", "ts"),
 ]
 

@@ -358,6 +358,121 @@ def paired_from_text(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# S7 unified input-mode dispatch (InputMode.java:17-195, Main.java:180-200)
+# --------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class InputPlan:
+    """One of the reference's four sealed input modes, resolved to a
+    DataFrame plus the mode-derived show-inputs default
+    (InputMode.shouldShowInputs; Main.shouldShowInputs lets an explicit
+    --show-inputs / --no-show-inputs override it, which maps to passing
+    show_inputs=True/False to position()/sunrise())."""
+
+    df: DataFrame
+    mode: str  # 'ranges' | 'coord_file' | 'time_file' | 'paired'
+    show_inputs: bool
+
+
+def _as_range(v) -> tuple[float, float, float]:
+    """Scalar -> degenerate single-point range; tuple -> (start, end, step)."""
+    if isinstance(v, (int, float)):
+        return (float(v), float(v), 1.0)
+    start, end, step = v
+    return (float(start), float(end), float(step))
+
+
+def _times_for_partial(spark: SparkSession, time, *, step_sec: int,
+                       zone: str) -> tuple[DataFrame, bool]:
+    """(times df with ts/unix_sec/offset_sec, hasMultipleTimes).
+
+    ``time`` is a partial-date tuple (year[, month[, day]]) -> a zoned
+    series (multiple, InputMode.hasMultipleTimes counts Year/YearMonth/
+    LocalDate regardless of row count), or a single unix instant / ISO
+    string -> one row (not multiple).
+    """
+    if isinstance(time, tuple):
+        parts = tuple(time) + (None, None)
+        t = time_series_zoned_df(spark, parts[0], parts[1], parts[2],
+                                 step_sec=step_sec, zone=zone)
+        return t, True
+    if isinstance(time, str):
+        from datetime import datetime
+
+        unix = int(datetime.fromisoformat(time).timestamp())
+    else:
+        unix = int(time)
+    one = spark.range(1).select(
+        F.timestamp_seconds(F.lit(unix)).alias("ts"),
+        F.lit(unix).alias("unix_sec"),
+        F.lit(0).alias("offset_sec"),
+    )
+    return one, False
+
+
+def make_input_plan(
+    spark: SparkSession,
+    *,
+    lat=None,
+    lon=None,
+    time=None,
+    coord_file: str | None = None,
+    time_file: str | None = None,
+    paired_file: str | None = None,
+    step_sec: int = 3600,
+    zone: str = "UTC",
+    delta_t: float | None = None,
+) -> InputPlan:
+    """Mirror of Main.createInputMode's four plan shapes
+    (Main.java:156-200; InputMode.java:17-195):
+
+    * paired_file          -> PairedData (1:1 rows, no cartesian)
+    * coord_file [+ time]  -> CoordinateFile x time(s)
+    * time_file  [+ ranges]-> ranges x TimeFile
+    * else                 -> CoordinateRanges x partial/instant
+
+    lat/lon accept a scalar or a (start, end, step) tuple; ``time`` accepts
+    a partial-date tuple (year[, month[, day]]), a unix int, or an ISO
+    string. The returned plan's ``show_inputs`` is the reference's
+    auto-enable rule: files and multi-valued inputs show inputs, a single
+    point at a single instant does not (InputMode.java:105,130,160,195 and
+    :72-76). ``delta_t`` mirrors the global ``--deltat`` (float('nan') = the
+    bare estimate sentinel, Main.java:214-216).
+    """
+    def _plan(df: DataFrame, mode: str, show: bool) -> InputPlan:
+        if delta_t is not None:
+            df = df.withColumn("delta_t", F.lit(float(delta_t)))
+        return InputPlan(df, mode, show)
+
+    if paired_file is not None:
+        return _plan(paired_from_text(spark, paired_file), "paired", True)
+
+    if coord_file is not None:
+        coords = coords_from_text(spark, coord_file)
+        times, _multi = _times_for_partial(spark, time, step_sec=step_sec,
+                                           zone=zone)
+        return _plan(times.crossJoin(coords), "coord_file", True)
+
+    lat_r = _as_range(lat)
+    lon_r = _as_range(lon)
+    grid = grid_df(spark, lat_r, lon_r).drop("lat_ord", "lon_ord")
+
+    if time_file is not None:
+        times = times_from_text(spark, time_file).select(
+            "ts", F.unix_timestamp("ts").alias("unix_sec"),
+            F.lit(0).alias("offset_sec"))
+        return _plan(grid_times_df(grid, times), "time_file", True)
+
+    times, multi_times = _times_for_partial(spark, time, step_sec=step_sec,
+                                            zone=zone)
+    multi = (lat_r[0] != lat_r[1]) or (lon_r[0] != lon_r[1]) or multi_times
+    return _plan(grid_times_df(grid, times), "ranges", multi)
+
+
 def validate_decoded(df: DataFrame, *, strict: bool = True) -> DataFrame:
     """R7 data-path validation: reference domain rules applied to decoded
     records (CoordinateRange.java:70-96, PositionCommand.java:301-313).
