@@ -235,6 +235,45 @@ def _q_twilight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_position_deltat_estimated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 end-to-end: --deltat bare semantics — the NaN sentinel makes the
+    engine estimate deltaT from the date (Main.java:214-216), the estimate
+    feeds SPA AND is echoed in the deltaT output column."""
+    src = (_astro_df(spark, sf_dir)
+           .withColumn("delta_t", F.lit(float("nan")))
+           .filter(F.col("event_id") < 5000))
+    res = position(src, algorithm="spa", ts_col="usec", time_is_unix=True,
+                   show_inputs=True, passthrough=["event_id"])
+    return res.select(
+        "event_id",
+        F.round("deltaT", 6).alias("delta_t_used"),
+        F.round("azimuth", 5).alias("azimuth"),
+        F.round("zenith", 5).alias("zenith"),
+    )
+
+
+def _position_deltat_estimated_oracle() -> str:
+    """Espenak-Meeus 2005-2050 branch mirrored with the kernel's exact
+    Horner ordering (deltat.py poly()), then fed through the SPA SQL."""
+    base = """
+SELECT event_id,
+       ((event_id * 37) % 14400) / 100.0 - 72.0 AS lat,
+       ((event_id * 73) % 36000) / 100.0 - 180.0 AS lon,
+       CAST(floor(epoch(ts)) AS BIGINT) AS usec,
+       0.0 AS elevation, 1013.0 AS pressure, 15.0 AS temperature,
+       ((0.005589 * ((year(ts) + (month(ts) - 0.5) / 12.0) - 2000.0)
+         + 0.32217) * ((year(ts) + (month(ts) - 0.5) / 12.0) - 2000.0)
+        + 62.92) AS delta_t
+FROM events
+WHERE event_id < 5000
+"""
+    inner = _osql.spa_sql(base)
+    return (
+        "SELECT event_id, round(delta_t, 6) AS delta_t_used, azimuth, zenith "
+        "FROM (" + inner + ")"
+    )
+
+
 def _q_deltat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: Espenak-Meeus deltaT estimate per event date (via the kernel UDF)."""
     import numpy as np
@@ -527,6 +566,55 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+
+def _q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS -> LeftSemi): orders with at least one
+    high-quantity lineitem, counted per priority. The semi-join never
+    multiplies rows and shuffles only the join key — the planner surface
+    beyond inner equi-joins."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_ORDER_PRIORITY_SEMI_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_orders_no_returns_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style NOT EXISTS -> LeftAnti: orders with no returned
+    lineitem, aggregated per status."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                    "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"))
+    )
+
+
+_ORDERS_NO_RETURNS_ANTI_ORACLE = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderstatus
 """
 
 
@@ -829,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sunrise_daily": _q_sunrise,
         "twilight": _q_twilight,
         "deltat_estimate": _q_deltat,
+        "position_deltat_estimated": _q_position_deltat_estimated,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
         "window_session": _q_window_session,
@@ -852,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": _q_props_extract,
         "customer_revenue": _q_customer_revenue,
         "lineitem_pricing": _q_lineitem_pricing,
+        "order_priority_semi": _q_order_priority_semi,
+        "orders_no_returns_anti": _q_orders_no_returns_anti,
     }
 
 
@@ -987,7 +1078,10 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _CURATE_ORACLE,
         "props_extract": _PROPS_ORACLE,
         "customer_revenue": _CUSTOMER_REVENUE_ORACLE,
+        "order_priority_semi": _ORDER_PRIORITY_SEMI_ORACLE,
+        "orders_no_returns_anti": _ORDERS_NO_RETURNS_ANTI_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
+        "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
                    event_type, count(*) AS n, round(sum(value), 6) AS sum_value

@@ -219,10 +219,11 @@ def to_json_string(df: DataFrame, all_fields: list[FieldSpec],
     return "".join(x + "\n" for x in rows)
 
 
-# --- K3 human text formatter (smoke level, SimpleTextFormatter.java) -------
+# --- K3 human text formatter (SimpleTextFormatter.java) --------------------
 
-#: display-name overrides + units (FieldDescriptor hints, PositionCommand).
-HUMAN_NAMES = {"dateTime": "date/time"}
+#: display-name overrides + units (FieldDescriptor hints, PositionCommand
+#: createFields / SunriseCommand; names per humanFormatOutput goldens).
+HUMAN_NAMES = {"dateTime": "date/time", "deltaT": "delta T"}
 HUMAN_UNITS = {
     "latitude": "°", "longitude": "°", "elevation": " m",
     "pressure": " hPa", "temperature": " °C", "deltaT": " s",
@@ -231,13 +232,21 @@ HUMAN_UNITS = {
 HUMAN_TYPE_NAMES = {"NORMAL": "normal", "ALL_DAY": "all day",
                     "ALL_NIGHT": "all night"}
 
+#: SerializerRegistry.createFloatFormatterWithUnits: String.format("%28s%s",
+#: value, unit) — the value is right-aligned in a 28-char field.
+HUMAN_UNIT_PAD = 28
+
 
 def human_blocks(df: DataFrame, all_fields: list[FieldSpec],
                  subset: list[str] | None = None,
                  offset_col: str | None = None) -> DataFrame:
-    """Aligned ``name: value`` text blocks, blank line between records
-    (SimpleTextFormatter.java:10-88; smoke-level parity — value formatting
-    uses the CSV precision table, units appended, human type names)."""
+    """``name: value`` text blocks, blank line between records
+    (SimpleTextFormatter.java:10-88): labels left-justified to the longest
+    display name ("%-Ns: "), unit-bearing numerics right-aligned in a
+    28-char field with the unit appended (SerializerRegistry.java:47-57),
+    timestamps in the reduced human pattern (space instead of 'T',
+    TimeFormats.ISO_HUMAN_LOCAL_DATE_TIME_REDUCED), null -> 'none',
+    sunrise types in lowercase human words."""
     fields = select_fields(all_fields, df, subset)
     off = F.col(offset_col) if offset_col and offset_col in df.columns else None
     width = max(len(HUMAN_NAMES.get(f.name, f.name)) for f in fields)
@@ -247,11 +256,18 @@ def human_blocks(df: DataFrame, all_fields: list[FieldSpec],
             parts.append(F.lit("\n"))
         label = HUMAN_NAMES.get(spec.name, spec.name).ljust(width)
         raw = _serialize(spec, off)
+        if spec.kind == "ts":
+            # human pattern: 'yyyy-MM-dd HH:mm:ssXXX' — one 'T' to replace
+            raw = F.regexp_replace(raw, "T", " ")
         if spec.name == "type":
             for k, v in HUMAN_TYPE_NAMES.items():
                 raw = F.when(raw == k, F.lit(v)).otherwise(raw)
-        unit = HUMAN_UNITS.get(spec.name, "")
-        val = F.when(raw.isNull(), F.lit("none")).otherwise(
-            F.concat(raw, F.lit(unit)))
+        unit = HUMAN_UNITS.get(spec.name)
+        if unit is not None and spec.kind == "double":
+            val_present = F.concat(F.lpad(raw, HUMAN_UNIT_PAD, " "),
+                                   F.lit(unit))
+        else:
+            val_present = raw
+        val = F.when(raw.isNull(), F.lit("none")).otherwise(val_present)
         parts.append(F.concat(F.lit(f"{label}: "), val))
     return df.select(F.concat(*parts).alias("block"))

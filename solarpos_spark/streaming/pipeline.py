@@ -46,10 +46,10 @@ def position_stream(decoded: DataFrame, *, algorithm: str = "spa") -> DataFrame:
     return out
 
 
-def sunrise_stream(decoded: DataFrame) -> DataFrame:
+def sunrise_stream(decoded: DataFrame, *, twilight: bool = False) -> DataFrame:
     """Per-record sunrise rows keyed like the position stream."""
     return sunrise(
-        decoded, ts_col="unix_sec", time_is_unix=True,
+        decoded, twilight=twilight, ts_col="unix_sec", time_is_unix=True,
         passthrough=["doc_id", "seq_index", "event_time"],
     )
 
@@ -95,8 +95,13 @@ def doc_session_stats(decoded: DataFrame, *, gap: str = "30 minutes") -> DataFra
     )
 
 
+_TWILIGHT_COLS = ("astronomical_start", "nautical_start", "civil_start",
+                  "civil_end", "nautical_end", "astronomical_end")
+
+
 def position_sunrise_join(decoded: DataFrame, *, algorithm: str = "spa",
-                          join_window: str = "INTERVAL 1 DAY") -> DataFrame:
+                          join_window: str = "INTERVAL 1 DAY",
+                          twilight: bool = False) -> DataFrame:
     """Stateful stream-stream join: position rows ⋈ their same-key sunrise
     rows on (doc_id, seq_index) with an event-time range bound.
 
@@ -104,15 +109,20 @@ def position_sunrise_join(decoded: DataFrame, *, algorithm: str = "spa",
     evict join state once the watermark passes the range bound — the state
     stays O(watermark-window), not O(stream). The time condition keeps the
     join within one observation day (sunrise is day-resolution).
+
+    ``twilight=True`` additionally carries the six twilight horizons
+    (--twilight, SunriseCommand.java:143-155) through the join — same state
+    bound, the sunrise side just gets wider rows.
     """
+    extra = list(_TWILIGHT_COLS) if twilight else []
     pos = position_stream(decoded, algorithm=algorithm).alias("p")
     sr = (
-        sunrise_stream(decoded)
+        sunrise_stream(decoded, twilight=twilight)
         .select(
             F.col("doc_id").alias("s_doc_id"),
             F.col("seq_index").alias("s_seq_index"),
             F.col("event_time").alias("s_event_time"),
-            "type", "sunrise", "transit", "sunset",
+            "type", "sunrise", "transit", "sunset", *extra,
         )
         .alias("s")
     )
@@ -126,7 +136,7 @@ def position_sunrise_join(decoded: DataFrame, *, algorithm: str = "spa",
     return joined.select(
         "p.doc_id", "p.seq_index", "p.event_time",
         "p.latitude", "p.longitude", "p.azimuth", "p.zenith",
-        "type", "sunrise", "transit", "sunset",
+        "type", "sunrise", "transit", "sunset", *extra,
         # is the observation between sunrise and sunset?
         F.when(F.col("type") == "ALL_DAY", F.lit(True))
         .when(F.col("type") == "ALL_NIGHT", F.lit(False))

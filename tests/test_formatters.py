@@ -107,16 +107,31 @@ class TestJsonContract:
 
 class TestHumanFormat:
     def test_human_block_shape(self, spark):
-        # SimpleTextFormatter smoke: display-name override, units, alignment
+        # PositionTest.humanFormatOutput: display names, units, 28-char
+        # right-aligned values, space-separated human timestamp
         df = ts_df(spark, 52.0, 25.0, "2022-10-17 12:00:00")
         res = position(df, algorithm="spa")
         block = fmt.human_blocks(
             res, fmt.POSITION_FIELDS,
-            subset=["dateTime", "azimuth", "zenith"]).collect()[0]["block"]
+            subset=["dateTime", "deltaT", "azimuth", "zenith"]
+        ).collect()[0]["block"]
         lines = block.split("\n")
-        assert lines[0].startswith("date/time: 2022-10-17T12:00:00Z")
-        assert "211.17614°" in lines[1]
-        assert "66.06832°" in lines[2]
+        # human date/time uses a space, not 'T'
+        assert lines[0] == "date/time: 2022-10-17 12:00:00Z"
+        # SerializerRegistry %28s%s: value right-aligned in 28 chars + unit
+        assert lines[1] == "delta T  : " + "69.000".rjust(28) + " s"
+        assert lines[2] == "azimuth  : " + "211.17614".rjust(28) + "°"
+        assert lines[3] == "zenith   : " + "66.06832".rjust(28) + "°"
+
+    def test_human_show_inputs_units(self, spark):
+        # humanFormatOutput golden fragments: '0.000 m', '1013.000 hPa', ...
+        df = ts_df(spark, 52.0, 25.0, "2022-10-17 12:00:00")
+        res = position(df, algorithm="spa")
+        block = fmt.human_blocks(res, fmt.POSITION_FIELDS).collect()[0]["block"]
+        for frag in ("52.00000°", "25.00000°", "0.000 m", "1013.000 hPa",
+                     "15.000 °C", "69.000 s", "2022-10-17 12:00:00Z",
+                     "211.17614°", "66.06832°"):
+            assert frag in block, frag
 
     def test_human_type_names(self, spark):
         # SunriseCommand.java:182-192: 'all night' in human format

@@ -224,6 +224,49 @@ class TestStreamStreamJoin:
         ).count()
         assert bad == 0
 
+    def test_twilight_join_matches_batch(self, spark, tmp_path):
+        """The six twilight horizons ride through the stateful join and are
+        value-equal to the batch sunrise operator over the same input."""
+        from solarpos_spark.operators.sunrise import sunrise
+
+        src = str(tmp_path / "tok")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        tok = make_token_files(spark, src, n_docs=24, files=2)
+
+        stream = tokens.read_token_stream(spark, src, max_files_per_trigger=1)
+        joined = pipeline.position_sunrise_join(
+            pipeline.decoded_stream(stream, watermark="1 hour"), twilight=True)
+        q = exactly_once_parquet_sink(joined, out, ckpt,
+                                      trigger_available_now=True)
+        drain(q)
+        # advance the watermark past the join range bound so held state flushes
+        tokens.generate_token_sequences(
+            spark, 1, records_per_doc=1, doc_prefix="sentinel-",
+            ts_lo=1930000000, ts_hi=1930000001,
+        ).write.mode("append").parquet(src)
+        stream2 = tokens.read_token_stream(spark, src, max_files_per_trigger=1)
+        joined2 = pipeline.position_sunrise_join(
+            pipeline.decoded_stream(stream2, watermark="1 hour"), twilight=True)
+        drain(exactly_once_parquet_sink(joined2, out, ckpt,
+                                        trigger_available_now=True))
+
+        tw_cols = ["astronomical_start", "nautical_start", "civil_start",
+                   "sunrise", "transit", "sunset",
+                   "civil_end", "nautical_end", "astronomical_end"]
+        got = (spark.read.parquet(out)
+               .filter(~F.col("doc_id").startswith("sentinel"))
+               .select("doc_id", "seq_index", *tw_cols))
+        assert got.count() == 96  # one row per decoded record
+
+        batch = sunrise(
+            tokens.decode_tokens(tok).filter(~F.col("doc_id").startswith("sentinel")),
+            twilight=True, ts_col="unix_sec", time_is_unix=True,
+            show_inputs=False, passthrough=["doc_id", "seq_index"],
+        ).select("doc_id", "seq_index", *tw_cols)
+        assert got.exceptAll(batch).count() == 0
+        assert batch.exceptAll(got).count() == 0
+
 
 class TestLineage:
     def test_lineage_log_written(self, spark, tmp_path):
