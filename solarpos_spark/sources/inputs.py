@@ -332,6 +332,8 @@ def times_from_text(spark: SparkSession, path: str) -> DataFrame:
         F.try_to_timestamp(F.col("line"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
         F.try_to_timestamp(F.col("line"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
         F.try_to_timestamp(F.col("line"), F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(F.col("line"), F.lit("yyyy-MM-dd'T'HH:mmXXX")),
+        F.try_to_timestamp(F.col("line"), F.lit("yyyy-MM-dd'T'HH:mm")),
         F.try_to_timestamp(F.col("line"), F.lit("yyyy-MM-dd HH:mm:ss")),
         F.try_to_timestamp(F.col("line"), F.lit("yyyy-MM-dd")),
     )
@@ -350,6 +352,9 @@ def paired_from_text(spark: SparkSession, path: str) -> DataFrame:
     ts = F.coalesce(
         F.try_to_timestamp(F.element_at("p", 3), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
         F.try_to_timestamp(F.element_at("p", 3), F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(F.element_at("p", 3), F.lit("yyyy-MM-dd'T'HH:mmXXX")),
+        F.try_to_timestamp(F.element_at("p", 3), F.lit("yyyy-MM-dd'T'HH:mm")),
+        F.try_to_timestamp(F.element_at("p", 3), F.lit("yyyy-MM-dd")),
     )
     return cleaned.select(
         F.element_at("p", 1).cast("double").alias("lat"),

@@ -1,0 +1,140 @@
+"""K5 CLI wrapper: argument surface + exit-code contract (MainTest.java).
+
+Exit codes follow picocli's contract (Main.java:252-256): 0 success,
+2 usage/validation error, 1 runtime failure.
+"""
+
+from __future__ import annotations
+
+import io
+
+from solarpos_spark import cli
+
+
+def run(spark, *argv) -> tuple[int, str]:
+    out = io.StringIO()
+    code = cli.main(list(argv), spark=spark, out=out)
+    return code, out.getvalue()
+
+
+class TestExitCodes:
+    def test_version(self, spark):
+        code, out = run(spark, "-V")
+        assert code == 0
+        assert "solarpos" in out  # MainTest.version
+
+    def test_rejects_bad_dates(self, spark):
+        # MainTest.rejectsBadDates: "20", "99999", "2024-12-32"
+        for bad in ("20", "99999", "2024-12-32"):
+            code, _ = run(spark, "25", "50", bad, "position")
+            assert code != 0, bad
+
+    def test_rejects_bad_coords(self, spark):
+        # MainTest.rejectsBadCoords: lat 91 / lon 200 with year input
+        assert run(spark, "91", "0", "2023", "position")[0] != 0
+        assert run(spark, "0", "200", "2023", "position")[0] != 0
+
+    def test_rejects_bad_step(self, spark):
+        # PositionTest.rejectsInvalidStepValues: 0.1 and 999999 seconds
+        assert run(spark, "52", "25", "2003", "position", "--step=0.1")[0] != 0
+        assert run(spark, "52", "25", "2003", "position",
+                   "--step=999999")[0] != 0
+
+    def test_unknown_command(self, spark):
+        assert run(spark, "52", "25", "2023", "noodle")[0] == 2
+
+
+class TestOutputs:
+    def test_csv_default_has_headers(self, spark):
+        # PositionTest.csvDefaultHasHeaders golden
+        code, out = run(spark, "52.0", "25.0", "2003-10-17T12:00:00Z",
+                        "--format=csv", "--deltat=69", "position")
+        assert code == 0
+        lines = out.splitlines()
+        assert lines[0] == "dateTime,azimuth,zenith"
+        assert lines[1] == "2003-10-17T12:00:00Z,211.20726,65.92499"
+
+    def test_csv_no_headers_show_inputs(self, spark):
+        # PositionTest basicUsageWithCsv row shape (single row golden)
+        code, out = run(spark, "52.0", "25.0", "2003-10-17T12:00:00Z",
+                        "--format=csv", "--no-headers", "--deltat=69",
+                        "--show-inputs", "position")
+        assert code == 0
+        assert out == ("52.00000,25.00000,0.000,1013.000,15.000,"
+                       "2003-10-17T12:00:00Z,69.000,211.20726,65.92499\r\n")
+
+    def test_deltat_bare_estimates(self, spark):
+        # --deltat with no value -> Espenak-Meeus estimate (Main.java:117-126)
+        code, out = run(spark, "52.0", "25.0", "2003-10-17T12:00:00Z",
+                        "--format=json", "--deltat", "--show-inputs",
+                        "position")
+        assert code == 0
+        import json
+
+        obj = json.loads(out)
+        assert 64.0 < obj["deltaT"] < 66.0  # ~64.8 s for 2003
+
+    def test_json_golden(self, spark):
+        code, out = run(spark, "52.0", "25.0", "2022-10-17T12:00:00Z",
+                        "--format=json", "--deltat=69", "position")
+        import json
+
+        obj = json.loads(out)
+        assert obj["azimuth"] == 211.17614
+        assert obj["zenith"] == 66.06832
+
+    def test_sunrise_human(self, spark):
+        # SunriseTest.humanFormatOutput fragments
+        code, out = run(spark, "52.0", "25.0", "2022-10-17T12:00:00Z",
+                        "--format=human", "--deltat=69", "--show-inputs",
+                        "sunrise")
+        assert code == 0
+        for frag in ("52.00000°", "date/time", "delta T", "normal",
+                     "2022-10-17 04:47:51Z", "2022-10-17 10:05:21Z",
+                     "2022-10-17 15:22:00Z", "69.000 s"):
+            assert frag in out, frag
+
+    def test_year_series_row_count(self, spark):
+        # PositionTest fullYear: 2003 at 2h steps -> 4380 rows
+        code, out = run(spark, "52.0", "25.0", "2003", "--format=csv",
+                        "--no-headers", "--deltat=69", "--timezone=UTC",
+                        "position", "--step=2h")
+        assert code == 0
+        lines = out.splitlines()
+        assert len(lines) == 4380
+        assert lines[0].split(",")[5] == "2003-01-01T00:00:00Z"
+        assert lines[-1].split(",")[5] == "2003-12-31T22:00:00Z"
+
+    def test_named_zone_series(self, spark):
+        # DST-aware series through the CLI: Berlin Feb 2024 at 2h steps
+        code, out = run(spark, "52.0", "25.0", "2024-02", "--format=csv",
+                        "--no-headers", "--deltat=69",
+                        "--timezone=Europe/Berlin", "position", "--step=2h")
+        assert code == 0
+        lines = out.splitlines()
+        assert len(lines) == 29 * 12
+        assert lines[0].split(",")[5] == "2024-02-01T00:00:00+01:00"
+
+    def test_paired_file(self, spark, tmp_path):
+        # MainTest.supportsPairedDataFiles
+        f = tmp_path / "paired.txt"
+        f.write_text("25.0 50.0 2023-06-21T12:00\n")
+        code, out = run(spark, f"@{f}", "position")
+        assert code == 0
+        assert "2023-06-21" in out
+        assert "azimuth" in out and "zenith" in out
+
+    def test_grena3_flag(self, spark):
+        code, out = run(spark, "52.0", "25.0", "2022-10-17T12:00:00Z",
+                        "--format=csv", "--no-headers", "--deltat=69",
+                        "position", "--algorithm=grena3")
+        assert code == 0
+        assert out.strip() == "2022-10-17T12:00:00Z,211.17436,66.06850"
+
+    def test_elevation_angle_flag(self, spark):
+        code, out = run(spark, "52.0", "25.0", "2003-10-17T12:00:00Z",
+                        "--format=csv", "--deltat=69", "position",
+                        "--elevation-angle")
+        lines = out.splitlines()
+        assert lines[0] == "dateTime,azimuth,elevation-angle"
+        assert lines[1].endswith(f",{90 - 65.92499:.5f}")
