@@ -124,6 +124,15 @@ def main() -> None:
     run("text_quality", lambda: qs["text_quality"](spark, sf_dir))
     run("similarity_topk", lambda: qs["similarity_topk"](spark, sf_dir))
     run("lineitem_pricing", lambda: qs["lineitem_pricing"](spark, sf_dir))
+    # round-2 additions: zoned series, LSH dedup paths, bucketed near-dup,
+    # multi-join + semi-join relational shapes
+    run("time_series_zoned", lambda: qs["time_series_zoned"](spark, sf_dir))
+    run("ngram_jaccard", lambda: qs["ngram_jaccard"](spark, sf_dir))
+    run("minhash_lsh", lambda: qs["minhash_lsh"](spark, sf_dir))
+    run("embedding_near_dup_bucketed",
+        lambda: qs["embedding_near_dup_bucketed"](spark, sf_dir))
+    run("customer_revenue", lambda: qs["customer_revenue"](spark, sf_dir))
+    run("order_priority_semi", lambda: qs["order_priority_semi"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({
