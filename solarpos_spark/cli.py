@@ -140,7 +140,10 @@ def _make_plan(spark, tokens: list[str], ns) -> tuple:
     step_sec = _parse_step(ns.step)
     delta_t = float(ns.deltat) if ns.deltat != "NaN" else math.nan
 
-    kw = dict(step_sec=step_sec, delta_t=delta_t)
+    # position needs explicit times in time files (TIME_REQUIRED precision);
+    # sunrise is date-sufficient (DateTimeIterator.TimePrecision)
+    kw = dict(step_sec=step_sec, delta_t=delta_t,
+              require_time=(command == "position"))
     if len(pos) == 1 and pos[0].startswith("@"):
         plan = inputs.make_input_plan(spark, paired_file=pos[0][1:], **kw)
     elif len(pos) == 2 and pos[0].startswith("@"):

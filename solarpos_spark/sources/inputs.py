@@ -320,9 +320,17 @@ def coords_from_text(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def times_from_text(spark: SparkSession, path: str) -> DataFrame:
+def times_from_text(spark: SparkSession, path: str, *,
+                    require_time: bool = False,
+                    strict: bool = True) -> DataFrame:
     """S4: one timestamp per line, multi-format fallback parse
-    (util/DateTimeIterator.java:93-143)."""
+    (util/DateTimeIterator.java:93-143).
+
+    ``require_time=True`` = the reference's TIME_REQUIRED precision
+    (position needs an explicit time; date-only lines abort,
+    DateTimeIterator.TimePrecision). ``strict=True`` aborts on unparseable
+    lines like the reference's parse exception; False drops them.
+    """
     lines = spark.read.text(path)
     cleaned = (
         lines.select(F.trim(F.col("value")).alias("line"))
@@ -337,7 +345,16 @@ def times_from_text(spark: SparkSession, path: str) -> DataFrame:
         F.try_to_timestamp(F.col("line"), F.lit("yyyy-MM-dd HH:mm:ss")),
         F.try_to_timestamp(F.col("line"), F.lit("yyyy-MM-dd")),
     )
-    return cleaned.select(ts.alias("ts"))
+    out = cleaned.select("line", ts.alias("ts"))
+    date_only = F.col("line").rlike(r"^\d{4}-\d{2}-\d{2}$")
+    bad = F.col("ts").isNull() | (F.lit(require_time) & date_only)
+    if strict:
+        guard = F.when(~bad, F.lit(True)).otherwise(F.raise_error(
+            F.concat(F.lit("unusable time line: "), F.col("line"))))
+        out = out.filter(guard)
+    else:
+        out = out.filter(~bad)
+    return out.select("ts")
 
 
 def paired_from_text(spark: SparkSession, path: str) -> DataFrame:
@@ -431,6 +448,7 @@ def make_input_plan(
     step_sec: int = 3600,
     zone: str = "UTC",
     delta_t: float | None = None,
+    require_time: bool = False,
 ) -> InputPlan:
     """Mirror of Main.createInputMode's four plan shapes
     (Main.java:156-200; InputMode.java:17-195):
@@ -467,7 +485,8 @@ def make_input_plan(
     grid = grid_df(spark, lat_r, lon_r).drop("lat_ord", "lon_ord")
 
     if time_file is not None:
-        times = times_from_text(spark, time_file).select(
+        times = times_from_text(spark, time_file,
+                                require_time=require_time).select(
             "ts", F.unix_timestamp("ts").alias("unix_sec"),
             F.lit(0).alias("offset_sec"))
         return _plan(grid_times_df(grid, times), "time_file", True)

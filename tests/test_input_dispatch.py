@@ -87,6 +87,36 @@ class TestDispatchShapes:
         assert plan.df.count() == 4
 
 
+class TestTimePrecision:
+    def test_strict_rejects_unparseable_line(self, spark, tmp_path):
+        tf = _write(tmp_path, "bad.txt", "2024-01-15T12:00:00\nnot a time\n")
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="unusable time line"):
+            inputs.times_from_text(spark, tf).collect()
+
+    def test_require_time_rejects_date_only(self, spark, tmp_path):
+        # TimePrecision.TIME_REQUIRED (position): date-only lines abort
+        tf = _write(tmp_path, "dates.txt", "2024-01-15\n")
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="unusable time line"):
+            inputs.times_from_text(spark, tf, require_time=True).collect()
+        # DATE_SUFFICIENT (sunrise): the same file is fine -> local midnight
+        rows = inputs.times_from_text(spark, tf).collect()
+        assert len(rows) == 1
+
+    def test_cli_position_rejects_date_only_time_file(self, spark, tmp_path):
+        from solarpos_spark import cli
+        import io
+
+        tf = _write(tmp_path, "dates.txt", "2024-01-15\n")
+        code = cli.main(["52", "25", f"@{tf}", "position"], spark=spark,
+                        out=io.StringIO())
+        assert code != 0
+        code = cli.main(["52", "25", f"@{tf}", "sunrise"], spark=spark,
+                        out=io.StringIO())
+        assert code == 0
+
+
 class TestReferenceColumnSets:
     """The four shapes drive position()/sunrise() defaults to the
     reference's exact output column sets."""
