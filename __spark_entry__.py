@@ -368,6 +368,14 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, q, dim=64, k=3, n_planes=6)
 
 
+def _q_ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: probe the query bucket + 3 Hamming-1 neighbors —
+    the recall/latency dial (similarity.ann_topk multiprobe)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk(emb, q, dim=64, k=3, n_planes=6, multiprobe=3)
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_docs(spark, sf_dir))
 
@@ -873,6 +881,38 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def _ann_multiprobe_oracle(multiprobe: int = 3) -> str:
+    plane_lits, bucket_terms = _plane_literals()
+    probe_list = ", ".join(["bucket"]
+                           + [f"xor(bucket, {1 << i})"
+                              for i in range(multiprobe)])
+    return f"""
+WITH p AS (SELECT [{plane_lits}]::DOUBLE[][] AS planes),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v, CAST(({bucket_terms}) AS BIGINT) AS bucket FROM e, p
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qvec,
+         unnest([{probe_list}]) AS bucket
+  FROM bucketed WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.qvec, c.v)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+  FROM bucketed c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 3
+"""
+
+
 def _ann_oracle() -> str:
     plane_lits, bucket_terms = _plane_literals()
     return f"""
@@ -930,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_bucketed": _q_embedding_near_dup_bucketed,
         "ann_topk": _q_ann_topk,
+        "ann_topk_multiprobe": _q_ann_topk_multiprobe,
         "lang_id": _q_lang_id,
         "multimodal_meta": _q_multimodal_meta,
         "text_quality": _q_text_quality,
@@ -1071,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _NEAR_DUP_ORACLE,
         "embedding_near_dup_bucketed": _near_dup_bucketed_oracle(),
         "ann_topk": _ann_oracle(),
+        "ann_topk_multiprobe": _ann_multiprobe_oracle(),
         "lang_id": _LANG_ID_ORACLE,
         "multimodal_meta": _MULTIMODAL_ORACLE,
         "csv_position_lines": _csv_lines_oracle(),

@@ -111,21 +111,37 @@ def ann_topk(
     k: int = 3,
     n_planes: int = 8,
     seed: int = 42,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket pairs (bucket-keyed join).
 
     At 100 TB this is the difference between an all-pairs shuffle and a
-    bucket-partitioned one; recall is tuned by n_planes (and multi-probe
-    in later rounds).
+    bucket-partitioned one; recall is tuned by n_planes and ``multiprobe``.
+
+    ``multiprobe=m`` additionally probes the m buckets at Hamming distance 1
+    from the query's bucket (flipping plane bits 0..m-1) — the standard
+    multi-probe LSH recall/latency dial: candidate volume grows by at most
+    (m+1)x on the (tiny, broadcast) query side while the corpus still
+    shuffles once, keyed by bucket. A (query, candidate) pair can match at
+    most one probe value, so no dedup is needed.
     """
+    if not (0 <= multiprobe <= n_planes):
+        raise ValueError(f"multiprobe must be in [0, {n_planes}]")
     cb = hyperplane_buckets(corpus, dim=dim, n_planes=n_planes, seed=seed,
                             vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket")
     qb = hyperplane_buckets(queries, dim=dim, n_planes=n_planes, seed=seed,
                             vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket")
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+              for i in range(multiprobe)])
+        qb = qb.select("query_id", "qvec",
+                       F.explode(probes).alias("bucket"))
     scored = (
         cb.join(F.broadcast(qb), (cb.bucket == qb.bucket)
                 & (F.col("neighbor_id") != F.col("query_id")))

@@ -128,6 +128,23 @@ class TestSimilarity:
             assert nid == qid - 100000
             assert score == 1.0
 
+    def test_multiprobe_improves_or_matches_recall(self, spark, emb):
+        """Multi-probe probes the query bucket + Hamming-1 neighbors, so its
+        candidate set is a superset: top-1 recall vs exact can only go up."""
+        q = emb.filter(F.col("vec_id") < 25)
+        exact = {r["query_id"]: r["neighbor_id"] for r in
+                 similarity.brute_force_topk(emb, q, k=1).collect()}
+
+        def recall(multiprobe):
+            got = {r["query_id"]: r["neighbor_id"] for r in
+                   similarity.ann_topk(emb, q, dim=64, k=1, n_planes=6,
+                                       multiprobe=multiprobe).collect()}
+            return sum(got.get(qid) == nid for qid, nid in exact.items())
+
+        r0, r3 = recall(0), recall(3)
+        assert r3 >= r0
+        assert r3 >= 1  # probing 4x buckets must recover something
+
     def test_near_duplicates_planted(self, spark, emb):
         """Both variants must recover a planted duplicate: identical vectors
         always share an LSH bucket, so the bucketed default cannot miss it."""
