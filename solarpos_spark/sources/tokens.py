@@ -164,6 +164,76 @@ def decode_tokens(df: DataFrame) -> DataFrame:
     return df.mapInArrow(explode, schema=DECODED_SCHEMA)
 
 
+FUSED_POSITION_SCHEMA = (
+    "doc_id string, seq_index int, lat double, lon double, unix_sec long, "
+    "azimuth double, zenith double"
+)
+
+
+def decode_position_arrow(df: DataFrame, *, algorithm: str = "spa",
+                          refraction: bool = True) -> DataFrame:
+    """Fused decode + solar position in ONE Arrow pass.
+
+    ``decode_tokens(df)`` followed by ``position(...)`` evaluates two Python
+    stages in the same task pipeline — every decoded column crosses the
+    JVM<->Python Arrow boundary twice. At high parallelism that IPC traffic,
+    not the SPA arithmetic, saturates memory bandwidth (measured: the bare
+    kernel scales 4->16 procs at 0.99 while the two-stage pipeline reads
+    ~0.68). Fusing keeps the decoded columns inside numpy and ships only the
+    position output back — the operator-fusion plan a 1000-executor job
+    wants, and exactly what the reference's loop does in one pass
+    (PositionCommand.java:107-135).
+
+    Values are bit-identical to the two-stage path (same kernels, and the
+    per-timestamp hoisting is a pure function of the timestamp, so batch
+    boundaries don't matter) — pinned by test_spark_layer fused-parity.
+    """
+    from ..kernels import grena3 as grena3_kernel
+    from ..kernels import spa as spa_kernel
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            toks = batch.column(names.index("tokens"))
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat_vals = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = np.diff(offsets)
+            counts = lens // codec.TOKENS_PER_RECORD
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            flat = flat_vals[offsets[0]:offsets[-1]].reshape(-1, codec.TOKENS_PER_RECORD)
+            f = codec.decode_records(flat)
+            press = f["pressure"] if refraction else None
+            temp = f["temperature"] if refraction else None
+            if algorithm == "grena3":
+                az, zen = grena3_kernel.solar_position(
+                    f["unix_sec"].astype(np.float64), f["lat"], f["lon"],
+                    f["delta_t"], press, temp)
+            else:
+                az, zen = spa_kernel.solar_position(
+                    f["unix_sec"].astype(np.float64), f["lat"], f["lon"],
+                    f["elevation"], f["delta_t"], press, temp)
+            doc_idx = np.repeat(np.arange(batch.num_rows), counts)
+            doc_ids = batch.column(names.index("doc_id")).take(pa.array(doc_idx))
+            ends = np.cumsum(counts)
+            seq_index = (np.arange(total)
+                         - np.repeat(ends - counts, counts)).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [doc_ids, pa.array(seq_index), pa.array(f["lat"]),
+                 pa.array(f["lon"]), pa.array(f["unix_sec"]),
+                 pa.array(az), pa.array(zen)],
+                names=["doc_id", "seq_index", "lat", "lon", "unix_sec",
+                       "azimuth", "zenith"],
+            )
+
+    return df.mapInArrow(run, schema=FUSED_POSITION_SCHEMA)
+
+
 def write_token_table(df: DataFrame, path: str, *, partitions: int | None = None) -> None:
     """Materialize as parquet (Iceberg stand-in; see SURVEY.md §7 note —
     no Iceberg runtime jars in this sandbox, the seam is this module)."""

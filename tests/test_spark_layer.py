@@ -109,6 +109,36 @@ class TestTokenCodec:
         ).orderBy("doc_id", "seq_index").collect()
         assert a == b
 
+    def test_fused_decode_position_bit_equal(self, spark):
+        """decode_position_arrow (one Arrow pass) must be value-identical to
+        decode_tokens -> position (two stages) — same kernels, hoisting is a
+        pure function of the timestamp."""
+        from pyspark.sql import functions as F
+
+        from solarpos_spark.operators.position import position
+
+        t = tokens.generate_token_sequences(spark, 64, records_per_doc=4,
+                                            partitions=3)
+        fused = tokens.decode_position_arrow(t).select(
+            "doc_id", "seq_index", "azimuth", "zenith")
+        two_stage = position(
+            tokens.decode_tokens(t), algorithm="spa", ts_col="unix_sec",
+            time_is_unix=True, show_inputs=False,
+            passthrough=["doc_id", "seq_index"],
+        ).select("doc_id", "seq_index", "azimuth", "zenith")
+        assert fused.count() == 256
+        assert fused.exceptAll(two_stage).count() == 0
+        assert two_stage.exceptAll(fused).count() == 0
+        # grena3 flavor too
+        fused_g = tokens.decode_position_arrow(t, algorithm="grena3").select(
+            "doc_id", "seq_index", "azimuth", "zenith")
+        two_g = position(
+            tokens.decode_tokens(t), algorithm="grena3", ts_col="unix_sec",
+            time_is_unix=True, show_inputs=False,
+            passthrough=["doc_id", "seq_index"],
+        ).select("doc_id", "seq_index", "azimuth", "zenith")
+        assert fused_g.exceptAll(two_g).count() == 0
+
     def test_estimate_sentinel_roundtrip(self):
         from solarpos_spark import codec
 

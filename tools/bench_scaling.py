@@ -34,7 +34,7 @@ sys.path.insert(0, REPO)
 
 N_SMALL = 4
 N_BIG = 16
-JOBS = ("token_stream_spa", "sweep_spa", "window_agg")
+JOBS = ("token_stream_spa", "token_fused_spa", "sweep_spa", "window_agg")
 
 
 def worker(cores: int, token_path: str) -> None:
@@ -75,6 +75,10 @@ def worker(cores: int, token_path: str) -> None:
             tokens.decode_tokens(tok).withColumn("ts", F.col("unix_sec")),
             algorithm="spa", ts_col="ts", time_is_unix=True)
 
+    def token_fused_job():
+        # operator-fused decode+position: one Arrow pass, half the IPC
+        return tokens.decode_position_arrow(tok)
+
     def sweep_job():
         grid = inputs.grid_df(spark, (50.0, 55.0, 0.25), (10.0, 15.0, 0.25))
         times = inputs.time_series_df(spark, 2024, step_sec=150)  # 210k instants x 441 coords = 93M rows
@@ -89,15 +93,14 @@ def worker(cores: int, token_path: str) -> None:
             "value", F.col("lat"))
         return tumbling_counts(dec, key_col="doc_id")
 
-    fns = {"token_stream_spa": token_job, "sweep_spa": sweep_job,
-           "window_agg": window_job}
+    fns = {"token_stream_spa": token_job, "token_fused_spa": token_fused_job,
+           "sweep_spa": sweep_job, "window_agg": window_job}
 
     # warm: JVM codegen + ALL python workers (a limit() warmup only spawns a
     # few workers, so the timed run at high parallelism would pay ~30 cold
     # numpy/pandas imports). Full untimed passes = steady-state measurement.
-    force_count(token_job())
-    force_count(sweep_job())
-    force_count(window_job())
+    for fn in fns.values():
+        force_count(fn())
 
     out = {}
     for name in JOBS:
