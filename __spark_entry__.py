@@ -639,6 +639,95 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/relational.py): attach each event's most recent
+    error (same user, backward-inclusive) — merge_asof/kdb aj semantics as a
+    single keyed window shuffle, no range probe. Oracle: DuckDB native
+    ASOF LEFT JOIN."""
+    from solarpos_spark.operators.relational import asof_join
+
+    ev = _events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value")
+    res = asof_join(
+        ev.select("event_id", "user_id", "ts"), err,
+        on="ts", by=["user_id"], values=["value"])
+    return res.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("last_error_us"),
+        F.round("value_asof", 6).alias("last_error_value"),
+    )
+
+
+_EVENTS_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id,
+       epoch_us(b.ts) AS last_error_us,
+       round(b.value, 6) AS last_error_value
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'error') b
+  ON e.user_id = b.user_id AND e.ts >= b.ts
+"""
+
+
+def _q_events_incident_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval (range) join (operators/relational.py): count each
+    user's events falling inside any [error, error+10min) incident window.
+    The plan is keyed equi-joins over time bins — no inequality-join
+    cartesian; the oracle states the same semantics as EXISTS."""
+    from solarpos_spark.operators.relational import interval_match_ids
+
+    ev = _events(spark, sf_dir)
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    hit = interval_match_ids(
+        ev.select("event_id", "user_id", "ts"), incidents,
+        probe_ts="ts", by=["user_id"], id_cols=["event_id"])
+    return hit.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+_EVENTS_INCIDENT_ORACLE = """
+SELECT e.user_id, count(*) AS n_events
+FROM events e
+WHERE EXISTS (SELECT 1 FROM events b
+              WHERE b.user_id = e.user_id AND b.event_type = 'error'
+                AND e.ts >= b.ts AND e.ts < b.ts + INTERVAL 10 MINUTE)
+GROUP BY e.user_id
+"""
+
+
+def _q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (subtotals + grand total via Expand —
+    one shuffle, map-side partial aggregation). Grouped-out levels coalesce
+    to 'ALL' so the value-hash is representation-stable."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.count(F.lit(1)).alias("count_order"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty", "sum_base_price", "count_order",
+        )
+    )
+
+
+_LINEITEM_ROLLUP_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 _SUNRISE_BASE_SQL = """
 SELECT event_id,
        ((event_id * 37) % 14400) / 100.0 - 72.0 AS lat,
@@ -984,6 +1073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "order_priority_semi": _q_order_priority_semi,
         "orders_no_returns_anti": _q_orders_no_returns_anti,
+        "events_asof_error": _q_events_asof_error,
+        "events_incident_window": _q_events_incident_window,
+        "lineitem_rollup": _q_lineitem_rollup,
     }
 
 
@@ -1122,6 +1214,9 @@ def oracle_sql() -> dict[str, str]:
         "customer_revenue": _CUSTOMER_REVENUE_ORACLE,
         "order_priority_semi": _ORDER_PRIORITY_SEMI_ORACLE,
         "orders_no_returns_anti": _ORDERS_NO_RETURNS_ANTI_ORACLE,
+        "events_asof_error": _EVENTS_ASOF_ORACLE,
+        "events_incident_window": _EVENTS_INCIDENT_ORACLE,
+        "lineitem_rollup": _LINEITEM_ROLLUP_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """

@@ -84,6 +84,15 @@ def main() -> None:
 
     run("token_stream_spa", token_pipeline, count_positions=True)
 
+    # fused decode+position: ONE Arrow stage (half the JVM<->Python IPC),
+    # the recommended hot path for the token pipeline
+    def token_fused():
+        t = tok.generate_token_sequences(spark, 20000, records_per_doc=8,
+                                         partitions=cpus)
+        return tok.decode_position_arrow(t)
+
+    run("token_fused_spa", token_fused, count_positions=True)
+
     # true micro-batch throughput: the streaming CEP pipeline end-to-end
     # (readStream -> decode -> SPA position -> exactly-once sink), measured
     # over committed rows. Input files are pre-materialized so only the

@@ -33,6 +33,25 @@ VERSION = "solarpos-spark 0.2 (PySpark engine, solarpos-compatible CLI)"
 _RANGE_RE = re.compile(r"^(-?\d+(?:\.\d+)?):(-?\d+(?:\.\d+)?):(\d+(?:\.\d+)?)$")
 _DUR_RE = re.compile(r"^(\d+)([smhd]?)$")
 _DUR_UNIT = {"": 1, "s": 1, "m": 60, "h": 3600, "d": 86400}
+# ISO-8601 durations, the reference's Duration.parse fallback
+# (DurationConverter.java:30-34); case-insensitive like java.time
+_ISO_DUR_RE = re.compile(
+    r"^P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$", re.IGNORECASE)
+_TIME_ONLY_RE = re.compile(r"^\d{1,2}:\d{2}")
+
+# deterministic-clock hook mirroring the reference's "solarpos.test.clock"
+# system property (DateTimeConverter.java:17-25): an ISO instant that fixes
+# what "now" / time-only inputs resolve the current date from
+_TEST_CLOCK_ENV = "SOLARPOS_TEST_CLOCK"
+
+
+def _now_utc() -> datetime:
+    import os
+
+    fixed = os.environ.get(_TEST_CLOCK_ENV)
+    if fixed:
+        return datetime.fromisoformat(fixed).astimezone(timezone.utc)
+    return datetime.now(tz=timezone.utc)
 
 
 class CliError(Exception):
@@ -51,9 +70,13 @@ def _parse_coord(text: str):
 
 def _parse_step(text: str) -> int:
     m = _DUR_RE.match(text)
-    if not m:
-        raise CliError(f"invalid step duration: {text!r}")
-    return int(m.group(1)) * _DUR_UNIT[m.group(2)]
+    if m:
+        return int(m.group(1)) * _DUR_UNIT[m.group(2)]
+    m = _ISO_DUR_RE.match(text)
+    if m and any(m.groups()):
+        d, h, mi, s = (int(g) if g else 0 for g in m.groups())
+        return d * 86400 + h * 3600 + mi * 60 + s
+    raise CliError(f"invalid step duration: {text!r}")
 
 
 def _parse_time(text: str, zone: str | None):
@@ -66,8 +89,28 @@ def _parse_time(text: str, zone: str | None):
     from zoneinfo import ZoneInfo
 
     eff_zone = zone or "UTC"
-    if text == "now":
-        return int(datetime.now(tz=timezone.utc).timestamp()), eff_zone
+    if text.lower() == "now":
+        return int(_now_utc().timestamp()), eff_zone
+    if _TIME_ONLY_RE.match(text):
+        # time-only input -> today's date at that time
+        # (DateTimeConverter.tryParseTimeOnly + convertToZonedDateTime's
+        # LocalTime/OffsetTime branches). "Today" is taken in the effective
+        # zone (UTC default — deliberate: no driver-local system zone).
+        from datetime import time as dtime
+
+        try:
+            t = dtime.fromisoformat(text)
+        except ValueError:
+            raise CliError(f"invalid time: {text!r}") from None
+        if zone is not None:
+            # zone override keeps the wall-clock reading
+            tz = ZoneInfo(zone)
+            t = t.replace(tzinfo=None)
+        else:
+            tz = t.tzinfo or timezone.utc
+        today = _now_utc().astimezone(tz).date()
+        dt = datetime.combine(today, t.replace(tzinfo=None), tzinfo=tz)
+        return int(dt.timestamp()), eff_zone
     if re.fullmatch(r"\d{4}", text):
         return (int(text),), eff_zone
     if re.fullmatch(r"\d{4}-\d{2}", text):
@@ -144,14 +187,22 @@ def _make_plan(spark, tokens: list[str], ns) -> tuple:
     # sunrise is date-sufficient (DateTimeIterator.TimePrecision)
     kw = dict(step_sec=step_sec, delta_t=delta_t,
               require_time=(command == "position"))
+    # at most one input may be stdin (Main.validateStdinUsage)
+    if sum(1 for t in pos if t == "@-") > 1:
+        raise CliError("cannot use stdin (@-) for multiple inputs")
     if len(pos) == 1 and pos[0].startswith("@"):
         plan = inputs.make_input_plan(spark, paired_file=pos[0][1:], **kw)
     elif len(pos) == 2 and pos[0].startswith("@"):
         if pos[1].startswith("@"):
             raise CliError("coordinate file + time file: use lat lon @times")
-        t, zone = _parse_time(pos[1], ns.timezone)
-        plan = inputs.make_input_plan(spark, coord_file=pos[0][1:], time=t,
-                                      zone=zone, **kw)
+        if pos[1] == "now":
+            # reference quirk: @coordFile + "now" routes to PairedData
+            # (Main.createCoordinateFileMode), so lines carry their own times
+            plan = inputs.make_input_plan(spark, paired_file=pos[0][1:], **kw)
+        else:
+            t, zone = _parse_time(pos[1], ns.timezone)
+            plan = inputs.make_input_plan(spark, coord_file=pos[0][1:],
+                                          time=t, zone=zone, **kw)
     elif len(pos) == 3:
         lat = _parse_coord(pos[0])
         lon = _parse_coord(pos[1])

@@ -35,6 +35,8 @@ def coordinate_values(start: float, end: float, step: float,
         raise ValueError(f"coordinate out of range [{lo}, {hi}]: {start}:{end}")
     if start > end:
         raise ValueError(f"range start {start} > end {end}")
+    if step <= 0:  # CoordinateRange.java:14-16, even for single points
+        raise ValueError(f"step must be positive, got {step}")
     if step < MIN_COORD_STEP and start != end:
         raise ValueError(f"step {step} below minimum {MIN_COORD_STEP}")
     if start == end:
@@ -305,19 +307,51 @@ def grid_times_df(grid: DataFrame, times: DataFrame,
     return times.repartition(parallelism).crossJoin(F.broadcast(grid))
 
 
-def coords_from_text(spark: SparkSession, path: str) -> DataFrame:
+def _text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """DataFrame[value: string] of raw lines from a file path, or from the
+    driver's stdin when ``path == "-"`` (the reference's ``@-``,
+    DateTimeIterator.java:223-229, InputMode.isStdinPath). Stdin is an
+    inherently serial driver-side stream, so it lands as an Arrow-backed
+    local relation; file paths stay distributed ``spark.read.text`` scans."""
+    if path == "-":
+        import sys
+
+        import pandas as pd
+
+        raw = sys.stdin.read().splitlines()
+        return _local_df(spark, pd.DataFrame({"value": pd.Series(raw, dtype="object")})) \
+            if raw else spark.createDataFrame([], "value string")
+    return spark.read.text(path)
+
+
+def coords_from_text(spark: SparkSession, path: str, *,
+                     strict: bool = True) -> DataFrame:
     """S3: lines ``lat lon`` (space/comma separated), # comments + blanks
-    skipped (util/DateTimeIterator.java:203-213)."""
-    lines = spark.read.text(path)
+    skipped (util/DateTimeIterator.java:203-213). ``path="-"`` reads stdin.
+
+    ``strict=True`` aborts on malformed lines (wrong arity / non-numeric)
+    like the reference's parseCoordinateLine; False drops them.
+    """
+    lines = _text_lines(spark, path)
     cleaned = (
         lines.select(F.trim(F.col("value")).alias("line"))
         .filter((F.col("line") != "") & ~F.col("line").startswith("#"))
-        .select(F.split(F.col("line"), r"[,\s]+").alias("parts"))
+        .select("line", F.split(F.col("line"), r"[,\s]+").alias("parts"))
     )
-    return cleaned.select(
+    out = cleaned.select(
+        "line",
         F.element_at("parts", 1).cast("double").alias("lat"),
         F.element_at("parts", 2).cast("double").alias("lon"),
+        F.size("parts").alias("_arity"),
     )
+    bad = (F.col("_arity") != 2) | F.col("lat").isNull() | F.col("lon").isNull()
+    if strict:
+        guard = F.when(~bad, F.lit(True)).otherwise(F.raise_error(
+            F.concat(F.lit("invalid coordinate line: "), F.col("line"))))
+        out = out.filter(guard)
+    else:
+        out = out.filter(~bad)
+    return out.select("lat", "lon")
 
 
 def times_from_text(spark: SparkSession, path: str, *,
@@ -330,8 +364,9 @@ def times_from_text(spark: SparkSession, path: str, *,
     (position needs an explicit time; date-only lines abort,
     DateTimeIterator.TimePrecision). ``strict=True`` aborts on unparseable
     lines like the reference's parse exception; False drops them.
+    ``path="-"`` reads stdin.
     """
-    lines = spark.read.text(path)
+    lines = _text_lines(spark, path)
     cleaned = (
         lines.select(F.trim(F.col("value")).alias("line"))
         .filter((F.col("line") != "") & ~F.col("line").startswith("#"))
@@ -357,14 +392,19 @@ def times_from_text(spark: SparkSession, path: str, *,
     return out.select("ts")
 
 
-def paired_from_text(spark: SparkSession, path: str) -> DataFrame:
+def paired_from_text(spark: SparkSession, path: str, *,
+                     strict: bool = True) -> DataFrame:
     """S5: lines ``lat lon datetime`` -> 1:1 records, no cartesian expansion
-    (util/DateTimeIterator.java:150-190)."""
-    lines = spark.read.text(path)
+    (util/DateTimeIterator.java:150-190). ``path="-"`` reads stdin.
+
+    ``strict=True`` aborts on malformed lines like the reference's
+    parsePairedDataLine (arity != 3 / bad numbers / bad time); False drops.
+    """
+    lines = _text_lines(spark, path)
     cleaned = (
         lines.select(F.trim(F.col("value")).alias("line"))
         .filter((F.col("line") != "") & ~F.col("line").startswith("#"))
-        .select(F.split(F.col("line"), r"[,\s]+").alias("p"))
+        .select("line", F.split(F.col("line"), r"[,\s]+").alias("p"))
     )
     ts = F.coalesce(
         F.try_to_timestamp(F.element_at("p", 3), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
@@ -373,11 +413,22 @@ def paired_from_text(spark: SparkSession, path: str) -> DataFrame:
         F.try_to_timestamp(F.element_at("p", 3), F.lit("yyyy-MM-dd'T'HH:mm")),
         F.try_to_timestamp(F.element_at("p", 3), F.lit("yyyy-MM-dd")),
     )
-    return cleaned.select(
+    out = cleaned.select(
+        "line",
         F.element_at("p", 1).cast("double").alias("lat"),
         F.element_at("p", 2).cast("double").alias("lon"),
         ts.alias("ts"),
+        F.size("p").alias("_arity"),
     )
+    bad = ((F.col("_arity") != 3) | F.col("lat").isNull()
+           | F.col("lon").isNull() | F.col("ts").isNull())
+    if strict:
+        guard = F.when(~bad, F.lit(True)).otherwise(F.raise_error(
+            F.concat(F.lit("invalid paired data line: "), F.col("line"))))
+        out = out.filter(guard)
+    else:
+        out = out.filter(~bad)
+    return out.select("lat", "lon", "ts")
 
 
 # --------------------------------------------------------------------------

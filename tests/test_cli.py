@@ -138,3 +138,127 @@ class TestOutputs:
         lines = out.splitlines()
         assert lines[0] == "dateTime,azimuth,elevation-angle"
         assert lines[1].endswith(f",{90 - 65.92499:.5f}")
+
+
+class TestStdinAndFileQuirks:
+    """@- stdin (Main.java:27,52,76; DateTimeIterator.java:223-229) and the
+    @coordFile+now -> PairedData quirk (Main.createCoordinateFileMode)."""
+
+    def test_stdin_paired(self, spark, monkeypatch):
+        # echo '52.0 13.4 2024-01-01T12:00:00' | solarpos @- position
+        import io as _io
+
+        monkeypatch.setattr("sys.stdin",
+                            _io.StringIO("25.0 50.0 2023-06-21T12:00\n"))
+        code, out = run(spark, "@-", "--format=csv", "--deltat=69",
+                        "position")
+        assert code == 0
+        assert "2023-06-21T12:00:00Z" in out
+
+    def test_stdin_time_file(self, spark, monkeypatch):
+        import io as _io
+
+        monkeypatch.setattr(
+            "sys.stdin",
+            _io.StringIO("2023-06-21T12:00\n2023-06-21T13:00\n"))
+        code, out = run(spark, "52.0", "25.0", "@-", "--format=csv",
+                        "--no-headers", "--deltat=69", "position")
+        assert code == 0
+        rows = [ln for ln in out.splitlines() if ln]
+        assert len(rows) == 2
+
+    def test_coord_file_with_now_is_paired(self, spark, tmp_path):
+        # reference: @coords.txt + "now" dispatches to PairedData, so the
+        # file must carry lat lon datetime triples and 'now' is a dummy
+        f = tmp_path / "data.txt"
+        f.write_text("25.0 50.0 2023-06-21T12:00\n30.0 60.0 2023-06-21T13:00\n")
+        code, out = run(spark, f"@{f}", "now", "--format=csv",
+                        "--no-headers", "--deltat=69", "position")
+        assert code == 0
+        rows = [ln for ln in out.splitlines() if ln]
+        assert len(rows) == 2  # 1:1 pairing, no cartesian expansion
+
+    def test_double_stdin_rejected(self, spark):
+        # Main.validateStdinUsage: "Cannot use stdin (@-) for multiple inputs"
+        code, _ = run(spark, "@-", "@-", "position")
+        assert code == 2
+
+    def test_stdin_coordinates(self, spark, monkeypatch):
+        # StdinTest.supportsStdinForCoordinates
+        import io as _io
+
+        monkeypatch.setattr("sys.stdin", _io.StringIO("52.0 25.0\n48.8 2.3\n"))
+        code, out = run(spark, "@-", "2023-06-21T12:00:00", "--format=csv",
+                        "--no-headers", "--deltat=69", "position")
+        assert code == 0
+        rows = [ln for ln in out.splitlines() if ln]
+        assert len(rows) == 2
+
+    def test_stdin_comments_and_blanks(self, spark, monkeypatch):
+        # StdinTest.supportsCommentsAndBlankLinesInStdin
+        import io as _io
+
+        monkeypatch.setattr("sys.stdin", _io.StringIO(
+            "# comment\n52.0,25.0,2023-06-21T12:00\n\n# another\n"
+            "48.8,2.3,2023-06-21T14:00\n"))
+        code, out = run(spark, "@-", "--format=csv", "--no-headers",
+                        "--deltat=69", "position")
+        assert code == 0
+        assert len([ln for ln in out.splitlines() if ln]) == 2
+
+    def test_stdin_invalid_data_fails(self, spark, monkeypatch):
+        # StdinTest.handlesInvalidStdinData -> non-zero exit
+        import io as _io
+
+        monkeypatch.setattr("sys.stdin", _io.StringIO("invalid data format\n"))
+        code, _ = run(spark, "@-", "position")
+        assert code != 0
+
+    def test_stdin_sunrise(self, spark, monkeypatch):
+        # StdinTest.worksWithSunriseCommand
+        import io as _io
+
+        monkeypatch.setattr("sys.stdin",
+                            _io.StringIO("52.0,25.0,2023-06-21T12:00\n"))
+        code, out = run(spark, "@-", "sunrise")
+        assert code == 0
+        assert "sunrise" in out
+
+
+class TestConverterParity:
+    """DateTimeConverter time-only inputs + DurationConverter ISO-8601 steps."""
+
+    def test_time_only_input_uses_today(self, spark, monkeypatch):
+        # DateTimeConverterTest time-only cases; clock fixed via the test
+        # hook mirroring solarpos.test.clock (DateTimeConverter.java:17-25)
+        monkeypatch.setenv("SOLARPOS_TEST_CLOCK", "2003-10-17T00:30:00+00:00")
+        code, out = run(spark, "52.0", "25.0", "12:00:00", "--format=csv",
+                        "--no-headers", "--deltat=69", "position")
+        assert code == 0
+        assert out.splitlines()[0].startswith("2003-10-17T12:00:00Z")
+
+    def test_time_only_with_offset(self, spark, monkeypatch):
+        monkeypatch.setenv("SOLARPOS_TEST_CLOCK", "2003-10-17T12:00:00+00:00")
+        code, out = run(spark, "52.0", "25.0", "13:00:00+01:00",
+                        "--format=csv", "--no-headers", "--deltat=69",
+                        "position")
+        assert code == 0
+        # 13:00+01:00 == 12:00Z -> the 2003-10-17T12:00Z golden azimuth
+        assert "211.20726" in out
+
+    def test_iso_duration_step(self, spark):
+        # DurationConverterTest: PT1H == 1h == 3600
+        code_a, out_a = run(spark, "52.0", "25.0", "2024-01-01",
+                            "--format=csv", "--no-headers", "--deltat=69",
+                            "position", "--step=PT1H")
+        code_b, out_b = run(spark, "52.0", "25.0", "2024-01-01",
+                            "--format=csv", "--no-headers", "--deltat=69",
+                            "position", "--step=1h")
+        assert code_a == code_b == 0
+        assert out_a == out_b
+        assert len(out_a.splitlines()) == 24
+
+    def test_iso_duration_day_step_rejected_above_max(self, spark):
+        # DurationConverter MAX_STEP = 1 day -> P2D must be rejected
+        assert run(spark, "52.0", "25.0", "2024", "position",
+                   "--step=P2D")[0] != 0

@@ -176,3 +176,35 @@ class TestReferenceColumnSets:
             "astronomical_start", "nautical_start", "civil_start",
             "sunrise", "transit", "sunset",
             "civil_end", "nautical_end", "astronomical_end"]
+
+
+class TestCoordinateRangeValidation:
+    """CoordinateRange.java:13-26 constructor rules (InputModeTest
+    coordinateRangeRejectsZeroStep/NegativeSteps, CoordinateRangeTest
+    rejectsStepTooSmall/acceptsMinimumStep/allowsSmallStepForSinglePoint)."""
+
+    def test_rejects_zero_and_negative_step_even_single_point(self):
+        import pytest
+
+        from solarpos_spark.sources.inputs import coordinate_values
+
+        for bad in (0.0, -0.5):
+            with pytest.raises(ValueError):
+                coordinate_values(10.0, 10.0, bad, -90, 90)
+            with pytest.raises(ValueError):
+                coordinate_values(10.0, 20.0, bad, -90, 90)
+
+    def test_small_step_ok_for_single_point_only(self):
+        import pytest
+
+        from solarpos_spark.sources.inputs import coordinate_values
+
+        assert coordinate_values(10.0, 10.0, 1e-4, -90, 90) == [10.0]
+        with pytest.raises(ValueError):
+            coordinate_values(10.0, 10.1, 1e-4, -90, 90)
+
+    def test_accepts_minimum_step(self):
+        from solarpos_spark.sources.inputs import coordinate_values
+
+        vals = coordinate_values(10.0, 10.002, 0.001, -90, 90)
+        assert len(vals) == 3

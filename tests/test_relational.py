@@ -1,0 +1,106 @@
+"""As-of join + binned interval join semantics (operators/relational.py).
+
+Oracle parity for the gate entries runs through tools/check_correctness.py;
+these tests pin the operator-level edge semantics: inclusivity, no-match
+nulls, group isolation, bin-boundary exactness, overlap dedup.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from solarpos_spark.operators.relational import asof_join, interval_match_ids
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_match(self, spark):
+        probe = spark.createDataFrame(pd.DataFrame({
+            "k": [1, 1, 1], "ts": [_ts("2024-01-01T10:00"),
+                                   _ts("2024-01-01T11:00"),
+                                   _ts("2024-01-01T12:30")],
+            "pid": [0, 1, 2]}))
+        build = spark.createDataFrame(pd.DataFrame({
+            "k": [1, 1], "ts": [_ts("2024-01-01T11:00"),
+                                _ts("2024-01-01T12:00")],
+            "v": [10.0, 20.0]}))
+        out = {r["pid"]: (r["ts_asof"], r["v_asof"])
+               for r in asof_join(probe, build, on="ts", by=["k"],
+                                  values=["v"]).collect()}
+        assert out[0] == (None, None)  # before any build row
+        # equal timestamps match (inclusive, allow_exact_matches=True)
+        assert out[1] == (_ts("2024-01-01T11:00"), 10.0)
+        assert out[2] == (_ts("2024-01-01T12:00"), 20.0)
+
+    def test_groups_do_not_leak(self, spark):
+        probe = spark.createDataFrame(pd.DataFrame({
+            "k": [1, 2], "ts": [_ts("2024-01-01T12:00")] * 2,
+            "pid": [0, 1]}))
+        build = spark.createDataFrame(pd.DataFrame({
+            "k": [1], "ts": [_ts("2024-01-01T11:00")], "v": [1.0]}))
+        out = {r["pid"]: r["v_asof"]
+               for r in asof_join(probe, build, on="ts", by=["k"],
+                                  values=["v"]).collect()}
+        assert out[0] == 1.0 and out[1] is None
+
+    def test_probe_count_preserved(self, spark):
+        probe = spark.range(100).select(
+            (F.col("id") % 5).alias("k"),
+            F.timestamp_seconds(1700000000 + F.col("id") * 60).alias("ts"),
+            F.col("id").alias("pid"))
+        build = spark.range(10).select(
+            (F.col("id") % 5).alias("k"),
+            F.timestamp_seconds(1700000000 + F.col("id") * 600).alias("ts"),
+            F.col("id").cast("double").alias("v"))
+        assert asof_join(probe, build, on="ts", by=["k"],
+                         values=["v"]).count() == 100
+
+
+class TestIntervalMatch:
+    def test_boundaries_inclusive_exclusive(self, spark):
+        probe = spark.createDataFrame(pd.DataFrame({
+            "k": [1, 1, 1, 1],
+            "ts": [_ts("2024-01-01T10:00:00"),   # == start -> in
+                   _ts("2024-01-01T10:09:59.999999"),  # last us -> in
+                   _ts("2024-01-01T10:10:00"),   # == end -> out
+                   _ts("2024-01-01T09:59:59.999999")],  # before -> out
+            "event_id": [0, 1, 2, 3]}))
+        iv = spark.createDataFrame(pd.DataFrame({
+            "k": [1], "start_ts": [_ts("2024-01-01T10:00:00")],
+            "end_ts": [_ts("2024-01-01T10:10:00")]}))
+        ids = sorted(r["event_id"] for r in interval_match_ids(
+            probe, iv, probe_ts="ts", by=["k"]).collect())
+        assert ids == [0, 1]
+
+    def test_overlapping_intervals_dedup(self, spark):
+        probe = spark.createDataFrame(pd.DataFrame({
+            "k": [1], "ts": [_ts("2024-01-01T10:05:00")], "event_id": [7]}))
+        iv = spark.createDataFrame(pd.DataFrame({
+            "k": [1, 1],
+            "start_ts": [_ts("2024-01-01T10:00:00"),
+                         _ts("2024-01-01T10:04:00")],
+            "end_ts": [_ts("2024-01-01T10:10:00"),
+                       _ts("2024-01-01T10:14:00")]}))
+        rows = interval_match_ids(probe, iv, probe_ts="ts",
+                                  by=["k"]).collect()
+        assert len(rows) == 1 and rows[0]["event_id"] == 7
+
+    def test_interval_spanning_many_bins(self, spark):
+        # 1-hour interval with 10-min bins -> 6-7 exploded bins, still one
+        # logical match per contained probe row
+        probe = spark.createDataFrame(pd.DataFrame({
+            "k": [1, 1], "ts": [_ts("2024-01-01T10:31:00"),
+                                _ts("2024-01-01T11:31:00")],
+            "event_id": [0, 1]}))
+        iv = spark.createDataFrame(pd.DataFrame({
+            "k": [1], "start_ts": [_ts("2024-01-01T10:00:00")],
+            "end_ts": [_ts("2024-01-01T11:00:00")]}))
+        ids = sorted(r["event_id"] for r in interval_match_ids(
+            probe, iv, probe_ts="ts", by=["k"]).collect())
+        assert ids == [0]

