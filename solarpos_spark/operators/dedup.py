@@ -29,6 +29,23 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def spread_input(df: DataFrame, *, key: str = "doc_id") -> DataFrame:
+    """Fan an under-parallel scan out to the session's default parallelism.
+
+    A small corpus arrives as one parquet split, so every task slot but one
+    idles while the expensive shingle/signature expressions run — and a
+    downstream self-join recomputes that single-threaded lineage per
+    consumer. One cheap hash shuffle on the key fixes both (the exchange is
+    reused across self-join branches). At scale the input already has more
+    splits than cores and this is a no-op — AQE only coalesces down, it
+    never fans up.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def shingles_col(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (distinct)."""
     words = F.split(F.lower(F.trim(text)), r"\s+")
@@ -61,7 +78,7 @@ def ngram_jaccard_pairs(
     the same shingle key as the pair join (co-partitioned). A value above
     the corpus max df is the identity.
     """
-    sh = df.select(
+    sh = spread_input(df.select("doc_id", text_col)).select(
         F.col("doc_id"), shingles_col(F.col(text_col), n).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
@@ -135,7 +152,8 @@ def minhash_signatures(
     keyed by doc_id only). ``hash_fn='poly31'`` switches to the
     engine-portable universal-hash family (SQL-oracle checkable).
     """
-    sh = df.select(F.col("doc_id"), shingles_col(F.col(text_col), n).alias("sh"))
+    sh = spread_input(df.select("doc_id", text_col)).select(
+        F.col("doc_id"), shingles_col(F.col(text_col), n).alias("sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
     if hash_fn == "poly31":
         ex = ex.withColumn("__h", poly31_hash(F.col("shingle")))
@@ -191,7 +209,7 @@ def simhash(df: DataFrame, *, text_col: str = "text",
     polynomial hashes (bits 0-30 and 31-61) — SQL-oracle checkable.
     """
     words = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
-    ex = df.select("doc_id", words)
+    ex = spread_input(df.select("doc_id", text_col)).select("doc_id", words)
 
     def _bit(i: int) -> int:
         return (1 << i) if i < 63 else -(1 << 63)
