@@ -37,6 +37,20 @@ def decoded_stream(token_stream: DataFrame, *, watermark: str = "1 hour") -> Dat
     ).withWatermark("event_time", watermark)
 
 
+def deduped_stream(decoded: DataFrame,
+                   keys: tuple[str, ...] = ("doc_id", "seq_index")) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same logical record
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The training-pipeline guard for at-least-once upstreams (replayed files,
+    producer retries): state is keyed by ``keys`` and EVICTED once the
+    watermark passes — O(in-flight window), not O(stream), the same bound
+    as the stateful join. Batch equivalent: ``dropDuplicates(keys)``.
+    Requires ``decoded`` to carry a watermark (decoded_stream sets one).
+    """
+    return decoded.dropDuplicatesWithinWatermark(list(keys))
+
+
 def position_stream(decoded: DataFrame, *, algorithm: str = "spa") -> DataFrame:
     """1:1 position rows (the graft's primary path, R3)."""
     out = position(

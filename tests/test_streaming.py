@@ -335,3 +335,31 @@ class TestCustomStatefulOperator:
         assert all(r["first_event_usec"] <= r["last_event_usec"] for r in complete)
         # exactly-once per doc
         assert len({r["doc_id"] for r in complete}) == 24
+
+
+class TestStreamingDedup:
+    def test_dedup_stream_drops_redelivered_records(self, spark, tmp_path):
+        """deduped_stream == batch dropDuplicates under duplicate delivery
+        (at-least-once upstream: every file delivered twice)."""
+        src = str(tmp_path / "tok")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        files, per_file = 4, 10
+        for i in range(files):
+            lo = T0 + i * 3600
+            df = tokens.generate_token_sequences(
+                spark, per_file, records_per_doc=4, ts_lo=lo, ts_hi=lo + 3600,
+                doc_prefix=f"doc{i}-", partitions=1)
+            df.write.mode("append").parquet(src)   # original delivery
+            df.write.mode("append").parquet(src)   # duplicate delivery
+        n_unique = files * per_file * 4
+
+        stream = tokens.read_token_stream(spark, src, max_files_per_trigger=2)
+        ded = pipeline.deduped_stream(pipeline.decoded_stream(stream))
+        q = exactly_once_parquet_sink(ded, out, ckpt,
+                                      trigger_available_now=True)
+        drain(q)
+
+        got = spark.read.parquet(out)
+        assert got.count() == n_unique  # doubled input, each record once
+        assert got.select("doc_id", "seq_index").distinct().count() == n_unique
