@@ -104,3 +104,42 @@ class TestIntervalMatch:
         ids = sorted(r["event_id"] for r in interval_match_ids(
             probe, iv, probe_ts="ts", by=["k"]).collect())
         assert ids == [0]
+
+
+class TestAsofVsPandas:
+    def test_random_matches_pandas_merge_asof(self, spark):
+        """Independent oracle: pandas merge_asof(direction='backward',
+        allow_exact_matches=True) on random keyed data with engineered
+        probe==build timestamp ties."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        n_p, n_b = 400, 120
+        base = 1_700_000_000
+        probe = pd.DataFrame({
+            "k": rng.integers(0, 6, n_p),
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 100_000, n_p), unit="s"),
+            "pid": np.arange(n_p)})
+        build = pd.DataFrame({
+            "k": rng.integers(0, 6, n_b),
+            "ts": pd.to_datetime(
+                np.concatenate([
+                    base + rng.integers(0, 100_000, n_b - 40),
+                    # exact-tie timestamps copied from probe rows
+                    probe["ts"].astype("int64")[:40] // 10**9,
+                ]).astype("int64"), unit="s"),
+            "v": rng.normal(size=n_b).round(6)})
+        build = build.drop_duplicates(["k", "ts"])  # unique per (k, ts)
+
+        got = (asof_join(spark.createDataFrame(probe),
+                         spark.createDataFrame(build),
+                         on="ts", by=["k"], values=["v"])
+               .select("pid", "v_asof").toPandas()
+               .sort_values("pid").reset_index(drop=True))
+        want = pd.merge_asof(
+            probe.sort_values("ts"), build.sort_values("ts"),
+            on="ts", by="k", direction="backward",
+            allow_exact_matches=True).sort_values("pid").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["v_asof"], want["v"], check_names=False)
