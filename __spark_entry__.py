@@ -728,6 +728,35 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test splitter (operators/curate.py
+    split_assign): Knuth-hash bucket of doc_id, pure projection (zero
+    shuffle for the assignment; the gate aggregates per split)."""
+    from solarpos_spark.operators.curate import split_assign
+
+    d = split_assign(_docs(spark, sf_dir))
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_CORPUS_SPLIT_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN b < 9800 THEN 'train'
+              WHEN b < 9900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               ((doc_id + 1) * 2654435761) % 4294967296 % 10000 AS b
+        FROM documents))
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM s GROUP BY split
+"""
+
+
 _SUNRISE_BASE_SQL = """
 SELECT event_id,
        ((event_id * 37) % 14400) / 100.0 - 72.0 AS lat,
@@ -1076,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_error": _q_events_asof_error,
         "events_incident_window": _q_events_incident_window,
         "lineitem_rollup": _q_lineitem_rollup,
+        "corpus_split": _q_corpus_split,
     }
 
 
@@ -1217,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_error": _EVENTS_ASOF_ORACLE,
         "events_incident_window": _EVENTS_INCIDENT_ORACLE,
         "lineitem_rollup": _LINEITEM_ROLLUP_ORACLE,
+        "corpus_split": _CORPUS_SPLIT_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """

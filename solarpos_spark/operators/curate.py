@@ -60,3 +60,34 @@ def curate(
         .select("doc_id", "n_chars", "n_words", "est_bpe_tokens",
                 "stopword_ratio")
     )
+
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+
+
+def split_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 1,
+    cuts: tuple[tuple[str, int], ...] = (
+        ("train", 9800), ("val", 9900), ("test", 10000)),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    The training-pipeline splitter: bucket = ((id + seed) * Knuth) mod 2^32
+    mod 10000, then the first cut whose bound exceeds the bucket wins
+    (default 98/1/1). Content-independent and stable under repartitioning,
+    re-runs and cluster size — the property a sampling UDF with RNG state
+    does NOT have. Pure JVM integer arithmetic (SQL-oracle portable: the
+    same expression runs in any engine), zero shuffle: assignment is a
+    projection; downstream consumers filter on ``split`` and the filter
+    pushes into the scan of a split-partitioned copy.
+    """
+    bucket = (((F.col(id_col) + F.lit(seed)) * F.lit(_KNUTH))
+              % F.lit(2**32)) % F.lit(10000)
+    # cascading CASE, folded right-to-left: first bound > bucket wins
+    expr = F.lit(None).cast("string")
+    for name, bound in reversed(cuts):
+        expr = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
