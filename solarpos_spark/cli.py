@@ -260,6 +260,11 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     if ns.version:
         out.write(VERSION + "\n")
         return 0
+    if ns.inputs and ns.inputs[-1] == "help":
+        # positional 'help' command (Main.COMMANDS) -> usage, exit 0,
+        # no Spark session needed
+        out.write(parser.format_help())
+        return 0
 
     try:
         own_session = spark is None

@@ -262,3 +262,8 @@ class TestConverterParity:
         # DurationConverter MAX_STEP = 1 day -> P2D must be rejected
         assert run(spark, "52.0", "25.0", "2024", "position",
                    "--step=P2D")[0] != 0
+
+    def test_help_command(self, spark):
+        # positional 'help' (Main.COMMANDS) -> usage text, exit 0
+        code, out = run(spark, "help")
+        assert code == 0 and "usage" in out.lower()
