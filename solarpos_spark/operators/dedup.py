@@ -12,7 +12,7 @@ All JVM-side expressions; no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,14 +46,66 @@ def spread_input(df: DataFrame, *, key: str = "doc_id") -> DataFrame:
     return df
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (distinct)."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+def words_col(text: Column) -> Column:
+    """Normalized word array (the shingle alphabet)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) from a MATERIALIZED words array.
+
+    ``words`` must be a column reference (not the split expression itself):
+    higher-order lambdas (`transform`) evaluate interpreted with NO common-
+    subexpression elimination, so an inlined split would re-tokenize the
+    whole text once per `element_at` — O(words^2) regex work per document
+    (measured 11 s of single-task CPU for 5000 docs before the fix).
+    """
     k = F.size(words) - (n - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])
     return F.when(k <= 0, F.array(F.concat_ws(" ", F.array_join(words, " ")))) \
             .otherwise(F.array_distinct(F.transform(idx, gram)))
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles straight from a text column (convenience; the
+    operators use shingle_rows — see shingles_from_words for the caveat)."""
+    return shingles_from_words(words_col(text), n)
+
+
+def shingle_rows(df: DataFrame, *, n: int = 3,
+                 text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, shingle) rows — the RELATIONAL n-gram construction.
+
+    posexplode the words array once, then assemble each n-gram with
+    ``lead()`` windows ordered by word position (full grams only: the
+    (n-1)-lead must exist); documents shorter than ``n`` words contribute
+    their whole normalized text as a single shingle, exactly like
+    shingles_from_words' degenerate branch.
+
+    Why not the array/lambda form: CollapseProject inlines the words
+    projection back into `transform`'s lambda, and higher-order lambdas
+    evaluate interpreted with no common-subexpression elimination — every
+    element_at re-tokenizes the text, O(words^2) regex per document
+    (measured 11 s single-task CPU on 5000 docs). Here split runs once per
+    document, the window sorts by position within the doc_id partitions the
+    spread/shuffle already provides, and nothing is interpreted per element.
+    """
+    wd = spread_input(df.select("doc_id", text_col)).select(
+        "doc_id", words_col(F.col(text_col)).alias("_w"))
+    pos = wd.selectExpr("doc_id", "posexplode(_w) AS (_p, _word)")
+    win = Window.partitionBy("doc_id").orderBy("_p")
+    parts = [F.col("_word")] + [F.lead("_word", j).over(win)
+                                for j in range(1, n)]
+    grams = pos.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        F.lead("_word", n - 1).over(win).isNotNull().alias("_full"),
+    )
+    full = grams.filter(F.col("_full")).select("doc_id", "shingle")
+    shorts = wd.filter(F.size("_w") < n).select(
+        "doc_id", F.array_join("_w", " ").alias("shingle"))
+    return full.unionByName(shorts).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -78,18 +130,24 @@ def ngram_jaccard_pairs(
     the same shingle key as the pair join (co-partitioned). A value above
     the corpus max df is the identity.
     """
-    sh = spread_input(df.select("doc_id", text_col)).select(
-        F.col("doc_id"), shingles_col(F.col(text_col), n).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    # one narrow (doc_id, shingle) relation, explicitly repartitioned on the
+    # join key: the exchange materializes the shingle derivation ONCE and is
+    # reused by every consumer (df-cap aggregate + both self-join branches
+    # all want hashpartitioning(shingle))
+    ex = shingle_rows(df, n=n, text_col=text_col).repartition("shingle")
     if max_shingle_df is not None:
+        # hash-aggregate df counts (a hot shingle is ONE counter, never a
+        # materialized group) and join back on the same key — co-partitioned
+        # with the reused exchange, no extra wide shuffle
         dfc = (ex.groupBy("shingle")
                .agg(F.count(F.lit(1)).alias("__df"))
                .filter(F.col("__df") <= max_shingle_df)
                .select("shingle"))
-        capped = ex.drop("n_sh").join(dfc, "shingle")
-        sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        ex = capped.join(sizes, "doc_id").select("doc_id", "n_sh", "shingle")
+        ex = ex.join(dfc, "shingle")
+    # per-doc set sizes live in a SMALL side table joined to the aggregated
+    # pairs (not to the wide exploded relation): |docs| rows, broadcastable
+    # at bench scale, keyed join at corpus scale
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -98,13 +156,16 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
     return (
-        inter.select(
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .select(
             "doc_a", "doc_b",
             F.round(
                 F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
@@ -152,9 +213,7 @@ def minhash_signatures(
     keyed by doc_id only). ``hash_fn='poly31'`` switches to the
     engine-portable universal-hash family (SQL-oracle checkable).
     """
-    sh = spread_input(df.select("doc_id", text_col)).select(
-        F.col("doc_id"), shingles_col(F.col(text_col), n).alias("sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    ex = shingle_rows(df, n=n, text_col=text_col)
     if hash_fn == "poly31":
         ex = ex.withColumn("__h", poly31_hash(F.col("shingle")))
         aggs = [F.min(_salted_poly(F.col("__h"), i)).alias(f"h{i}")
