@@ -34,6 +34,13 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# Per-pair cosine folds three interpreted O(dim) lambda reductions (dot +
+# two norms). The join operators precompute each side's norm ONCE PER
+# VECTOR below the join (the projection stays on the build/probe side —
+# Catalyst never hoists computed columns above a join), so each candidate
+# pair pays a single fold. Same double arithmetic -> bit-identical scores.
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,16 +55,19 @@ def brute_force_topk(
     rounded score desc, neighbor id asc — FP-tie stable across engines.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+            F.round(_dot(F.col("qvec"), F.col("cvec"))
+                    / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -131,22 +141,25 @@ def ann_topk(
         raise ValueError(f"multiprobe must be in [0, {n_planes}]")
     cb = hyperplane_buckets(corpus, dim=dim, n_planes=n_planes, seed=seed,
                             vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("_cn"), "bucket")
     qb = hyperplane_buckets(queries, dim=dim, n_planes=n_planes, seed=seed,
                             vec_col=vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"), "bucket")
     if multiprobe:
         probes = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
               for i in range(multiprobe)])
-        qb = qb.select("query_id", "qvec",
+        qb = qb.select("query_id", "qvec", "_qn",
                        F.explode(probes).alias("bucket"))
     scored = (
         cb.join(F.broadcast(qb), (cb.bucket == qb.bucket)
                 & (F.col("neighbor_id") != F.col("query_id")))
         .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"))
+                F.round(_dot(F.col("qvec"), F.col("cvec"))
+                        / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc())
@@ -179,8 +192,10 @@ def embedding_near_duplicates(
     for recall studies and tests, never the 100 TB path.
     """
     if exact:
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                      _norm(F.col(vec_col)).alias("_na"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                      _norm(F.col(vec_col)).alias("_nb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         if dim is None:
@@ -188,14 +203,18 @@ def embedding_near_duplicates(
         bk = hyperplane_buckets(df, dim=dim, n_planes=n_planes, seed=seed,
                                 vec_col=vec_col)
         a = bk.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                      _norm(F.col(vec_col)).alias("_na"),
                       F.col("bucket").alias("bucket_a"))
         b = bk.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                      _norm(F.col(vec_col)).alias("_nb"),
                       F.col("bucket").alias("bucket_b"))
         # one bucket per vector -> each pair appears at most once (no distinct)
         pairs = a.join(b, (F.col("bucket_a") == F.col("bucket_b"))
                        & (F.col("id_a") < F.col("id_b")))
     return (
         pairs
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .select("id_a", "id_b",
+                F.round(_dot(F.col("va"), F.col("vb"))
+                        / (F.col("_na") * F.col("_nb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
