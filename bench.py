@@ -142,6 +142,12 @@ def main() -> None:
         lambda: qs["embedding_near_dup_bucketed"](spark, sf_dir))
     run("customer_revenue", lambda: qs["customer_revenue"](spark, sf_dir))
     run("order_priority_semi", lambda: qs["order_priority_semi"](spark, sf_dir))
+    # late-round-2 additions: as-of join, binned range join, rollup, splitter
+    run("events_asof_error", lambda: qs["events_asof_error"](spark, sf_dir))
+    run("events_incident_window",
+        lambda: qs["events_incident_window"](spark, sf_dir))
+    run("lineitem_rollup", lambda: qs["lineitem_rollup"](spark, sf_dir))
+    run("corpus_split", lambda: qs["corpus_split"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({
