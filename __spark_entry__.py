@@ -362,6 +362,15 @@ def _q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
                                                 n_planes=6)
 
 
+def _q_embedding_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed near-dup with multi-probe LSH: each vector also probes 2
+    Hamming-1 neighbor buckets — recall recovered without widening buckets
+    (similarity.embedding_near_duplicates multiprobe)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_duplicates(emb, threshold=0.3, dim=64,
+                                                n_planes=6, multiprobe=2)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
@@ -999,6 +1008,32 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def _near_dup_multiprobe_oracle(multiprobe: int = 2) -> str:
+    plane_lits, bucket_terms = _plane_literals()
+    probe_list = ", ".join(["bucket"]
+                           + [f"xor(bucket, {1 << i})"
+                              for i in range(multiprobe)])
+    return f"""
+WITH p AS (SELECT [{plane_lits}]::DOUBLE[][] AS planes),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v, ({bucket_terms}) AS bucket FROM e, p
+),
+probed AS (
+  SELECT vec_id, v, unnest([{probe_list}]) AS pb FROM bucketed
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM probed a JOIN bucketed b
+  ON a.pb = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+"""
+
+
 def _ann_multiprobe_oracle(multiprobe: int = 3) -> str:
     plane_lits, bucket_terms = _plane_literals()
     probe_list = ", ".join(["bucket"]
@@ -1087,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_checkable": _q_simhash_checkable,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_bucketed": _q_embedding_near_dup_bucketed,
+        "embedding_near_dup_multiprobe": _q_embedding_near_dup_multiprobe,
         "ann_topk": _q_ann_topk,
         "ann_topk_multiprobe": _q_ann_topk_multiprobe,
         "lang_id": _q_lang_id,
@@ -1233,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_checkable": _simhash_oracle(),
         "embedding_near_dup": _NEAR_DUP_ORACLE,
         "embedding_near_dup_bucketed": _near_dup_bucketed_oracle(),
+        "embedding_near_dup_multiprobe": _near_dup_multiprobe_oracle(),
         "ann_topk": _ann_oracle(),
         "ann_topk_multiprobe": _ann_multiprobe_oracle(),
         "lang_id": _LANG_ID_ORACLE,

@@ -178,6 +178,7 @@ def embedding_near_duplicates(
     dim: int | None = None,
     n_planes: int = 8,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Pairs with cosine >= threshold (id_a < id_b).
 
@@ -202,9 +203,22 @@ def embedding_near_duplicates(
             raise ValueError("bucketed near-dup needs dim (embedding length)")
         bk = hyperplane_buckets(df, dim=dim, n_planes=n_planes, seed=seed,
                                 vec_col=vec_col)
+        if not (0 <= multiprobe <= n_planes):
+            raise ValueError(f"multiprobe must be in [0, {n_planes}]")
         a = bk.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                       _norm(F.col(vec_col)).alias("_na"),
                       F.col("bucket").alias("bucket_a"))
+        if multiprobe:
+            # probe the m Hamming-1 neighbor buckets from ONE side: a pair
+            # can match at most one probe value (probes are distinct buckets
+            # and the partner has exactly one), so no dedup is needed —
+            # candidate volume grows <= (m+1)x, still bucket-keyed
+            probes = F.array(
+                F.col("bucket_a"),
+                *[F.col("bucket_a").bitwiseXOR(F.lit(1 << i)).cast("long")
+                  for i in range(multiprobe)])
+            a = a.select("id_a", "va", "_na",
+                         F.explode(probes).alias("bucket_a"))
         b = bk.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                       _norm(F.col(vec_col)).alias("_nb"),
                       F.col("bucket").alias("bucket_b"))
