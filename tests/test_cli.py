@@ -267,3 +267,14 @@ class TestConverterParity:
         # positional 'help' (Main.COMMANDS) -> usage text, exit 0
         code, out = run(spark, "help")
         assert code == 0 and "usage" in out.lower()
+
+    def test_time_patterns(self, spark, monkeypatch):
+        # PositionTest.timePatterns: all accepted offset-time forms resolve
+        # to today's date at that wall time + offset
+        monkeypatch.setenv("SOLARPOS_TEST_CLOCK", "2003-10-17T06:00:00+00:00")
+        for t in ("12:00:00Z", "12:00:00+00:00", "12:00:00.000+00:00",
+                  "12:00Z"):
+            code, out = run(spark, "52.0", "25.0", t, "--format=csv",
+                            "--no-headers", "--deltat=69", "position")
+            assert code == 0, t
+            assert out.splitlines()[0].startswith("2003-10-17T12:00:00Z"), t
