@@ -143,3 +143,37 @@ class TestAsofVsPandas:
             allow_exact_matches=True).sort_values("pid").reset_index(drop=True)
         pd.testing.assert_series_equal(
             got["v_asof"], want["v"], check_names=False)
+
+
+class TestIntervalVsBruteForce:
+    def test_random_matches_nested_loop(self, spark):
+        """Independent oracle: per-key nested-loop containment in pandas,
+        random intervals engineered to overlap and straddle bin edges."""
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        n_e, n_iv = 500, 60
+        base_us = 1_700_000_000_000_000
+        ev = pd.DataFrame({
+            "k": rng.integers(0, 4, n_e),
+            "ts": pd.to_datetime(
+                base_us + rng.integers(0, 3_600_000_000, n_e), unit="us"),
+            "event_id": np.arange(n_e)})
+        start = base_us + rng.integers(0, 3_600_000_000, n_iv)
+        length = rng.integers(1, 1_200_000_000, n_iv)  # up to 20 min
+        iv = pd.DataFrame({
+            "k": rng.integers(0, 4, n_iv),
+            "start_ts": pd.to_datetime(start, unit="us"),
+            "end_ts": pd.to_datetime(start + length, unit="us")})
+
+        got = sorted(r["event_id"] for r in interval_match_ids(
+            spark.createDataFrame(ev), spark.createDataFrame(iv),
+            probe_ts="ts", by=["k"]).collect())
+
+        want = []
+        for _, e in ev.iterrows():
+            m = iv[(iv["k"] == e["k"]) & (iv["start_ts"] <= e["ts"])
+                   & (e["ts"] < iv["end_ts"])]
+            if len(m):
+                want.append(int(e["event_id"]))
+        assert got == sorted(want)
