@@ -737,6 +737,33 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def _q_events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-statistics aggregate surface: exact interpolated percentiles
+    (sort-based, per-group) + streaming-friendly moments. At scale the
+    exact percentile is the per-key sort path; approx_percentile is the
+    sketch alternative when a t-digest bound suffices."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+             F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+             F.round(F.avg("value"), 6).alias("avg_value"),
+             F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EVENTS_VALUE_STATS_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(avg(value), 6) AS avg_value,
+       round(stddev_samp(value), 6) AS sd_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test splitter (operators/curate.py
     split_assign): Knuth-hash bucket of doc_id, pure projection (zero
@@ -1142,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_incident_window": _q_events_incident_window,
         "lineitem_rollup": _q_lineitem_rollup,
         "corpus_split": _q_corpus_split,
+        "events_value_stats": _q_events_value_stats,
     }
 
 
@@ -1285,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         "events_incident_window": _EVENTS_INCIDENT_ORACLE,
         "lineitem_rollup": _LINEITEM_ROLLUP_ORACLE,
         "corpus_split": _CORPUS_SPLIT_ORACLE,
+        "events_value_stats": _EVENTS_VALUE_STATS_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """
