@@ -764,6 +764,60 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: one row per user, one count column per event type
+    (explicit pivot values -> no extra distinct-discovery job; plans as a
+    single two-phase aggregate over Expand, same shuffle as a groupBy)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (ev.groupBy("user_id").pivot("event_type", types).count()
+         .na.fill(0, types))
+    return p.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+    ).filter(F.col("user_id") < 50)
+
+
+_EVENTS_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events WHERE user_id < 50 GROUP BY user_id
+"""
+
+
+def _q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window surface: per-user running sum + inter-event gap via
+    lag(), one keyed sort (the same shuffle shape the as-of join uses)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum("value").over(run), 6).alias("running_value"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))
+         ).alias("gap_us"),
+    )
+
+
+_USER_RUNNING_VALUE_ORACLE = """
+SELECT event_id, user_id,
+       row_number() OVER w AS seq,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+FROM events WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test splitter (operators/curate.py
     split_assign): Knuth-hash bucket of doc_id, pure projection (zero
@@ -1170,6 +1224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": _q_lineitem_rollup,
         "corpus_split": _q_corpus_split,
         "events_value_stats": _q_events_value_stats,
+        "events_pivot": _q_events_pivot,
+        "user_running_value": _q_user_running_value,
     }
 
 
@@ -1314,6 +1370,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_rollup": _LINEITEM_ROLLUP_ORACLE,
         "corpus_split": _CORPUS_SPLIT_ORACLE,
         "events_value_stats": _EVENTS_VALUE_STATS_ORACLE,
+        "events_pivot": _EVENTS_PIVOT_ORACLE,
+        "user_running_value": _USER_RUNNING_VALUE_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """
