@@ -28,6 +28,9 @@ def _stopword_hits(words: Column, stopwords: tuple[str, ...]) -> Column:
 
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features (doc_id keyed)."""
+    from .dedup import spread_input
+
+    df = spread_input(df.select("doc_id", text_col))
     words = words_col(F.col(text_col))
     n_chars = F.length(F.col(text_col))
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,!?;:]", ""))
@@ -46,6 +49,9 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID (en/de/fr/unknown), deterministic ties."""
+    from .dedup import spread_input
+
+    df = spread_input(df.select("doc_id", text_col))
     words = words_col(F.col(text_col))
     en = _stopword_hits(words, STOPWORDS_EN)
     de = _stopword_hits(words, STOPWORDS_DE)
@@ -67,5 +73,8 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-normalized md5 fingerprint (exact-dup key)."""
+    from .dedup import spread_input
+
+    df = spread_input(df.select("doc_id", text_col))
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select(F.col("doc_id"), F.md5(norm).alias("fingerprint"))
