@@ -221,3 +221,24 @@ class TestMultimodal:
         joined = out.join(docs, "doc_id")
         mism = joined.filter(F.col("n_bytes") != F.col("n_chars")).count()
         assert mism == 0  # ascii corpus: bytes == chars
+
+
+class TestSplitAssign:
+    def test_fractions_and_repartition_stability(self, spark):
+        from pyspark.sql import functions as F
+
+        from solarpos_spark.operators.curate import split_assign
+
+        base = spark.range(100_000).withColumnRenamed("id", "doc_id")
+        d = split_assign(base)
+        counts = {r["split"]: r["n"] for r in
+                  d.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        total = sum(counts.values())
+        assert total == 100_000
+        assert 0.975 <= counts["train"] / total <= 0.985
+        assert 0.005 <= counts["val"] / total <= 0.015
+        assert 0.005 <= counts["test"] / total <= 0.015
+        # content-independent + stable under repartitioning
+        d2 = split_assign(base.repartition(7))
+        assert d.select("doc_id", "split").exceptAll(
+            d2.select("doc_id", "split")).count() == 0
