@@ -148,6 +148,10 @@ def main() -> None:
         lambda: qs["events_incident_window"](spark, sf_dir))
     run("lineitem_rollup", lambda: qs["lineitem_rollup"](spark, sf_dir))
     run("corpus_split", lambda: qs["corpus_split"](spark, sf_dir))
+    run("events_value_stats", lambda: qs["events_value_stats"](spark, sf_dir))
+    run("events_pivot", lambda: qs["events_pivot"](spark, sf_dir))
+    run("user_running_value",
+        lambda: qs["user_running_value"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({
