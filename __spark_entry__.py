@@ -847,6 +847,32 @@ FROM s GROUP BY split
 """
 
 
+def _q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (all 4 grouping sets ride one Expand + two-phase
+    shuffle — the full-lattice sibling of lineitem_rollup)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders", "sum_totalprice",
+        )
+    )
+
+
+_ORDERS_CUBE_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 _SUNRISE_BASE_SQL = """
 SELECT event_id,
        ((event_id * 37) % 14400) / 100.0 - 72.0 AS lat,
@@ -1226,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_stats": _q_events_value_stats,
         "events_pivot": _q_events_pivot,
         "user_running_value": _q_user_running_value,
+        "orders_cube": _q_orders_cube,
     }
 
 
@@ -1372,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_stats": _EVENTS_VALUE_STATS_ORACLE,
         "events_pivot": _EVENTS_PIVOT_ORACLE,
         "user_running_value": _USER_RUNNING_VALUE_ORACLE,
+        "orders_cube": _ORDERS_CUBE_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """
