@@ -167,6 +167,17 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--elevation-angle", dest="elevation_angle",
                    action="store_true")
     p.add_argument("--twilight", action="store_true")
+    # negative coordinates and negative ranges are positionals
+    # ("-34.6118", "-10.0:-5.0:1.0" — PositionTest.negativeCoordinates /
+    # negativeCoordinateRange; picocli handles this via
+    # setUnmatchedOptionsArePositionalParams). argparse's stock negative-
+    # number matcher only admits plain numbers, so widen it to cover the
+    # start:end:step range syntax too.
+    try:
+        p._negative_number_matcher = re.compile(
+            r"^-\d+(\.\d+)?(:-?\d+(\.\d+)?:\d+(\.\d+)?)?$")
+    except AttributeError:  # pragma: no cover — private API hedge
+        pass
     return p
 
 

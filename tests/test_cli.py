@@ -278,3 +278,25 @@ class TestConverterParity:
                             "--no-headers", "--deltat=69", "position")
             assert code == 0, t
             assert out.splitlines()[0].startswith("2003-10-17T12:00:00Z"), t
+
+
+class TestNegativeCoordinates:
+    def test_negative_coordinates(self, spark):
+        # PositionTest.negativeCoordinates (Buenos Aires, -03:00 offset)
+        code, out = run(spark, "-34.6118", "-58.3960",
+                        "2022-10-17T12:00:00-03:00", "--format=csv",
+                        "--deltat=69", "--show-inputs", "position")
+        assert code == 0
+        row = out.splitlines()[1].split(",")
+        assert row[0] == "-34.61180" and row[1] == "-58.39600"
+        az, zen = float(row[-2]), float(row[-1])
+        assert 0 <= az <= 360 and 0 <= zen <= 180
+
+    def test_negative_coordinate_range(self, spark):
+        # PositionTest.negativeCoordinateRange
+        code, out = run(spark, "--format=csv", "--no-headers", "45.0",
+                        "-10.0:-5.0:1.0", "2024-06-21T12:00", "position")
+        assert code == 0
+        for lon in ("-10.00000", "-9.00000", "-8.00000", "-7.00000",
+                    "-6.00000", "-5.00000"):
+            assert lon in out, lon
