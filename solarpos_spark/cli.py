@@ -191,7 +191,9 @@ def _make_plan(spark, tokens: list[str], ns) -> tuple:
     if command not in ("position", "sunrise"):
         raise CliError(f"unknown command: {command!r} (position|sunrise)")
     pos = tokens[:-1]
-    step_sec = _parse_step(ns.step)
+    # sunrise has no --step: it always iterates whole days
+    # (SunriseCommand.java:84, Duration.ofDays(1))
+    step_sec = 86400 if command == "sunrise" else _parse_step(ns.step)
     delta_t = float(ns.deltat) if ns.deltat != "NaN" else math.nan
 
     # position needs explicit times in time files (TIME_REQUIRED precision);

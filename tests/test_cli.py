@@ -300,3 +300,29 @@ class TestNegativeCoordinates:
         for lon in ("-10.00000", "-9.00000", "-8.00000", "-7.00000",
                     "-6.00000", "-5.00000"):
             assert lon in out, lon
+
+
+class TestSunriseDailyIteration:
+    """SunriseCommand always iterates Duration.ofDays(1) — no --step
+    (SunriseCommand.java:84)."""
+
+    def test_polar_nights_csv(self, spark):
+        # SunriseTest.polarNightsCsv: Feb 2023 at Svalbard -> 28 daily rows,
+        # first sunrise empty (polar night), Feb 28 sunrise golden
+        code, out = run(spark, "78.22", "15.63", "2023-02", "--format=csv",
+                        "--timezone=UTC", "sunrise")
+        assert code == 0
+        lines = out.splitlines()
+        hdr = lines[0].split(",")
+        rows = [ln.split(",") for ln in lines[1:]]
+        assert len(rows) == 28
+        i = hdr.index("sunrise")
+        assert rows[0][i] == ""
+        assert rows[27][i] == "2023-02-28T07:38:45Z"
+
+    def test_full_year_csv(self, spark):
+        # SunriseTest.fullYearWithCsv: 365 daily rows
+        code, out = run(spark, "52.0", "25.0", "2023", "--format=csv",
+                        "--timezone=UTC", "sunrise")
+        assert code == 0
+        assert len(out.splitlines()) - 1 == 365
