@@ -207,8 +207,12 @@ def _make_plan(spark, tokens: list[str], ns) -> tuple:
         plan = inputs.make_input_plan(spark, paired_file=pos[0][1:], **kw)
     elif len(pos) == 2 and pos[0].startswith("@"):
         if pos[1].startswith("@"):
-            raise CliError("coordinate file + time file: use lat lon @times")
-        if pos[1] == "now":
+            # @coords x @times cartesian (the combination Main.java:25's
+            # example documents; see inputs.make_input_plan for the
+            # reference-quirk note)
+            plan = inputs.make_input_plan(
+                spark, coord_file=pos[0][1:], time_file=pos[1][1:], **kw)
+        elif pos[1] == "now":
             # reference quirk: @coordFile + "now" routes to PairedData
             # (Main.createCoordinateFileMode), so lines carry their own times
             plan = inputs.make_input_plan(spark, paired_file=pos[0][1:], **kw)

@@ -527,8 +527,19 @@ def make_input_plan(
 
     if coord_file is not None:
         coords = coords_from_text(spark, coord_file)
-        times, _multi = _times_for_partial(spark, time, step_sec=step_sec,
-                                           zone=zone)
+        if time_file is not None:
+            # coordinate file x time file cartesian. The reference's usage
+            # text advertises `solarpos @coords.txt @times.txt position`
+            # (Main.java:25) but its DateTimeConverter silently swallows the
+            # time file into a dummy `now` (DateTimeConverter.java:104-107)
+            # — we implement what the example documents instead.
+            times = times_from_text(spark, time_file,
+                                    require_time=require_time).select(
+                "ts", F.unix_timestamp("ts").alias("unix_sec"),
+                F.lit(0).alias("offset_sec"))
+        else:
+            times, _multi = _times_for_partial(spark, time,
+                                               step_sec=step_sec, zone=zone)
         return _plan(times.crossJoin(coords), "coord_file", True)
 
     lat_r = _as_range(lat)

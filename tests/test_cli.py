@@ -326,3 +326,31 @@ class TestSunriseDailyIteration:
                         "--timezone=UTC", "sunrise")
         assert code == 0
         assert len(out.splitlines()) - 1 == 365
+
+
+class TestCoordFileTimeFile:
+    def test_coords_file_times_file_cartesian(self, spark, tmp_path):
+        """Main.java:25's documented example `solarpos @coords.txt
+        @times.txt position` — implemented as the cartesian the example
+        describes (the reference's converter silently ignores the time
+        file, DateTimeConverter.java:104-107)."""
+        cf = tmp_path / "coords.txt"
+        cf.write_text("52.0 13.4\n48.8 2.3\n-34.6 -58.4\n")
+        tf = tmp_path / "times.txt"
+        tf.write_text("2023-06-21T12:00\n2023-06-21T18:00\n")
+        code, out = run(spark, f"@{cf}", f"@{tf}", "--format=csv",
+                        "--no-headers", "--deltat=69", "position")
+        assert code == 0
+        rows = [ln for ln in out.splitlines() if ln]
+        assert len(rows) == 6  # 3 coords x 2 times
+
+    def test_coords_file_stdin_times(self, spark, tmp_path, monkeypatch):
+        import io as _io
+
+        cf = tmp_path / "coords.txt"
+        cf.write_text("52.0 13.4\n48.8 2.3\n")
+        monkeypatch.setattr("sys.stdin", _io.StringIO("2023-06-21T12:00\n"))
+        code, out = run(spark, f"@{cf}", "@-", "--format=csv",
+                        "--no-headers", "--deltat=69", "position")
+        assert code == 0
+        assert len([ln for ln in out.splitlines() if ln]) == 2
