@@ -141,8 +141,10 @@ def _build_parser() -> argparse.ArgumentParser:
                         "start:end:step or @file; a single @file is "
                         "paired lat lon datetime data)")
     p.add_argument("--timezone", default=None)
+    # type=str.lower: enum values are case-insensitive
+    # (Main.createCommandLine setCaseInsensitiveEnumValuesAllowed)
     p.add_argument("--format", choices=("human", "csv", "json"),
-                   default="human")
+                   type=str.lower, default="human")
     p.add_argument("--deltat", nargs="?", const="NaN", default="0")
     p.add_argument("--show-inputs", dest="show_inputs", action="store_true",
                    default=None)
@@ -156,7 +158,7 @@ def _build_parser() -> argparse.ArgumentParser:
     # subcommand options (flat namespace — argparse subparsers fight the
     # reference's positional-before-subcommand layout)
     p.add_argument("-a", "--algorithm", choices=("spa", "grena3"),
-                   default="spa")
+                   type=str.lower, default="spa")
     p.add_argument("--elevation", type=float, default=0.0)
     p.add_argument("--pressure", type=float, default=1013.0)
     p.add_argument("--temperature", type=float, default=15.0)

@@ -354,3 +354,11 @@ class TestCoordFileTimeFile:
                         "--no-headers", "--deltat=69", "position")
         assert code == 0
         assert len([ln for ln in out.splitlines() if ln]) == 2
+
+    def test_case_insensitive_enum_values(self, spark):
+        # Main.createCommandLine setCaseInsensitiveEnumValuesAllowed(true)
+        code, out = run(spark, "52.0", "25.0", "2022-10-17T12:00:00Z",
+                        "--format=CSV", "--no-headers", "--deltat=69",
+                        "position", "--algorithm=GRENA3")
+        assert code == 0
+        assert out.strip() == "2022-10-17T12:00:00Z,211.17436,66.06850"
