@@ -80,17 +80,20 @@ def _parse_step(text: str) -> int:
 
 
 def _parse_time(text: str, zone: str | None):
-    """-> (time argument for make_input_plan, effective zone).
+    """-> (time argument for make_input_plan, effective zone, display
+    offset seconds).
 
-    Partials stay tuples (the series path); instants become unix ints.
-    A --timezone override KEEPS the wall-clock reading
+    Partials stay tuples (the series path); instants become unix ints and
+    carry the offset the reference would print them in
+    (convertToZonedDateTime keeps the input's / overridden zone). A
+    --timezone override KEEPS the wall-clock reading
     (DateTimeIterator.java:59-63).
     """
-    from zoneinfo import ZoneInfo
+    from .sources.inputs import tzinfo_of
 
     eff_zone = zone or "UTC"
     if text.lower() == "now":
-        return int(_now_utc().timestamp()), eff_zone
+        return int(_now_utc().timestamp()), eff_zone, 0
     if _TIME_ONLY_RE.match(text):
         # time-only input -> today's date at that time
         # (DateTimeConverter.tryParseTimeOnly + convertToZonedDateTime's
@@ -104,31 +107,33 @@ def _parse_time(text: str, zone: str | None):
             raise CliError(f"invalid time: {text!r}") from None
         if zone is not None:
             # zone override keeps the wall-clock reading
-            tz = ZoneInfo(zone)
+            tz = tzinfo_of(zone)
             t = t.replace(tzinfo=None)
         else:
             tz = t.tzinfo or timezone.utc
         today = _now_utc().astimezone(tz).date()
         dt = datetime.combine(today, t.replace(tzinfo=None), tzinfo=tz)
-        return int(dt.timestamp()), eff_zone
+        return (int(dt.timestamp()), eff_zone,
+                int(dt.utcoffset().total_seconds()))
     if re.fullmatch(r"\d{4}", text):
-        return (int(text),), eff_zone
+        return (int(text),), eff_zone, 0
     if re.fullmatch(r"\d{4}-\d{2}", text):
         y, m = text.split("-")
-        return (int(y), int(m)), eff_zone
+        return (int(y), int(m)), eff_zone, 0
     if re.fullmatch(r"\d{4}-\d{2}-\d{2}", text):
         y, m, d = text.split("-")
-        return (int(y), int(m), int(d)), eff_zone
+        return (int(y), int(m), int(d)), eff_zone, 0
     try:
         dt = datetime.fromisoformat(text)
     except ValueError:
         raise CliError(f"invalid date/time: {text!r}") from None
     if zone is not None:
         # override keeps wall time: reattach the zone to the local reading
-        dt = dt.replace(tzinfo=ZoneInfo(zone))
+        dt = dt.replace(tzinfo=tzinfo_of(zone))
     elif dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp()), eff_zone
+    return (int(dt.timestamp()), eff_zone,
+            int(dt.utcoffset().total_seconds()))
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -219,9 +224,10 @@ def _make_plan(spark, tokens: list[str], ns) -> tuple:
             # (Main.createCoordinateFileMode), so lines carry their own times
             plan = inputs.make_input_plan(spark, paired_file=pos[0][1:], **kw)
         else:
-            t, zone = _parse_time(pos[1], ns.timezone)
+            t, zone, off = _parse_time(pos[1], ns.timezone)
             plan = inputs.make_input_plan(spark, coord_file=pos[0][1:],
-                                          time=t, zone=zone, **kw)
+                                          time=t, zone=zone,
+                                          instant_offset_sec=off, **kw)
     elif len(pos) == 3:
         lat = _parse_coord(pos[0])
         lon = _parse_coord(pos[1])
@@ -231,9 +237,10 @@ def _make_plan(spark, tokens: list[str], ns) -> tuple:
             plan = inputs.make_input_plan(spark, lat=lat, lon=lon,
                                           time_file=pos[2][1:], **kw)
         else:
-            t, zone = _parse_time(pos[2], ns.timezone)
+            t, zone, off = _parse_time(pos[2], ns.timezone)
             plan = inputs.make_input_plan(spark, lat=lat, lon=lon, time=t,
-                                          zone=zone, **kw)
+                                          zone=zone,
+                                          instant_offset_sec=off, **kw)
     else:
         raise CliError(f"expected 'lat lon dateTime command', got {tokens!r}")
     return plan, command

@@ -150,6 +150,25 @@ def time_series_df(
 _TZ_SCAN_STEP = 86400
 
 
+def tzinfo_of(zone: str):
+    """tzinfo for an IANA ZoneId OR a fixed offset, like java's ZoneId.of:
+    accepts ``Europe/Berlin``, ``UTC``, ``Z``, ``+01:00``, ``-0330``,
+    ``+05`` (SunriseTest.java:57-64 passes bare offsets as --timezone)."""
+    import re
+    from datetime import timedelta
+    from datetime import timezone as _tz
+    from zoneinfo import ZoneInfo
+
+    if zone in ("Z", "z"):
+        return _tz.utc
+    m = re.fullmatch(r"([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?", zone)
+    if m:
+        secs = (int(m.group(2)) * 3600 + int(m.group(3) or 0) * 60
+                + int(m.group(4) or 0))
+        return _tz((1 if m.group(1) == "+" else -1) * timedelta(seconds=secs))
+    return ZoneInfo(zone)
+
+
 def _utc_offset(zinfo, unix_sec: int) -> int:
     from datetime import datetime, timezone
 
@@ -169,9 +188,7 @@ def zone_transitions(zone: str, start_unix: int, end_unix: int) -> list[tuple[in
     Spark analogue of the reference's per-value ``ZonedDateTime`` zone
     lookup, util/DateTimeIterator.java:43-91).
     """
-    from zoneinfo import ZoneInfo
-
-    z = ZoneInfo(zone)
+    z = tzinfo_of(zone)
     out = [(start_unix, _utc_offset(z, start_unix))]
     t = start_unix
     while t < end_unix:
@@ -211,9 +228,8 @@ def local_midnight_unix(year: int, month: int, day: int, zone: str) -> int:
     wins (DateTimeIterator.java:70-91 start-of-period construction).
     """
     from datetime import datetime
-    from zoneinfo import ZoneInfo
 
-    return int(datetime(year, month, day, tzinfo=ZoneInfo(zone)).timestamp())
+    return int(datetime(year, month, day, tzinfo=tzinfo_of(zone)).timestamp())
 
 
 def zoned_partial_bounds(year: int, month: int | None, day: int | None,
@@ -389,7 +405,19 @@ def times_from_text(spark: SparkSession, path: str, *,
         out = out.filter(guard)
     else:
         out = out.filter(~bad)
-    return out.select("ts")
+    return out.select("ts", _line_offset_col(F.col("line")))
+
+
+def _line_offset_col(line) -> "F.Column":
+    """Display offset (seconds) from a timestamp string's trailing
+    ``+HH:MM``/``+HHMM`` (the reference keeps each parsed line's zone and
+    prints event times in it; Z / naive lines render as UTC)."""
+    sign = F.regexp_extract(line, r"([+-])\d{2}:?\d{2}$", 1)
+    hh = F.regexp_extract(line, r"[+-](\d{2}):?\d{2}$", 1)
+    mm = F.regexp_extract(line, r"[+-]\d{2}:?(\d{2})$", 1)
+    secs = (F.coalesce(F.nullif(hh, F.lit("")), F.lit("0")).cast("int") * 3600
+            + F.coalesce(F.nullif(mm, F.lit("")), F.lit("0")).cast("int") * 60)
+    return F.when(sign == "-", -secs).otherwise(secs).alias("offset_sec")
 
 
 def paired_from_text(spark: SparkSession, path: str, *,
@@ -419,6 +447,7 @@ def paired_from_text(spark: SparkSession, path: str, *,
         F.element_at("p", 2).cast("double").alias("lon"),
         ts.alias("ts"),
         F.size("p").alias("_arity"),
+        F.element_at("p", 3).alias("_t3"),
     )
     bad = ((F.col("_arity") != 3) | F.col("lat").isNull()
            | F.col("lon").isNull() | F.col("ts").isNull())
@@ -428,7 +457,7 @@ def paired_from_text(spark: SparkSession, path: str, *,
         out = out.filter(guard)
     else:
         out = out.filter(~bad)
-    return out.select("lat", "lon", "ts")
+    return out.select("lat", "lon", "ts", _line_offset_col(F.col("_t3")))
 
 
 # --------------------------------------------------------------------------
@@ -460,7 +489,8 @@ def _as_range(v) -> tuple[float, float, float]:
 
 
 def _times_for_partial(spark: SparkSession, time, *, step_sec: int,
-                       zone: str) -> tuple[DataFrame, bool]:
+                       zone: str,
+                       instant_offset_sec: int = 0) -> tuple[DataFrame, bool]:
     """(times df with ts/unix_sec/offset_sec, hasMultipleTimes).
 
     ``time`` is a partial-date tuple (year[, month[, day]]) -> a zoned
@@ -482,7 +512,9 @@ def _times_for_partial(spark: SparkSession, time, *, step_sec: int,
     one = spark.range(1).select(
         F.timestamp_seconds(F.lit(unix)).alias("ts"),
         F.lit(unix).alias("unix_sec"),
-        F.lit(0).alias("offset_sec"),
+        # display offset: the reference renders instants in the input's /
+        # overridden zone (convertToZonedDateTime keeps the offset)
+        F.lit(int(instant_offset_sec)).alias("offset_sec"),
     )
     return one, False
 
@@ -500,6 +532,7 @@ def make_input_plan(
     zone: str = "UTC",
     delta_t: float | None = None,
     require_time: bool = False,
+    instant_offset_sec: int = 0,
 ) -> InputPlan:
     """Mirror of Main.createInputMode's four plan shapes
     (Main.java:156-200; InputMode.java:17-195):
@@ -536,10 +569,11 @@ def make_input_plan(
             times = times_from_text(spark, time_file,
                                     require_time=require_time).select(
                 "ts", F.unix_timestamp("ts").alias("unix_sec"),
-                F.lit(0).alias("offset_sec"))
+                "offset_sec")
         else:
-            times, _multi = _times_for_partial(spark, time,
-                                               step_sec=step_sec, zone=zone)
+            times, _multi = _times_for_partial(
+                spark, time, step_sec=step_sec, zone=zone,
+                instant_offset_sec=instant_offset_sec)
         return _plan(times.crossJoin(coords), "coord_file", True)
 
     lat_r = _as_range(lat)
@@ -549,12 +583,12 @@ def make_input_plan(
     if time_file is not None:
         times = times_from_text(spark, time_file,
                                 require_time=require_time).select(
-            "ts", F.unix_timestamp("ts").alias("unix_sec"),
-            F.lit(0).alias("offset_sec"))
+            "ts", F.unix_timestamp("ts").alias("unix_sec"), "offset_sec")
         return _plan(grid_times_df(grid, times), "time_file", True)
 
-    times, multi_times = _times_for_partial(spark, time, step_sec=step_sec,
-                                            zone=zone)
+    times, multi_times = _times_for_partial(
+        spark, time, step_sec=step_sec, zone=zone,
+        instant_offset_sec=instant_offset_sec)
     multi = (lat_r[0] != lat_r[1]) or (lon_r[0] != lon_r[1]) or multi_times
     return _plan(grid_times_df(grid, times), "ranges", multi)
 

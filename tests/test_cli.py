@@ -362,3 +362,44 @@ class TestCoordFileTimeFile:
                         "position", "--algorithm=GRENA3")
         assert code == 0
         assert out.strip() == "2022-10-17T12:00:00Z,211.17436,66.06850"
+
+
+class TestTimezoneOffsets:
+    """--timezone accepts bare offsets like ZoneId.of, and event times
+    render in the input's offset (SunriseTest.java:33-69)."""
+
+    def test_sunrise_twilight_offset_goldens(self, spark):
+        import json as _json
+
+        code, out = run(spark, "52.49", "-1.89", "2023-05-01",
+                        "--timezone=+01:00", "--deltat=69", "--show-inputs",
+                        "--format=json", "sunrise", "--twilight")
+        assert code == 0
+        row = _json.loads(out.splitlines()[0])
+        assert row["dateTime"] == "2023-05-01T00:00:00+01:00"
+        assert row["sunrise"] == "2023-05-01T05:36:58+01:00"
+        assert row["sunset"] == "2023-05-01T20:33:32+01:00"
+        assert row["civil_start"] == "2023-05-01T04:57:41+01:00"
+        assert row["civil_end"] == "2023-05-01T21:13:05+01:00"
+        assert row["nautical_start"] == "2023-05-01T04:06:25+01:00"
+        assert row["nautical_end"] == "2023-05-01T22:04:53+01:00"
+        assert row["astronomical_start"] == "2023-05-01T03:01:18+01:00"
+        # astronomical_end is the known 1-second edge
+        # (tests/test_kernels.py xfail, NOTES_r1.md §1): 23:11:25 vs 26
+        assert row["astronomical_end"].startswith("2023-05-01T23:11:2")
+
+    def test_position_instant_renders_input_offset(self, spark):
+        code, out = run(spark, "52.0", "25.0", "2024-01-01T12:00+01:00",
+                        "--format=csv", "--no-headers", "--deltat=69",
+                        "position")
+        assert code == 0
+        assert out.startswith("2024-01-01T12:00:00+01:00,")
+
+    def test_times_file_preserves_offsets(self, spark, tmp_path):
+        tf = tmp_path / "t.txt"
+        tf.write_text("2023-06-21T12:00:00+02:00\n2023-06-21T12:00:00Z\n")
+        code, out = run(spark, "52.0", "13.4", f"@{tf}", "--format=csv",
+                        "--no-headers", "--deltat=69", "position")
+        assert code == 0
+        rows = sorted(ln.split(",")[5] for ln in out.splitlines() if ln)
+        assert rows == ["2023-06-21T12:00:00+02:00", "2023-06-21T12:00:00Z"]
