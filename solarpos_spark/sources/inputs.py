@@ -161,6 +161,10 @@ def tzinfo_of(zone: str):
 
     if zone in ("Z", "z"):
         return _tz.utc
+    # ZoneId.of also accepts UTC/GMT/UT-prefixed offsets ("UTC+01:00")
+    pm = re.fullmatch(r"(?:UTC|GMT|UT)([+-].+)", zone)
+    if pm:
+        zone = pm.group(1)
     m = re.fullmatch(r"([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?", zone)
     if m:
         secs = (int(m.group(2)) * 3600 + int(m.group(3) or 0) * 60

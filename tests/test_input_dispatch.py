@@ -208,3 +208,17 @@ class TestCoordinateRangeValidation:
 
         vals = coordinate_values(10.0, 10.002, 0.001, -90, 90)
         assert len(vals) == 3
+
+
+class TestTzinfoOf:
+    def test_offsets_and_prefixes(self):
+        from datetime import datetime, timezone
+
+        from solarpos_spark.sources.inputs import tzinfo_of
+
+        ref = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        for z, secs in (("+01:00", 3600), ("-0330", -12600), ("+05", 18000),
+                        ("Z", 0), ("UTC+01:00", 3600), ("GMT-2", -7200),
+                        ("UTC", 0), ("Europe/Berlin", 3600)):
+            tz = tzinfo_of(z)
+            assert int(ref.astimezone(tz).utcoffset().total_seconds()) == secs, z
