@@ -403,3 +403,14 @@ class TestTimezoneOffsets:
         assert code == 0
         rows = sorted(ln.split(",")[5] for ln in out.splitlines() if ln)
         assert rows == ["2023-06-21T12:00:00+02:00", "2023-06-21T12:00:00Z"]
+
+    def test_series_with_offset_timezone(self, spark):
+        # month series under a bare-offset zone: starts at local midnight,
+        # rendered in that offset
+        code, out = run(spark, "52.0", "25.0", "2024-02", "--format=csv",
+                        "--no-headers", "--deltat=69", "--timezone=+01:00",
+                        "position", "--step=2h")
+        assert code == 0
+        lines = [ln for ln in out.splitlines() if ln]
+        assert len(lines) == 29 * 12
+        assert lines[0].split(",")[5] == "2024-02-01T00:00:00+01:00"
