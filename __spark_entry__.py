@@ -833,14 +833,23 @@ def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORPUS_SPLIT_ORACLE = """
-WITH s AS (
+WITH h AS (
+  -- overflow-safe Knuth hash, mirroring curate.split_assign: 16-bit-halves
+  -- multiply mod 2^32 (max intermediate < 2^49 — never wraps int64)
+  SELECT doc_id,
+         ((doc_id % 4294967296 + 4294967296) % 4294967296 + 1)
+           % 4294967296 AS x
+  FROM documents),
+s AS (
   SELECT doc_id,
          CASE WHEN b < 9800 THEN 'train'
               WHEN b < 9900 THEN 'val'
               ELSE 'test' END AS split
   FROM (SELECT doc_id,
-               ((doc_id + 1) * 2654435761) % 4294967296 % 10000 AS b
-        FROM documents))
+               ((x % 65536) * 2654435761
+                + ((x // 65536) * 2654435761) % 4294967296 * 65536)
+               % 4294967296 % 10000 AS b
+        FROM h))
 SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM s GROUP BY split

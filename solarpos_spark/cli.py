@@ -93,7 +93,15 @@ def _parse_time(text: str, zone: str | None):
 
     eff_zone = zone or "UTC"
     if text.lower() == "now":
-        return int(_now_utc().timestamp()), eff_zone, 0
+        # 'now' is an instant — a --timezone override changes only the
+        # rendering zone (ZonedDateTime.now(zone): same instant, zone's
+        # current offset), never the instant itself.
+        now = _now_utc()
+        off = 0
+        if zone is not None:
+            off = int(now.astimezone(tzinfo_of(zone))
+                      .utcoffset().total_seconds())
+        return int(now.timestamp()), eff_zone, off
     if _TIME_ONLY_RE.match(text):
         # time-only input -> today's date at that time
         # (DateTimeConverter.tryParseTimeOnly + convertToZonedDateTime's
@@ -206,7 +214,11 @@ def _make_plan(spark, tokens: list[str], ns) -> tuple:
     # position needs explicit times in time files (TIME_REQUIRED precision);
     # sunrise is date-sufficient (DateTimeIterator.TimePrecision)
     kw = dict(step_sec=step_sec, delta_t=delta_t,
-              require_time=(command == "position"))
+              require_time=(command == "position"),
+              # keep generation-order ordinals through the plan so _render
+              # can reproduce the reference's deterministic time-major
+              # output order under any cluster partitioning
+              keep_ord=True)
     # at most one input may be stdin (Main.validateStdinUsage)
     if sum(1 for t in pos if t == "@-") > 1:
         raise CliError("cannot use stdin (@-) for multiple inputs")
@@ -255,10 +267,12 @@ def _validate_coord(c, lo: float, hi: float, name: str) -> None:
 
 
 def _render(df, command: str, ns, out) -> None:
-    from pyspark.sql import functions as F
+    from pyspark.sql import functions as F  # noqa: F401
 
     from .sinks import formatters as fmt
 
+    if "_ord_t" in df.columns:
+        df = df.orderBy("_ord_t", "_ord_c").drop("_ord_t", "_ord_c")
     fields = fmt.POSITION_FIELDS if command == "position" else fmt.SUNRISE_FIELDS
     offset_col = "offset_sec" if "offset_sec" in df.columns else None
     if ns.format == "csv":
@@ -320,13 +334,17 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                                refraction=ns.refraction,
                                elevation_angle=ns.elevation_angle,
                                show_inputs=show,
-                               passthrough=["offset_sec"]
-                               if "offset_sec" in base.columns else [])
+                               passthrough=[
+                                   c for c in
+                                   ("offset_sec", "_ord_t", "_ord_c")
+                                   if c in base.columns])
             else:
                 res = sunrise(plan, twilight=ns.twilight, show_inputs=show,
                               offset_col="offset_sec",
-                              passthrough=["offset_sec"]
-                              if "offset_sec" in plan.df.columns else [])
+                              passthrough=[
+                                  c for c in
+                                  ("offset_sec", "_ord_t", "_ord_c")
+                                  if c in plan.df.columns])
             _render(res, command, ns, out)
             return 0
         finally:

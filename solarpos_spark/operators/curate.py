@@ -84,8 +84,25 @@ def split_assign(
     projection; downstream consumers filter on ``split`` and the filter
     pushes into the scan of a split-partitioned copy.
     """
-    bucket = (((F.col(id_col) + F.lit(seed)) * F.lit(_KNUTH))
-              % F.lit(2**32)) % F.lit(10000)
+    # Overflow-safe to the full int64 id range: the 32x32-bit multiply is
+    # split into 16-bit halves mod 2^32 (max intermediate < 2^49) and both
+    # reductions use pmod, so buckets stay in [0, 10000) for any id — the
+    # naive (id + seed) * K wraps negative past id ~3.47e9 (and throws
+    # under spark.sql.ansi.enabled), silently skewing assignment toward
+    # 'train'. For smaller ids the buckets are bit-identical to the naive
+    # form (the oracle SQL mirrors this construction).
+    x = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(2**32))
+               + F.lit(int(seed)), F.lit(2**32))
+    lo = F.pmod(x, F.lit(2**16))
+    # (x - lo) is a multiple of 2^16 below 2^32: the double division is
+    # exact (< 2^53), so the cast back to long is lossless
+    hi = ((x - lo) / F.lit(2**16)).cast("long")
+    prod = F.pmod(
+        lo * F.lit(_KNUTH)
+        + F.pmod(hi * F.lit(_KNUTH), F.lit(2**32)) * F.lit(2**16),
+        F.lit(2**32),
+    )
+    bucket = F.pmod(prod, F.lit(10000))
     # cascading CASE, folded right-to-left: first bound > bucket wins
     expr = F.lit(None).cast("string")
     for name, bound in reversed(cuts):

@@ -18,9 +18,13 @@ large-scale training-data/event pipeline needs, built so the plan survives
   BroadcastNestedLoopJoin.
 
 Skew note (100 TB): both shuffle on the `by`/key columns; a pathologically
-hot key (one user with 10^9 events) is handled upstream with the salted
-partitioning in plans/partitioning.py — the window in asof_join is
-order-dependent so salt only by coarse time ranges per key.
+hot key (one user with 10^9 events) is handled IN the operators here:
+:func:`asof_join` takes ``bucket_micros`` (coarse-time-range salt within
+key + a cheap carry-in merge pass — the window is order-dependent so the
+salt must respect time order) and :func:`interval_match_ids` takes
+``n_salt`` (replicate the small interval side per salt, spread probes).
+Both produce output identical to the unsalted plan (tests/test_relational
+locks this on a 10^6-row single-key input).
 """
 
 from __future__ import annotations
@@ -41,6 +45,7 @@ def asof_join(
     by: Sequence[str] = (),
     values: Sequence[str] = (),
     suffix: str = "_asof",
+    bucket_micros: int | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join: for every probe row, attach the
     ``values`` columns of the latest build row with ``build.on <= probe.on``
@@ -48,11 +53,22 @@ def asof_join(
     allow_exact_matches=True)`` semantics; DuckDB ``ASOF LEFT JOIN ... ON
     probe.on >= build.on``).
 
-    Construction: tag build rows 0 and probe rows 1, union, and take a
-    running ``last(value, ignorenulls=True)`` ordered by ``(on, tag)`` —
-    the tag ordering makes equal timestamps match (inclusive). One shuffle
-    on ``by``; no range probe, no join explosion. The matched build
-    timestamp comes back as ``{on}{suffix}``.
+    Construction: tag build rows 0 and probe rows 1, union, and take ONE
+    running ``last(struct(on, *values), ignorenulls=True)`` ordered by
+    ``(on, tag)`` — the tag ordering makes equal timestamps match
+    (inclusive), and the single struct guarantees every attached column
+    comes from the SAME matched build row (a matched row's NULL value is
+    carried, never skipped for an older row's non-NULL). One shuffle on
+    ``by``; no range probe, no join explosion. The matched build timestamp
+    comes back as ``{on}{suffix}``.
+
+    ``bucket_micros`` (skew guard): partition the window by
+    ``(by, on div bucket_micros)`` instead of ``by`` alone, bounding any
+    partition to one key x one time bucket — the remedy for a single
+    pathologically hot key (one user, 10^9 events). Cross-bucket matches
+    are restored by a carry-in pass over the per-bucket-latest build rows
+    (one tiny window per key over #buckets rows). Output is identical to
+    the unsalted plan.
     """
     by = list(by)
     values = list(values)
@@ -61,31 +77,73 @@ def asof_join(
         F.col(on).alias(f"{on}{suffix}"),
         *[F.col(v).alias(f"{v}{suffix}") for v in values],
     ).withColumn(_TAG, F.lit(0))
-    p = probe.withColumn(_TAG, F.lit(1)).withColumn(
-        f"{on}{suffix}", F.col(on))
-    # unionByName fills each side's missing columns with nulls; build rows
-    # then carry null probe columns and vice versa
+    p = probe.withColumn(_TAG, F.lit(1))
+    # unionByName fills each side's missing columns with nulls: build rows
+    # carry null probe columns and vice versa
     u = p.unionByName(
         b.withColumn(on, F.col(f"{on}{suffix}")),
         allowMissingColumns=True,
     )
-    w = (
-        Window.partitionBy(*by)
+    # the single matched build row, as one struct (field order: on first,
+    # so struct max/last agree with timestamp order)
+    build_struct = F.when(
+        F.col(_TAG) == 0,
+        F.struct(
+            F.col(f"{on}{suffix}").alias("_on"),
+            *[F.col(f"{v}{suffix}").alias(v) for v in values],
+        ),
+    )
+    out_cols = [
+        *probe.columns,
+        F.col("_m._on").alias(f"{on}{suffix}"),
+        *[F.col(f"_m.{v}").alias(f"{v}{suffix}") for v in values],
+    ]
+
+    if bucket_micros is None:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col(_TAG).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            u.withColumn("_m", F.last(build_struct, ignorenulls=True).over(w))
+            .filter(F.col(_TAG) == 1)
+            .select(*out_cols)
+        )
+
+    # --- salted two-pass plan ---
+    bucket_micros = int(bucket_micros)
+    u = u.withColumn("_bkt", F.expr(
+        f"unix_micros(cast({on} as timestamp)) div {bucket_micros}"))
+    # pass 1: same window, partitioned ALSO by the time bucket — partition
+    # size is bounded no matter how hot the key is
+    w1 = (
+        Window.partitionBy(*by, "_bkt")
         .orderBy(F.col(on).asc(), F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched_on = F.last(
-        F.when(F.col(_TAG) == 0, F.col(f"{on}{suffix}")), ignorenulls=True
-    ).over(w)
-    out = u
-    for v in values:
-        out = out.withColumn(
-            f"{v}{suffix}",
-            F.last(F.when(F.col(_TAG) == 0, F.col(f"{v}{suffix}")),
-                   ignorenulls=True).over(w),
-        )
-    out = out.withColumn(f"{on}{suffix}", matched_on)
-    return out.filter(F.col(_TAG) == 1).drop(_TAG)
+    pass1 = u.withColumn("_m1", F.last(build_struct, ignorenulls=True).over(w1))
+    # carry-in: latest build struct of each earlier bucket. max(struct)
+    # orders by the first field (= on), so it is the bucket's latest build
+    # row; the carry window runs over #buckets rows per key — tiny.
+    bmax = (
+        u.groupBy(*by, "_bkt")
+        .agg(F.max(build_struct).alias("_bmax"))
+    )
+    wc = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bmax.withColumn(
+        "_cin", F.last("_bmax", ignorenulls=True).over(wc)
+    ).select(*by, "_bkt", "_cin")
+    return (
+        pass1.filter(F.col(_TAG) == 1)
+        .join(carry, by + ["_bkt"], "left")
+        .withColumn("_m", F.coalesce("_m1", "_cin"))
+        .select(*out_cols)
+    )
 
 
 def interval_match_ids(
@@ -98,6 +156,7 @@ def interval_match_ids(
     by: Sequence[str] = (),
     id_cols: Sequence[str] = ("event_id",),
     bin_micros: int = 600_000_000,
+    n_salt: int = 1,
 ) -> DataFrame:
     """IDs of probe rows contained in >=1 interval: ``start <= ts < end``
     within the same ``by`` group — the binned range-join construction.
@@ -107,10 +166,18 @@ def interval_match_ids(
     ``(by, bin)``, the exact bounds refine, and overlapping intervals
     dedup through ``distinct()`` on the id columns. All shuffles are keyed
     equi-joins: no inequality-join cartesian anywhere in the plan.
+
+    ``n_salt`` > 1 (skew guard): when one ``(by, bin)`` cell is hot (one
+    user's incident bin holding 10^8 probe rows), replicate each exploded
+    interval row ``n_salt`` times and spread probe rows across the salts by
+    a deterministic hash of ``id_cols`` — join cells shrink ``n_salt``-fold
+    at the cost of ``n_salt``x the (small) interval side. Output identical
+    to the unsalted plan.
     """
     by = list(by)
     id_cols = list(id_cols)
     bin_micros = int(bin_micros)
+    n_salt = int(n_salt)
     iv = intervals.select(
         *by,
         F.unix_micros(F.col(start_ts).cast("timestamp")).alias("_s_us"),
@@ -133,7 +200,14 @@ def interval_match_ids(
     p = probe.select(
         *by, *id_cols, F.unix_micros(F.col(probe_ts).cast("timestamp")).alias("_p_us")
     ).withColumn("_bin", F.expr(f"_p_us div {bin_micros}"))
-    cand = p.join(binned, on=by + ["_bin"]).filter(
+    join_keys = by + ["_bin"]
+    if n_salt > 1:
+        binned = binned.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        p = p.withColumn(
+            "_salt", F.pmod(F.xxhash64(*id_cols), F.lit(n_salt)))
+        join_keys = join_keys + ["_salt"]
+    cand = p.join(binned, on=join_keys).filter(
         (F.col("_p_us") >= F.col("_s_us")) & (F.col("_p_us") < F.col("_e_us"))
     )
     return cand.select(*by, *id_cols).distinct()

@@ -192,12 +192,30 @@ def write_csv(df: DataFrame, all_fields: list[FieldSpec], path: str,
     lines.select(F.concat(F.col("line"), F.lit("\r")).alias("value")) \
         .write.mode("overwrite").text(path)
     if headers:
-        import os
-
         fields = select_fields(all_fields, df, subset)
-        header_file = os.path.join(path, "part-00000--header.txt")
-        with open(header_file, "w", newline="") as f:
-            f.write(csv_header(fields) + "\r\n")
+        payload = (csv_header(fields) + "\r\n").encode()
+        spark = df.sparkSession
+        try:
+            # write through the Hadoop FileSystem of `path` so the header
+            # lands next to the data files on HDFS/S3/ABFS too, not on the
+            # driver's local disk
+            jvm = spark.sparkContext._jvm
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                path, "part-00000--header.txt")
+            fs = hpath.getFileSystem(hconf)
+            stream = fs.create(hpath, True)
+            try:
+                stream.write(bytearray(payload))
+            finally:
+                stream.close()
+        except AttributeError:
+            # Spark Connect: no JVM gateway — local filesystem fallback
+            import os
+
+            with open(os.path.join(path, "part-00000--header.txt"),
+                      "wb") as f:
+                f.write(payload)
 
 
 def to_csv_string(df: DataFrame, all_fields: list[FieldSpec],

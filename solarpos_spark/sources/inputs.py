@@ -345,21 +345,26 @@ def _text_lines(spark: SparkSession, path: str) -> DataFrame:
 
 
 def coords_from_text(spark: SparkSession, path: str, *,
-                     strict: bool = True) -> DataFrame:
+                     strict: bool = True, with_ord: bool = False) -> DataFrame:
     """S3: lines ``lat lon`` (space/comma separated), # comments + blanks
     skipped (util/DateTimeIterator.java:203-213). ``path="-"`` reads stdin.
 
     ``strict=True`` aborts on malformed lines (wrong arity / non-numeric)
     like the reference's parseCoordinateLine; False drops them.
+    ``with_ord=True`` adds ``_ord`` — the scan-order line ordinal
+    (``monotonically_increasing_id`` over the raw lines: (split, row)
+    lexicographic = file order) so callers can reproduce the reference's
+    line-order output deterministically under any later repartitioning.
     """
-    lines = _text_lines(spark, path)
+    lines = _text_lines(spark, path).withColumn(
+        "_ord", F.monotonically_increasing_id())
     cleaned = (
-        lines.select(F.trim(F.col("value")).alias("line"))
+        lines.select("_ord", F.trim(F.col("value")).alias("line"))
         .filter((F.col("line") != "") & ~F.col("line").startswith("#"))
-        .select("line", F.split(F.col("line"), r"[,\s]+").alias("parts"))
+        .select("_ord", "line", F.split(F.col("line"), r"[,\s]+").alias("parts"))
     )
     out = cleaned.select(
-        "line",
+        "_ord", "line",
         F.element_at("parts", 1).cast("double").alias("lat"),
         F.element_at("parts", 2).cast("double").alias("lon"),
         F.size("parts").alias("_arity"),
@@ -371,12 +376,12 @@ def coords_from_text(spark: SparkSession, path: str, *,
         out = out.filter(guard)
     else:
         out = out.filter(~bad)
-    return out.select("lat", "lon")
+    return out.select("lat", "lon", *(["_ord"] if with_ord else []))
 
 
 def times_from_text(spark: SparkSession, path: str, *,
                     require_time: bool = False,
-                    strict: bool = True) -> DataFrame:
+                    strict: bool = True, with_ord: bool = False) -> DataFrame:
     """S4: one timestamp per line, multi-format fallback parse
     (util/DateTimeIterator.java:93-143).
 
@@ -386,9 +391,10 @@ def times_from_text(spark: SparkSession, path: str, *,
     lines like the reference's parse exception; False drops them.
     ``path="-"`` reads stdin.
     """
-    lines = _text_lines(spark, path)
+    lines = _text_lines(spark, path).withColumn(
+        "_ord", F.monotonically_increasing_id())
     cleaned = (
-        lines.select(F.trim(F.col("value")).alias("line"))
+        lines.select("_ord", F.trim(F.col("value")).alias("line"))
         .filter((F.col("line") != "") & ~F.col("line").startswith("#"))
     )
     ts = F.coalesce(
@@ -400,7 +406,7 @@ def times_from_text(spark: SparkSession, path: str, *,
         F.try_to_timestamp(F.col("line"), F.lit("yyyy-MM-dd HH:mm:ss")),
         F.try_to_timestamp(F.col("line"), F.lit("yyyy-MM-dd")),
     )
-    out = cleaned.select("line", ts.alias("ts"))
+    out = cleaned.select("_ord", "line", ts.alias("ts"))
     date_only = F.col("line").rlike(r"^\d{4}-\d{2}-\d{2}$")
     bad = F.col("ts").isNull() | (F.lit(require_time) & date_only)
     if strict:
@@ -409,7 +415,8 @@ def times_from_text(spark: SparkSession, path: str, *,
         out = out.filter(guard)
     else:
         out = out.filter(~bad)
-    return out.select("ts", _line_offset_col(F.col("line")))
+    return out.select("ts", _line_offset_col(F.col("line")),
+                      *(["_ord"] if with_ord else []))
 
 
 def _line_offset_col(line) -> "F.Column":
@@ -425,18 +432,19 @@ def _line_offset_col(line) -> "F.Column":
 
 
 def paired_from_text(spark: SparkSession, path: str, *,
-                     strict: bool = True) -> DataFrame:
+                     strict: bool = True, with_ord: bool = False) -> DataFrame:
     """S5: lines ``lat lon datetime`` -> 1:1 records, no cartesian expansion
     (util/DateTimeIterator.java:150-190). ``path="-"`` reads stdin.
 
     ``strict=True`` aborts on malformed lines like the reference's
     parsePairedDataLine (arity != 3 / bad numbers / bad time); False drops.
     """
-    lines = _text_lines(spark, path)
+    lines = _text_lines(spark, path).withColumn(
+        "_ord", F.monotonically_increasing_id())
     cleaned = (
-        lines.select(F.trim(F.col("value")).alias("line"))
+        lines.select("_ord", F.trim(F.col("value")).alias("line"))
         .filter((F.col("line") != "") & ~F.col("line").startswith("#"))
-        .select("line", F.split(F.col("line"), r"[,\s]+").alias("p"))
+        .select("_ord", "line", F.split(F.col("line"), r"[,\s]+").alias("p"))
     )
     ts = F.coalesce(
         F.try_to_timestamp(F.element_at("p", 3), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
@@ -446,7 +454,7 @@ def paired_from_text(spark: SparkSession, path: str, *,
         F.try_to_timestamp(F.element_at("p", 3), F.lit("yyyy-MM-dd")),
     )
     out = cleaned.select(
-        "line",
+        "_ord", "line",
         F.element_at("p", 1).cast("double").alias("lat"),
         F.element_at("p", 2).cast("double").alias("lon"),
         ts.alias("ts"),
@@ -461,7 +469,8 @@ def paired_from_text(spark: SparkSession, path: str, *,
         out = out.filter(guard)
     else:
         out = out.filter(~bad)
-    return out.select("lat", "lon", "ts", _line_offset_col(F.col("_t3")))
+    return out.select("lat", "lon", "ts", _line_offset_col(F.col("_t3")),
+                      *(["_ord"] if with_ord else []))
 
 
 # --------------------------------------------------------------------------
@@ -537,6 +546,7 @@ def make_input_plan(
     delta_t: float | None = None,
     require_time: bool = False,
     instant_offset_sec: int = 0,
+    keep_ord: bool = False,
 ) -> InputPlan:
     """Mirror of Main.createInputMode's four plan shapes
     (Main.java:156-200; InputMode.java:17-195):
@@ -553,6 +563,13 @@ def make_input_plan(
     point at a single instant does not (InputMode.java:105,130,160,195 and
     :72-76). ``delta_t`` mirrors the global ``--deltat`` (float('nan') = the
     bare estimate sentinel, Main.java:214-216).
+
+    ``keep_ord=True`` keeps generation-order ordinals ``_ord_t`` (time
+    component: series unix second / file line ordinal) and ``_ord_c``
+    (coordinate component: lat-major grid ordinal / file line ordinal)
+    through the plan, so a consumer can ``orderBy("_ord_t", "_ord_c")`` to
+    reproduce the reference's deterministic time-major output order on a
+    cluster — bare scan order is only coincidentally right in local mode.
     """
     def _plan(df: DataFrame, mode: str, show: bool) -> InputPlan:
         if delta_t is not None:
@@ -560,10 +577,25 @@ def make_input_plan(
         return InputPlan(df, mode, show)
 
     if paired_file is not None:
-        return _plan(paired_from_text(spark, paired_file), "paired", True)
+        p = paired_from_text(spark, paired_file, with_ord=keep_ord)
+        if keep_ord:
+            p = (p.withColumnRenamed("_ord", "_ord_t")
+                 .withColumn("_ord_c", F.lit(0)))
+        return _plan(p, "paired", True)
+
+    def _ord_t(times: DataFrame) -> DataFrame:
+        # series/instant rows are keyed by their unix second (monotone in
+        # generation order); file rows carry their line ordinal already
+        if not keep_ord:
+            return times
+        if "_ord" in times.columns:
+            return times.withColumnRenamed("_ord", "_ord_t")
+        return times.withColumn("_ord_t", F.col("unix_sec"))
 
     if coord_file is not None:
-        coords = coords_from_text(spark, coord_file)
+        coords = coords_from_text(spark, coord_file, with_ord=keep_ord)
+        if keep_ord:
+            coords = coords.withColumnRenamed("_ord", "_ord_c")
         if time_file is not None:
             # coordinate file x time file cartesian. The reference's usage
             # text advertises `solarpos @coords.txt @times.txt position`
@@ -571,30 +603,39 @@ def make_input_plan(
             # time file into a dummy `now` (DateTimeConverter.java:104-107)
             # — we implement what the example documents instead.
             times = times_from_text(spark, time_file,
-                                    require_time=require_time).select(
+                                    require_time=require_time,
+                                    with_ord=keep_ord).select(
                 "ts", F.unix_timestamp("ts").alias("unix_sec"),
-                "offset_sec")
+                "offset_sec", *(["_ord"] if keep_ord else []))
         else:
             times, _multi = _times_for_partial(
                 spark, time, step_sec=step_sec, zone=zone,
                 instant_offset_sec=instant_offset_sec)
-        return _plan(times.crossJoin(coords), "coord_file", True)
+        return _plan(_ord_t(times).crossJoin(coords), "coord_file", True)
 
     lat_r = _as_range(lat)
     lon_r = _as_range(lon)
-    grid = grid_df(spark, lat_r, lon_r).drop("lat_ord", "lon_ord")
+    grid = grid_df(spark, lat_r, lon_r)
+    if keep_ord:
+        # lat-major generation order in one ordinal (lon count < 2^32)
+        grid = grid.withColumn(
+            "_ord_c",
+            F.col("lat_ord") * F.lit(2**32) + F.col("lon_ord"))
+    grid = grid.drop("lat_ord", "lon_ord")
 
     if time_file is not None:
         times = times_from_text(spark, time_file,
-                                require_time=require_time).select(
-            "ts", F.unix_timestamp("ts").alias("unix_sec"), "offset_sec")
-        return _plan(grid_times_df(grid, times), "time_file", True)
+                                require_time=require_time,
+                                with_ord=keep_ord).select(
+            "ts", F.unix_timestamp("ts").alias("unix_sec"), "offset_sec",
+            *(["_ord"] if keep_ord else []))
+        return _plan(grid_times_df(grid, _ord_t(times)), "time_file", True)
 
     times, multi_times = _times_for_partial(
         spark, time, step_sec=step_sec, zone=zone,
         instant_offset_sec=instant_offset_sec)
     multi = (lat_r[0] != lat_r[1]) or (lon_r[0] != lon_r[1]) or multi_times
-    return _plan(grid_times_df(grid, times), "ranges", multi)
+    return _plan(grid_times_df(grid, _ord_t(times)), "ranges", multi)
 
 
 def validate_decoded(df: DataFrame, *, strict: bool = True) -> DataFrame:

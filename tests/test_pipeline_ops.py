@@ -242,3 +242,35 @@ class TestSplitAssign:
         d2 = split_assign(base.repartition(7))
         assert d.select("doc_id", "split").exceptAll(
             d2.select("doc_id", "split")).count() == 0
+
+    def test_int64_scale_ids_no_overflow_and_unskewed(self, spark):
+        from pyspark.sql import functions as F
+
+        from solarpos_spark.operators.curate import split_assign
+
+        # ids past 2^33: the naive (id+seed)*K hash wraps int64 (throws
+        # under ANSI, silently skews toward 'train' otherwise); the
+        # halves-mod-2^32 construction must stay exact and balanced
+        base = spark.range(50_000).select(
+            (F.col("id") + F.lit(2**62)).alias("doc_id"))
+        d = split_assign(base)
+        counts = {r["split"]: r["n"] for r in
+                  d.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        total = sum(counts.values())
+        assert total == 50_000
+        assert 0.97 <= counts["train"] / total <= 0.99
+        # small ids: bit-identical to the naive reference form
+        small = split_assign(
+            spark.range(1000).withColumnRenamed("id", "doc_id"))
+        naive = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            (((F.col("id") + 1) * F.lit(2654435761)) % F.lit(2**32)
+             % F.lit(10000)).alias("b"))
+        j = small.join(naive, "doc_id")
+        mism = j.filter(
+            ((F.col("b") < 9800) & (F.col("split") != "train"))
+            | ((F.col("b") >= 9800) & (F.col("b") < 9900)
+               & (F.col("split") != "val"))
+            | ((F.col("b") >= 9900) & (F.col("split") != "test"))).count()
+        assert mism == 0

@@ -177,3 +177,74 @@ class TestIntervalVsBruteForce:
             if len(m):
                 want.append(int(e["event_id"]))
         assert got == sorted(want)
+
+
+class TestMatchedRowNullCarry:
+    def test_null_value_of_matched_row_is_carried(self, spark):
+        # merge_asof/ASOF JOIN semantics: all attached columns come from the
+        # single matched (latest) build row — its NULL must NOT be skipped
+        # in favor of an older row's non-NULL value.
+        probe = spark.createDataFrame(pd.DataFrame({
+            "k": [1], "ts": [_ts("2024-01-01T12:00")], "pid": [0]}))
+        build = spark.createDataFrame(
+            [(1, _ts("2024-01-01T11:00"), 1.0),
+             (1, _ts("2024-01-01T11:30"), None)],
+            "k int, ts timestamp, v double")
+        r = asof_join(probe, build, on="ts", by=["k"],
+                      values=["v"]).collect()[0]
+        assert r["ts_asof"] == _ts("2024-01-01T11:30")
+        assert r["v_asof"] is None
+
+
+class TestSkewGuards:
+    def _digest(self, df, cols):
+        return df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+
+    def test_salted_asof_identical_on_hot_key_and_bounded(self, spark):
+        # one pathologically hot key: 10^6 probe rows, single user
+        n = 1_000_000
+        bucket_us = 3_600_000_000  # 1 h
+        probe = spark.range(n).select(
+            F.lit(7).alias("k"),
+            F.timestamp_seconds(1700000000 + F.col("id") * 3).alias("ts"),
+            F.col("id").alias("pid"))
+        build = spark.range(10_000).select(
+            F.lit(7).alias("k"),
+            F.timestamp_seconds(1700000000 - 50 + F.col("id") * 301)
+            .alias("ts"),
+            (F.col("id") * 1.5).alias("v"))
+        base = asof_join(probe, build, on="ts", by=["k"], values=["v"])
+        salted = asof_join(probe, build, on="ts", by=["k"], values=["v"],
+                           bucket_micros=bucket_us)
+        cols = ["pid", "ts_asof", "v_asof"]
+        assert self._digest(base, cols) == self._digest(salted, cols)
+        # the salt bounds any window partition to one key x one time bucket
+        mx = (probe.groupBy("k", F.expr(f"unix_micros(ts) div {bucket_us}"))
+              .count().agg(F.max("count")).collect()[0][0])
+        assert mx < n // 100  # 1200 per bucket vs 10^6 unsalted
+
+    def test_salted_interval_identical(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(11)
+        n_e, n_iv = 20_000, 300
+        base_us = 1_700_000_000_000_000
+        ev = spark.createDataFrame(pd.DataFrame({
+            "k": rng.integers(0, 3, n_e),
+            "ts": pd.to_datetime(
+                base_us + rng.integers(0, 3_600_000_000, n_e), unit="us"),
+            "event_id": np.arange(n_e)}))
+        start = base_us + rng.integers(0, 3_600_000_000, n_iv)
+        iv = spark.createDataFrame(pd.DataFrame({
+            "k": rng.integers(0, 3, n_iv),
+            "start_ts": pd.to_datetime(start, unit="us"),
+            "end_ts": pd.to_datetime(
+                start + rng.integers(1, 1_200_000_000, n_iv), unit="us")}))
+        plain = interval_match_ids(ev, iv, probe_ts="ts", by=["k"])
+        salted = interval_match_ids(ev, iv, probe_ts="ts", by=["k"],
+                                    n_salt=4)
+        got_p = sorted(r["event_id"] for r in plain.collect())
+        got_s = sorted(r["event_id"] for r in salted.collect())
+        assert got_p == got_s and len(got_p) > 0
