@@ -90,9 +90,12 @@ def _position_query(algorithm: str, *, refraction: bool = True,
     return q
 
 
-def _q_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codec bijection: derive tuples -> encode -> decode -> emit fields."""
-    src = _astro_df(spark, sf_dir).filter(F.col("event_id") < 20000)
+def _astro_token_df(spark: SparkSession, sf_dir: str,
+                    limit: int = 20000) -> DataFrame:
+    """Deterministic token table derived from `events` (the gate's
+    bit-reproducible stand-in for the Iceberg token-sequence input): the
+    _astro_df tuples encoded through the codec, one record per doc."""
+    src = _astro_df(spark, sf_dir).filter(F.col("event_id") < limit)
     import numpy as np
     import pandas as pd
 
@@ -115,7 +118,12 @@ def _q_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "source": "derived:events",
             })
 
-    tok = src.mapInPandas(enc, schema=tokens.TOKEN_SCHEMA)
+    return src.mapInPandas(enc, schema=tokens.TOKEN_SCHEMA)
+
+
+def _q_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec bijection: derive tuples -> encode -> decode -> emit fields."""
+    tok = _astro_token_df(spark, sf_dir)
     dec = tokens.decode_tokens(tok)
     return dec.select(
         F.col("doc_id").cast("long").alias("event_id"),
@@ -1207,6 +1215,167 @@ SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# streaming CEP gate entries (north_rule core: readStream -> decode ->
+# kernels / CEP -> exactly-once sink; the reference's stream mode is `@-`,
+# util/DateTimeIterator.java:235-238, StdinTest.java:25-127). availableNow
+# makes each pipeline batch-deterministic: the committed rows are a pure
+# function of the (seeded, bit-reproducible) token input, so a DuckDB SQL
+# oracle can hash-check them like any batch plan.
+# --------------------------------------------------------------------------
+
+
+def _stream_dirs(prefix: str) -> tuple[str, str, str]:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    return f"{base}/in", f"{base}/out", f"{base}/ckpt"
+
+
+def _q_stream_position_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full streaming pipeline, gate-hashed: token files -> readStream ->
+    decode (watermarked event time) -> SPA position (shared vectorized
+    kernel) -> exactly-once parquet sink (idempotent batch_id partitions),
+    multi-micro-batch (maxFilesPerTrigger=2 over 8 files). The returned
+    DataFrame is the COMMITTED output read back from the sink — rows+hash
+    fail if watermarking, replay, or sink dedup ever corrupts a row.
+    Oracle: generated NREL SPA SQL over the codec-quantized inputs
+    (round-half-up at 1e-5, mirroring codec._round_scaled exactly).
+    """
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming import pipeline as sp
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streampos_")
+    _astro_token_df(spark, sf_dir).repartition(8) \
+        .write.mode("overwrite").parquet(in_dir)
+    stream = tokens.read_token_stream(spark, in_dir, max_files_per_trigger=2)
+    pos = sp.position_stream(sp.decoded_stream(stream, watermark="1 hour"))
+    q = exactly_once_parquet_sink(pos, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    committed = spark.read.parquet(out_dir)
+    return committed.select(
+        F.col("doc_id").cast("long").alias("event_id"),
+        F.round("latitude", 5).alias("lat"),
+        F.round("longitude", 5).alias("lon"),
+        F.round("azimuth", 5).alias("azimuth"),
+        F.round("zenith", 5).alias("zenith"),
+    )
+
+
+def _q_stream_dedup_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under double delivery, gate-hashed: every
+    token file is delivered TWICE (at-least-once upstream), the stream
+    dedups with ``dropDuplicatesWithinWatermark`` on (doc_id, seq_index),
+    and the committed output must be exactly ONE copy of every record.
+    The watermark horizon exceeds the data span so a duplicate is in-state
+    regardless of which micro-batch delivers it — the committed set is
+    batch-boundary-independent (deterministic under any file ordering).
+    """
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming import pipeline as sp
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamdedup_")
+    tok = _astro_token_df(spark, sf_dir).repartition(4)
+    tok.write.mode("overwrite").parquet(in_dir)
+    tok.write.mode("append").parquet(in_dir)  # second delivery
+    stream = tokens.read_token_stream(spark, in_dir, max_files_per_trigger=2)
+    ded = sp.deduped_stream(sp.decoded_stream(stream, watermark="3650 days"))
+    out = ded.select("doc_id", "seq_index", "lat", "lon", "unix_sec",
+                     "delta_t", "pressure")
+    q = exactly_once_parquet_sink(out, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    committed = spark.read.parquet(out_dir)
+    return committed.select(
+        F.col("doc_id").cast("long").alias("event_id"),
+        F.round("lat", 5).alias("lat"), F.round("lon", 5).alias("lon"),
+        F.col("unix_sec").alias("usec"),
+        F.round("delta_t", 3).alias("delta_t"),
+        F.round("pressure", 3).alias("pressure"),
+    )
+
+
+def _q_stream_window_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation on the stream, gate-hashed:
+    hourly counts in APPEND mode — a window commits only once the 1 h
+    watermark passes its end, so the committed set is the exact SQL
+    aggregate MINUS the windows the final watermark (max event time - 1 h)
+    hasn't released; the oracle states that same cut. All files land in one
+    ingest batch (no intermediate watermark => no order-dependent late
+    drops); the availableNow flush batch then emits deterministically.
+    """
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming import pipeline as sp
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamwin_")
+    _astro_token_df(spark, sf_dir).repartition(8) \
+        .write.mode("overwrite").parquet(in_dir)
+    stream = tokens.read_token_stream(spark, in_dir,
+                                      max_files_per_trigger=1000)
+    win = sp.hourly_window_counts(
+        sp.decoded_stream(stream, watermark="1 hour"))
+    q = exactly_once_parquet_sink(win, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    committed = spark.read.parquet(out_dir)
+    # round(min(q(x))) == min(round(q(x))): rounding is monotone, so the
+    # oracle's min-over-rounded form matches
+    return committed.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        "n_rows",
+        F.round("min_lat", 5).alias("min_lat"),
+        F.round("max_lat", 5).alias("max_lat"),
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id,
+       round(round(((event_id * 37) % 14400) / 100.0 - 72.0, 5), 5) AS lat,
+       round(round(((event_id * 73) % 36000) / 100.0 - 180.0, 5), 5) AS lon,
+       CAST(floor(epoch(ts)) AS BIGINT) AS usec,
+       69.0 AS delta_t, 1013.0 AS pressure
+FROM events
+WHERE event_id < 20000
+"""
+
+_STREAM_WINDOW_ORACLE = """
+WITH b AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS usec,
+         round(round(((event_id * 37) % 14400) / 100.0 - 72.0, 5), 5) AS lat
+  FROM events WHERE event_id < 20000),
+w AS (
+  SELECT (usec // 3600) * 3600 AS ws, count(*) AS n_rows,
+         min(lat) AS min_lat, max(lat) AS max_lat
+  FROM b GROUP BY ws)
+SELECT ws, n_rows, min_lat, max_lat
+FROM w
+WHERE ws + 3600 <= (SELECT max(usec) FROM b) - 3600
+"""
+
+
+def _stream_pos_oracle() -> str:
+    # codec quantization in SQL: round-half-away-from-zero at 1e-5 then the
+    # same double division decode_records performs — bit-identical inputs
+    def q(c: str) -> str:
+        return (f"(CASE WHEN {c} >= 0 THEN floor({c}*100000.0 + 0.5) "
+                f"ELSE -floor(-({c})*100000.0 + 0.5) END) / 100000.0")
+
+    base = f"""
+    SELECT event_id, {q('lat0')} AS lat, {q('lon0')} AS lon, usec,
+           0.0 AS elevation, 1013.0 AS pressure, 15.0 AS temperature,
+           69.0 AS delta_t
+    FROM (SELECT event_id,
+                 ((event_id * 37) % 14400) / 100.0 - 72.0 AS lat0,
+                 ((event_id * 73) % 36000) / 100.0 - 180.0 AS lon0,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS usec
+          FROM events WHERE event_id < 20000)
+    """
+    inner = _osql.spa_sql(base)
+    return (f"SELECT event_id, round(lat,5) AS lat, round(lon,5) AS lon, "
+            f"azimuth, zenith FROM ({inner})")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: SPA position over sf0.001 events (driver smoke check)."""
     return _position_query("spa")(spark, "/root/testdata/sf0.001")
@@ -1262,6 +1431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "user_running_value": _q_user_running_value,
         "orders_cube": _q_orders_cube,
+        "stream_position_committed": _q_stream_position_committed,
+        "stream_dedup_committed": _q_stream_dedup_committed,
+        "stream_window_committed": _q_stream_window_committed,
     }
 
 
@@ -1409,6 +1581,9 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": _EVENTS_PIVOT_ORACLE,
         "user_running_value": _USER_RUNNING_VALUE_ORACLE,
         "orders_cube": _ORDERS_CUBE_ORACLE,
+        "stream_position_committed": _stream_pos_oracle(),
+        "stream_dedup_committed": _STREAM_DEDUP_ORACLE,
+        "stream_window_committed": _STREAM_WINDOW_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """
