@@ -73,7 +73,17 @@ def main() -> None:
     run("cartesian_sweep", lambda: qs["cartesian_sweep"](spark, sf_dir),
         count_positions=True)
 
-    # token-stream-shaped pipeline: generate -> decode -> SPA position
+    # fused decode+position: ONE Arrow stage (half the JVM<->Python IPC),
+    # the production hot path for the token pipeline — HEADLINE token entry
+    def token_fused():
+        t = tok.generate_token_sequences(spark, 20000, records_per_doc=8,
+                                         partitions=cpus)
+        return tok.decode_position_arrow(t)
+
+    run("token_fused_spa", token_fused, count_positions=True)
+
+    # two-stage decode -> position: kept as a labeled comparison point for
+    # the fusion win (NOT in the headline mix — superseded by token_fused)
     def token_pipeline():
         n_docs = 20000
         t = tok.generate_token_sequences(spark, n_docs, records_per_doc=8,
@@ -82,33 +92,24 @@ def main() -> None:
         return position(dec.withColumn("ts", F.col("unix_sec")),
                         algorithm="spa", ts_col="ts", time_is_unix=True)
 
-    run("token_stream_spa", token_pipeline, count_positions=True)
+    run("token_stream_spa", token_pipeline)
 
-    # fused decode+position: ONE Arrow stage (half the JVM<->Python IPC),
-    # the recommended hot path for the token pipeline
-    def token_fused():
-        t = tok.generate_token_sequences(spark, 20000, records_per_doc=8,
-                                         partitions=cpus)
-        return tok.decode_position_arrow(t)
-
-    run("token_fused_spa", token_fused, count_positions=True)
-
-    # true micro-batch throughput: the streaming CEP pipeline end-to-end
-    # (readStream -> decode -> SPA position -> exactly-once sink), measured
-    # over committed rows. Input files are pre-materialized so only the
-    # streaming machinery is timed.
+    # true micro-batch throughput: the streaming pipeline end-to-end
+    # (readStream -> fused decode+SPA -> exactly-once sink), measured over
+    # committed rows. Input files are pre-materialized so only the
+    # streaming machinery is timed. The CEP variants (watermarked windows,
+    # stateful join, streaming dedup) are gate entries, not bench entries.
     def stream_pipeline():
         import tempfile
 
         from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
-        from solarpos_spark.streaming import pipeline as spipe
 
         d = tempfile.mkdtemp(prefix="bench_stream_")
         src, outp, ckpt = f"{d}/tok", f"{d}/out", f"{d}/ckpt"
         tok.generate_token_sequences(spark, 40000, records_per_doc=8,
                                      partitions=16).write.parquet(src)
-        stream = tok.read_token_stream(spark, src, max_files_per_trigger=4)
-        pos = spipe.position_stream(spipe.decoded_stream(stream))
+        stream = tok.read_token_stream(spark, src, max_files_per_trigger=8)
+        pos = tok.decode_position_arrow(stream)
         t0 = time.perf_counter()
         q = exactly_once_parquet_sink(pos, outp, ckpt,
                                       trigger_available_now=True)
