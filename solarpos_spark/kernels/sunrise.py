@@ -11,10 +11,18 @@ from ``SPA.calculateSunriseTransitSet``
   civil -6, nautical -12, astronomical -18 twilights for ``--twilight``),
 * nullable (NaN) event times for polar cases (SunriseTest.java:267,292).
 
-Inputs: ``day0_unix`` is Unix seconds of 0h UT of the target calendar date
-(the reference resolves the zoned input datetime to its local calendar date,
-SunriseCommand.java:84-91). Returned event times are seconds-of-day UT
-relative to ``day0_unix`` (may fall slightly outside [0, 86400)).
+Inputs: ``day0_unix`` is Unix seconds of the MIDNIGHT INSTANT of the target
+calendar date in the input's zone — i.e. wall-clock midnight minus the zone
+offset (0h UT for UTC inputs). The reference resolves the zoned input
+datetime to its local calendar date (SunriseCommand.java:84-91) and its
+library anchors the whole A.2 procedure at that zoned midnight instant, not
+at 0h UT: the A.2 day-fraction interpolation is anchor-sensitive at the
+~0.1 s level for events late in the anchored day (largest for astronomical
+dusk). Derived by bisecting the SunriseTest.java:57-64 +01:00 goldens —
+with the UT-midnight anchor 12/13 fields match and astronomical dusk reads
+22:11:25.92 UT (golden 22:11:26); with the zoned-midnight anchor all 13
+match exactly. Returned event times are seconds relative to ``day0_unix``
+(may fall slightly outside [0, 86400)).
 """
 
 from __future__ import annotations

@@ -115,7 +115,12 @@ def sunrise(
     get = lambda name, default: (F.col(name) if name in cols else F.lit(default))
     unix = F.col(ts_col).cast("long") if time_is_unix else F.unix_timestamp(F.col(ts_col))
     off = F.col(offset_col).cast("long") if offset_col and offset_col in cols else F.lit(0)
-    day0 = (F.floor((unix + off) / 86400) * 86400).cast("long")
+    # anchor = the INSTANT of the local date's midnight (wall midnight minus
+    # the zone offset), not 0h UT of that date: the reference's library runs
+    # A.2 from the zoned midnight instant, which shifts late events (astro
+    # dusk) by ~0.1 s — derived by bisecting SunriseTest.java:57-64 goldens
+    # (all 13 match only with this anchor; see kernels/sunrise.py docstring)
+    day0 = (F.floor((unix + off) / 86400) * 86400 - off).cast("long")
 
     udf = sunrise_twilight_udf if twilight else sunrise_udf
     res = udf(day0, F.col("lat").cast("double"), F.col("lon").cast("double"),

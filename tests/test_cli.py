@@ -384,9 +384,9 @@ class TestTimezoneOffsets:
         assert row["nautical_start"] == "2023-05-01T04:06:25+01:00"
         assert row["nautical_end"] == "2023-05-01T22:04:53+01:00"
         assert row["astronomical_start"] == "2023-05-01T03:01:18+01:00"
-        # astronomical_end is the known 1-second edge
-        # (tests/test_kernels.py xfail, NOTES_r1.md §1): 23:11:25 vs 26
-        assert row["astronomical_end"].startswith("2023-05-01T23:11:2")
+        # the former 1-second edge, exact since the zoned-midnight A.2
+        # anchor fix (kernels/sunrise.py docstring)
+        assert row["astronomical_end"] == "2023-05-01T23:11:26+01:00"
 
     def test_position_instant_renders_input_offset(self, spark):
         code, out = run(spark, "52.0", "25.0", "2024-01-01T12:00+01:00",

@@ -131,8 +131,12 @@ class TestSunrise:
         assert self.hms(d0, r.sunset[0, 0]) == "15:22:00"
 
     def test_golden_twilights(self):
-        # SunriseTest.java:57-64 (zone +01:00; UT values asserted here)
-        d0 = self.day0("2023-05-01")
+        # SunriseTest.java:57-64 (zone +01:00; UT values asserted here).
+        # The A.2 anchor is the ZONED midnight instant (wall midnight minus
+        # offset) — the anchor that satisfies all 13 goldens at once; a UT
+        # anchor puts astronomical dusk 0.08 s under the truncation boundary
+        # (kernels/sunrise.py docstring).
+        d0 = self.day0("2023-05-01") - 3600  # +01:00 local midnight instant
         hz = np.array([sunrise.HORIZON_SUNRISE_SUNSET, sunrise.HORIZON_CIVIL,
                        sunrise.HORIZON_NAUTICAL, sunrise.HORIZON_ASTRONOMICAL])
         r = sunrise.sunrise_transit_set(arr(d0), arr(52.49), arr(-1.89), 69.0, hz)
@@ -144,14 +148,9 @@ class TestSunrise:
         assert self.hms(d0, r.sunset[0, 2]) == "21:04:53"
         assert self.hms(d0, r.sunrise[0, 3]) == "02:01:18"
 
-    @pytest.mark.xfail(
-        reason="astronomical dusk 0.08s below the reference's truncation "
-        "boundary (22:11:25.92 vs golden 22:11:26); all 12 sibling golden "
-        "fields match exactly — see kernels/sunrise.py docstring",
-        strict=True,
-    )
     def test_golden_astronomical_dusk_second(self):
-        d0 = self.day0("2023-05-01")
+        # the round-1/2 xfail, resolved by the zoned-midnight anchor
+        d0 = self.day0("2023-05-01") - 3600
         hz = np.array([sunrise.HORIZON_ASTRONOMICAL])
         r = sunrise.sunrise_transit_set(arr(d0), arr(52.49), arr(-1.89), 69.0, hz)
         assert self.hms(d0, r.sunset[0, 0]) == "22:11:26"
