@@ -397,6 +397,45 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_docs(spark, sf_dir))
 
 
+def _q_lang_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram profile language ID (operators/text.py
+    language_id_trigram): relational trigram explode + broadcast profile
+    join + per-doc argmax with deterministic tie-break."""
+    return text.language_id_trigram(_docs(spark, sf_dir))
+
+
+def _lang_id_v2_oracle() -> str:
+    vals = ",".join(
+        f"('{lang}','{tri}',{len(tris) - i})"
+        for lang, tris in text.LANG_TRIGRAM_PROFILES.items()
+        for i, tri in enumerate(tris))
+    return f"""
+WITH prof(lang, tri, w) AS (SELECT * FROM (VALUES {vals})),
+norm AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(text),
+                     '[^{text.TRIGRAM_KEEP}]+', ' ', 'g')) || ' ' AS t
+  FROM documents),
+tri AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+  FROM norm,
+       LATERAL (SELECT unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS i)),
+sc AS (
+  SELECT doc_id, lang, sum(w) AS score
+  FROM tri JOIN prof USING (tri) GROUP BY doc_id, lang),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM sc)
+SELECT d.doc_id,
+       coalesce(b.lang, 'unknown') AS pred_lang,
+       CAST(coalesce(b.score, 0) AS BIGINT) AS score
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary column + Arrow-batched metadata
     extraction (the real decode is stubbed deterministically — no image
@@ -474,7 +513,11 @@ q AS (
                / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio,
          round(length(text) * 1.0
                / len(string_split_regex(trim(text), '\\s+')), 6) AS avg_word_len,
-         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+         CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT))))
+              + length(text)
+              - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS BIGINT) AS est_bpe_tokens
   FROM pruned
 )
 SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
@@ -1411,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_multiprobe": _q_ann_topk_multiprobe,
         "lang_id": _q_lang_id,
+        "lang_id_v2": _q_lang_id_v2,
         "multimodal_meta": _q_multimodal_meta,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_fingerprint,
@@ -1503,7 +1547,9 @@ SELECT doc_id,
              ('the','a','of','and','to','in','is'))) * 1.0 / len(words), 6)
            AS stopword_ratio,
        round(n_chars * 1.0 / len(words), 6) AS avg_word_len,
-       CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+       CAST(list_sum(list_transform(words,
+              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT))))
+            + n_punct AS BIGINT) AS est_bpe_tokens
 FROM w
 """
 
@@ -1565,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_oracle(),
         "ann_topk_multiprobe": _ann_multiprobe_oracle(),
         "lang_id": _LANG_ID_ORACLE,
+        "lang_id_v2": _lang_id_v2_oracle(),
         "multimodal_meta": _MULTIMODAL_ORACLE,
         "csv_position_lines": _csv_lines_oracle(),
         "geohash_density": _geohash_oracle(),

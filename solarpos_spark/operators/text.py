@@ -1,20 +1,48 @@
 """Text-analysis operators for training-data pipelines over `documents`.
 
-All pure JVM-side expressions (no Python in the hot path): language-ID by
-stopword voting, quality scoring (length/punctuation/stopword ratios), token
-counting (whitespace + chars/4 BPE-ish estimate), and document
-fingerprinting (normalized md5). Each has an exact ANSI-SQL oracle in
-__spark_entry__.py.
+All pure JVM-side expressions (no Python in the hot path): language-ID
+(character-trigram profile scoring, plus the simpler stopword voter),
+quality scoring (length/punctuation/stopword ratios), per-word subword
+token accounting, and document fingerprinting (normalized md5). Each has
+an exact ANSI-SQL oracle in __spark_entry__.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
 STOPWORDS_DE = ("der", "die", "das", "und", "zu", "ist", "ein")
 STOPWORDS_FR = ("le", "la", "de", "et", "un", "est", "les")
+
+#: Characters kept by trigram normalization (everything else -> space).
+#: Explicit class so the Java (Spark) and RE2 (DuckDB) regex engines agree.
+TRIGRAM_KEEP = "a-zäöüßéèêëàâîïôûùçñíóúì"
+
+#: Top character trigrams per language, most-frequent first (Cavnar-Trenkle
+#: style n-gram profiles; trigram rank lists are standard public knowledge).
+#: Weight of the i-th entry is len(list) - i, so earlier = heavier. The
+#: profile is deliberately a literal table: the scorer stays a broadcast
+#: equi-join + sum, bit-reproducible in any engine.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ed ", " an", "and", "nd ", " of", "of ",
+           " in", "ing", "ng ", "ion", "tio", " to", "to ", "er ", "at ",
+           "en ", "es ", " re", "is ", " co", "ent", "on ", " be", " wa",
+           "as ", " he", "ere"),
+    "de": ("er ", "en ", "ch ", " de", "der", "die", "ie ", "ein", " ei",
+           "ich", "nde", "sch", "ung", "cht", "das", " da", " un", "und",
+           "ten", "ber", "gen", " ge", " be", "ver", " ve", "ine", "ste",
+           "den", "rde", "hen"),
+    "fr": (" de", "de ", "es ", "le ", " le", "ent", "nt ", "la ", " la",
+           "ion", "on ", "re ", "e d", " co", "que", " qu", "ue ", "les",
+           " et", "et ", "ait", "our", " pa", "ant", "eur", "ais", " pr",
+           "ous", "ur ", "e p"),
+    "es": (" de", "de ", "os ", "la ", " la", "el ", " el", "es ", "en ",
+           " en", "nte", "do ", " co", "ado", "est", " es", "as ", "que",
+           " qu", "ue ", "ión", "ció", "aci", " se", "nto", "con", "res",
+           "sta", "ara", "por"),
+}
 
 
 def words_col(text: Column) -> Column:
@@ -24,6 +52,26 @@ def words_col(text: Column) -> Column:
 def _stopword_hits(words: Column, stopwords: tuple[str, ...]) -> Column:
     arr = F.array(*[F.lit(w) for w in stopwords])
     return F.size(F.filter(words, lambda w: F.array_contains(arr, F.lower(w))))
+
+
+def subword_token_count(words: Column, punct_count: Column) -> Column:
+    """Deterministic subword token estimate: each word contributes
+    ``max(1, ceil(len/4))`` pieces (the ~4-chars-per-BPE-token empirical
+    rate applied PER WORD, so short function words count 1 and long words
+    split — unlike the old global ceil(chars/4), which charged whitespace
+    and merged across word boundaries), plus one token per punctuation
+    mark. The aggregate's lambda touches only the element (trivial
+    arithmetic) — the array argument is evaluated once per row, so the
+    CollapseProject/lambda-CSE trap (see dedup.shingle_rows) does not
+    apply."""
+    pieces = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.length(w) / F.lit(4.0)).cast("long")),
+    )
+    return pieces + punct_count.cast("long")
 
 
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -43,7 +91,7 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(n_punct / n_chars, 6).alias("punct_ratio"),
         F.round(sw / n_words, 6).alias("stopword_ratio"),
         F.round(n_chars / n_words, 6).alias("avg_word_len"),
-        F.ceil(n_chars / F.lit(4.0)).cast("long").alias("est_bpe_tokens"),
+        subword_token_count(words, n_punct).alias("est_bpe_tokens"),
     )
 
 
@@ -68,6 +116,70 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         de.cast("long").alias("de_hits"),
         fr.cast("long").alias("fr_hits"),
         pred.alias("pred_lang"),
+    )
+
+
+def language_id_trigram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-trigram profile language ID (Cavnar-Trenkle style).
+
+    Construction (all JVM, one keyed shuffle):
+    1. normalize: lowercase, every non-letter run -> one space, pad with
+       boundary spaces (so word-initial/final trigrams exist);
+    2. trigram rows RELATIONALLY: posexplode over a position sequence +
+       ``substr`` — the normalization regex runs once per document (it sits
+       below the Generate, which is not a Project, so CollapseProject
+       cannot inline it into the per-position projection);
+    3. broadcast-join the literal (lang, trigram, weight) profile table and
+       sum weights per (doc, lang) — a map-side join + one partial-agg
+       shuffle on doc_id;
+    4. argmax per doc with a deterministic tie-break (score desc, lang
+       asc); docs with no profile hit fall back to 'unknown' via the left
+       join back to the input.
+
+    100 TB note: the explode factor is ~chars-per-doc, all map-side; the
+    only wide exchange is the (doc_id, lang) partial aggregate, bounded by
+    4 rows per doc. Beats the stopword voter wherever a text contains none
+    of the 7 memorized stopwords (pytest pins such fixtures).
+    """
+    from .dedup import spread_input
+
+    spark = df.sparkSession
+    rows = [(lang, tri, len(tris) - i)
+            for lang, tris in LANG_TRIGRAM_PROFILES.items()
+            for i, tri in enumerate(tris)]
+    prof = spark.createDataFrame(rows, "lang string, tri string, w long")
+
+    docs = spread_input(df.select("doc_id", text_col))
+    norm = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                f"[^{TRIGRAM_KEEP}]+", " ")),
+        F.lit(" "),
+    )
+    base = docs.select("doc_id", norm.alias("_norm"))
+    tri = base.selectExpr(
+        "doc_id", "_norm",
+        "posexplode(CASE WHEN length(_norm) >= 3 "
+        "THEN sequence(1, length(_norm) - 2) "
+        "ELSE CAST(array() AS array<int>) END) AS (_j, _i)",
+    ).select("doc_id", F.expr("substr(_norm, _i, 3)").alias("tri"))
+    scores = (
+        tri.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc())
+    best = (scores.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "lang", "score"))
+    return (
+        docs.select("doc_id").join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang", F.lit("unknown")).alias("pred_lang"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        )
     )
 
 

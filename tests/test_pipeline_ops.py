@@ -193,6 +193,49 @@ class TestText:
                for r in text.language_id(df).collect()}
         assert out == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
 
+    def test_language_id_trigram_beats_stopword_voter(self, spark):
+        # fixtures containing NONE of the 7 memorized stopwords per
+        # language: the voter returns 'unknown'/'en', the trigram profile
+        # scorer classifies correctly
+        df = spark.createDataFrame(
+            [(1, "Geschwindigkeitsbegrenzung beachten Fahrzeuge fahren "
+                 "langsam durch verschneite Ortschaften"),
+             (2, "Nous avons mange des croissants avec du fromage pendant "
+                 "notre voyage pour chercher quelque chose"),
+             (3, "Working overnight requires strong coffee because the "
+                 "morning meetings demand attention"),
+             (4, "Estamos buscando informacion sobre restaurantes con "
+                 "buena comida para celebrar esta noche"),
+             (5, "zzz qqq 123")],
+            "doc_id long, text string")
+        voter = {r["doc_id"]: r["pred_lang"]
+                 for r in text.language_id(df).collect()}
+        # the stopword voter fails on the de/fr/es fixtures
+        assert voter[1] == "unknown" and voter[4] == "unknown"
+        tri = {r["doc_id"]: r["pred_lang"]
+               for r in text.language_id_trigram(df).collect()}
+        assert tri == {1: "de", 2: "fr", 3: "en", 4: "es", 5: "unknown"}
+
+    def test_language_id_trigram_deterministic_tiebreak(self, spark):
+        # a doc with zero profile hits scores 0 -> unknown; ties broken by
+        # (score desc, lang asc) so re-runs are stable
+        df = spark.createDataFrame([(1, ""), (2, "kkk")],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: (r["pred_lang"], r["score"])
+               for r in text.language_id_trigram(df).collect()}
+        assert out[1] == ("unknown", 0) and out[2] == ("unknown", 0)
+
+    def test_subword_token_count_per_word(self, spark):
+        # "The cat, and the dog!" -> words pieces 1+1+1+1+1 = 5, punct 2
+        df = spark.createDataFrame(
+            [(1, "The cat, and the dog!"),
+             (2, "internationalization")],  # 20 chars -> ceil(20/4) = 5
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["est_bpe_tokens"]
+               for r in text.text_quality(df).collect()}
+        assert out[1] == 7
+        assert out[2] == 5
+
     def test_fingerprint_whitespace_invariant(self, spark):
         df = spark.createDataFrame(
             [(1, "Hello   world"), (2, "hello world ")],
