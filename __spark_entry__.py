@@ -1372,6 +1372,80 @@ def _q_stream_window_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_join_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream-stream join, gate-hashed: position rows join their
+    same-record sunrise rows on (doc_id, seq_index) with an event-time
+    range bound (streaming/pipeline.py position_sunrise_join), then the
+    exactly-once sink commits one aligned row per record. Both join sides
+    derive from the same decoded record, so every pair forms within its
+    own micro-batch; the watermark horizon exceeds the 2020-2030 synthetic
+    event span so no input row is ever late-dropped ahead of the stateful
+    join — the committed set is batch-boundary-independent. Oracle: the
+    generated SPA and A.2-sunrise SQLs joined on event_id over the
+    codec-quantized base, including the is_daylight classification.
+    """
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming import pipeline as sp
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamjoin_")
+    _astro_token_df(spark, sf_dir, limit=4000).repartition(8) \
+        .write.mode("overwrite").parquet(in_dir)
+    stream = tokens.read_token_stream(spark, in_dir, max_files_per_trigger=2)
+    joined = sp.position_sunrise_join(
+        sp.decoded_stream(stream, watermark="4000 days"))
+    q = exactly_once_parquet_sink(joined, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    committed = spark.read.parquet(out_dir)
+    return committed.select(
+        F.col("doc_id").cast("long").alias("event_id"),
+        F.round("azimuth", 5).alias("azimuth"),
+        F.round("zenith", 5).alias("zenith"),
+        "type",
+        F.unix_timestamp("sunrise").alias("sunrise_usec"),
+        F.unix_timestamp("transit").alias("transit_usec"),
+        F.unix_timestamp("sunset").alias("sunset_usec"),
+        "is_daylight",
+    )
+
+
+def _quantized_astro_base(limit: int, *, with_day0: bool = False) -> str:
+    """Codec-quantized derived-input base SQL: round-half-away-from-zero at
+    1e-5 then the same double division decode_records performs."""
+    def q(c: str) -> str:
+        return (f"(CASE WHEN {c} >= 0 THEN floor({c}*100000.0 + 0.5) "
+                f"ELSE -floor(-({c})*100000.0 + 0.5) END) / 100000.0")
+
+    day0 = (", CAST(floor(usec / 86400) * 86400 AS BIGINT) AS day0"
+            if with_day0 else "")
+    return f"""
+    SELECT event_id, {q('lat0')} AS lat, {q('lon0')} AS lon, usec,
+           0.0 AS elevation, 1013.0 AS pressure, 15.0 AS temperature,
+           69.0 AS delta_t{day0}
+    FROM (SELECT event_id,
+                 ((event_id * 37) % 14400) / 100.0 - 72.0 AS lat0,
+                 ((event_id * 73) % 36000) / 100.0 - 180.0 AS lon0,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS usec
+          FROM events WHERE event_id < {limit})
+    """
+
+
+def _stream_join_oracle() -> str:
+    base = _quantized_astro_base(4000, with_day0=True)
+    pos = _osql.spa_sql(base)
+    sr = _osql.sunrise_sql(base)
+    return f"""
+WITH pos AS ({pos}), sr AS ({sr})
+SELECT p.event_id, p.azimuth, p.zenith, s.type,
+       s.sunrise_usec, s.transit_usec, s.sunset_usec,
+       CASE WHEN s.type = 'ALL_DAY' THEN TRUE
+            WHEN s.type = 'ALL_NIGHT' THEN FALSE
+            ELSE p.usec >= s.sunrise_usec AND p.usec <= s.sunset_usec
+       END AS is_daylight
+FROM pos p JOIN sr s ON p.event_id = s.event_id
+"""
+
+
 _STREAM_DEDUP_ORACLE = """
 SELECT event_id,
        round(round(((event_id * 37) % 14400) / 100.0 - 72.0, 5), 5) AS lat,
@@ -1398,23 +1472,7 @@ WHERE ws + 3600 <= (SELECT max(usec) FROM b) - 3600
 
 
 def _stream_pos_oracle() -> str:
-    # codec quantization in SQL: round-half-away-from-zero at 1e-5 then the
-    # same double division decode_records performs — bit-identical inputs
-    def q(c: str) -> str:
-        return (f"(CASE WHEN {c} >= 0 THEN floor({c}*100000.0 + 0.5) "
-                f"ELSE -floor(-({c})*100000.0 + 0.5) END) / 100000.0")
-
-    base = f"""
-    SELECT event_id, {q('lat0')} AS lat, {q('lon0')} AS lon, usec,
-           0.0 AS elevation, 1013.0 AS pressure, 15.0 AS temperature,
-           69.0 AS delta_t
-    FROM (SELECT event_id,
-                 ((event_id * 37) % 14400) / 100.0 - 72.0 AS lat0,
-                 ((event_id * 73) % 36000) / 100.0 - 180.0 AS lon0,
-                 CAST(floor(epoch(ts)) AS BIGINT) AS usec
-          FROM events WHERE event_id < 20000)
-    """
-    inner = _osql.spa_sql(base)
+    inner = _osql.spa_sql(_quantized_astro_base(20000))
     return (f"SELECT event_id, round(lat,5) AS lat, round(lon,5) AS lon, "
             f"azimuth, zenith FROM ({inner})")
 
@@ -1478,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_position_committed": _q_stream_position_committed,
         "stream_dedup_committed": _q_stream_dedup_committed,
         "stream_window_committed": _q_stream_window_committed,
+        "stream_join_committed": _q_stream_join_committed,
     }
 
 
@@ -1631,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_position_committed": _stream_pos_oracle(),
         "stream_dedup_committed": _STREAM_DEDUP_ORACLE,
         "stream_window_committed": _STREAM_WINDOW_ORACLE,
+        "stream_join_committed": _stream_join_oracle(),
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """
