@@ -5,7 +5,13 @@ with their same-key sunrise rows, and commits exactly-once with lineage.
 
     spark-submit --py-files dist/solarpos_spark.zip jobs/token_pipeline_job.py \
         --input /data/tokens --output /data/out --checkpoint /data/ckpt \
-        [--watermark "1 hour"] [--algorithm spa] [--available-now]
+        [--watermark "1 hour"] [--algorithm spa] [--available-now] \
+        [--mode join|position]
+
+``--mode position`` runs the fused decode+position Arrow stage (one Python
+stage per micro-batch — the highest-throughput path, bench `token_fused`);
+``--mode join`` (default) runs the full CEP pipeline with the stateful
+position/sunrise join.
 
 On a cluster, drop the local master: the session builder only forces
 ``local[N]`` when no master is configured externally.
@@ -26,6 +32,7 @@ def main() -> None:
     ap.add_argument("--algorithm", default="spa", choices=["spa", "grena3"])
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--max-files-per-trigger", type=int, default=32)
+    ap.add_argument("--mode", choices=["join", "position"], default="join")
     ap.add_argument("--lineage-log", default=None)
     args = ap.parse_args()
 
@@ -49,11 +56,15 @@ def main() -> None:
 
     stream = tokens.read_token_stream(
         spark, args.input, max_files_per_trigger=args.max_files_per_trigger)
-    dec = with_observed_metrics(
-        pipeline.decoded_stream(stream, watermark=args.watermark))
-    joined = pipeline.position_sunrise_join(dec, algorithm=args.algorithm)
+    if args.mode == "position":
+        out_df = with_observed_metrics(
+            tokens.decode_position_arrow(stream, algorithm=args.algorithm))
+    else:
+        dec = with_observed_metrics(
+            pipeline.decoded_stream(stream, watermark=args.watermark))
+        out_df = pipeline.position_sunrise_join(dec, algorithm=args.algorithm)
     q = exactly_once_parquet_sink(
-        joined, args.output, args.checkpoint,
+        out_df, args.output, args.checkpoint,
         trigger_available_now=args.available_now)
     q.awaitTermination()
 

@@ -166,6 +166,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--headers", dest="headers", action="store_true",
                    default=True)
     p.add_argument("--no-headers", dest="headers", action="store_false")
+    p.add_argument("--perf", action="store_true",
+                   help="show performance statistics on stderr")
     p.add_argument("--parallel", action="store_true",
                    help="accepted for compatibility; Spark is parallel")
     # subcommand options (flat namespace — argparse subparsers fight the
@@ -266,7 +268,9 @@ def _validate_coord(c, lo: float, hi: float, name: str) -> None:
             raise CliError(f"{name} out of range [{lo}, {hi}]: {v}")
 
 
-def _render(df, command: str, ns, out) -> None:
+def _render(df, command: str, ns, out) -> int:
+    """Write the formatted result; returns the number of data rows (the
+    reference's PerformanceTracker counts emitted values)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from .sinks import formatters as fmt
@@ -276,17 +280,24 @@ def _render(df, command: str, ns, out) -> None:
     fields = fmt.POSITION_FIELDS if command == "position" else fmt.SUNRISE_FIELDS
     offset_col = "offset_sec" if "offset_sec" in df.columns else None
     if ns.format == "csv":
-        out.write(fmt.to_csv_string(df, fields, headers=ns.headers,
-                                    offset_col=offset_col))
-    elif ns.format == "json":
-        out.write(fmt.to_json_string(df, fields, offset_col=offset_col))
-    else:
-        blocks = [r["block"] for r in
-                  fmt.human_blocks(df, fields, offset_col=offset_col).collect()]
-        out.write("\n\n".join(blocks) + ("\n" if blocks else ""))
+        doc = fmt.to_csv_string(df, fields, headers=ns.headers,
+                                offset_col=offset_col)
+        out.write(doc)
+        return doc.count("\r\n") - (1 if ns.headers else 0)
+    if ns.format == "json":
+        doc = fmt.to_json_string(df, fields, offset_col=offset_col)
+        out.write(doc)
+        return doc.count("\n")
+    blocks = [r["block"] for r in
+              fmt.human_blocks(df, fields, offset_col=offset_col).collect()]
+    out.write("\n\n".join(blocks) + ("\n" if blocks else ""))
+    return len(blocks)
 
 
 def main(argv: list[str] | None = None, spark=None, out=None) -> int:
+    import time as _time
+
+    t_start = _time.perf_counter()
     argv = sys.argv[1:] if argv is None else argv
     out = out or sys.stdout
     parser = _build_parser()
@@ -345,7 +356,13 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                                   c for c in
                                   ("offset_sec", "_ord_t", "_ord_c")
                                   if c in plan.df.columns])
-            _render(res, command, ns, out)
+            n_rows = _render(res, command, ns, out)
+            if ns.perf:
+                # PerformanceTracker.printStats format (stderr)
+                secs = _time.perf_counter() - t_start
+                print("Performance: %d values in %.3f seconds (%.0f/s)"
+                      % (n_rows, secs, n_rows / secs if secs else 0.0),
+                      file=sys.stderr)
             return 0
         finally:
             if own_session:

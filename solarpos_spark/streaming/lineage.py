@@ -24,14 +24,20 @@ from pyspark.sql.streaming import StreamingQueryListener
 OBSERVATION_NAME = "solarpos_metrics"
 
 
-def with_observed_metrics(df: DataFrame) -> DataFrame:
-    """Attach in-plan metrics: row count + event-time extent per batch."""
-    return df.observe(
-        OBSERVATION_NAME,
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("event_time").alias("min_event_time"),
-        F.max("event_time").alias("max_event_time"),
-    )
+def with_observed_metrics(df: DataFrame,
+                          time_col: str = "event_time") -> DataFrame:
+    """Attach in-plan metrics: row count + event-time extent per batch.
+    Streams without an ``event_time`` column (e.g. the fused decode+position
+    stage, which carries ``unix_sec``) fall back to any present time column
+    or to count-only metrics."""
+    if time_col not in df.columns:
+        time_col = next((c for c in ("event_time", "unix_sec", "ts")
+                         if c in df.columns), None)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if time_col is not None:
+        metrics += [F.min(time_col).alias("min_event_time"),
+                    F.max(time_col).alias("max_event_time")]
+    return df.observe(OBSERVATION_NAME, *metrics)
 
 
 class LineageListener(StreamingQueryListener):

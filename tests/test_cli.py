@@ -414,3 +414,27 @@ class TestTimezoneOffsets:
         lines = [ln for ln in out.splitlines() if ln]
         assert len(lines) == 29 * 12
         assert lines[0].split(",")[5] == "2024-02-01T00:00:00+01:00"
+
+
+class TestPerfFlag:
+    def test_perf_prints_stats_to_stderr(self, spark, capsys):
+        # PerformanceTracker.printStats: "Performance: N values in S
+        # seconds (R/s)" on stderr; stdout stays clean CSV
+        import re
+
+        code, out = run(spark, "52.0", "25.0", "2024", "--step=6h",
+                        "--format=csv", "--no-headers", "--deltat=69",
+                        "--perf", "position")
+        assert code == 0
+        err = capsys.readouterr().err
+        m = re.search(
+            r"Performance: (\d+) values in \d+\.\d{3} seconds \(\d+/s\)",
+            err)
+        assert m, err
+        assert int(m.group(1)) == out.count("\r\n") == 1464  # 366 * 4
+
+    def test_no_perf_flag_no_stats(self, spark, capsys):
+        code, _ = run(spark, "52.0", "25.0", "2024-06-01T12:00:00Z",
+                      "--format=csv", "--deltat=69", "position")
+        assert code == 0
+        assert "Performance:" not in capsys.readouterr().err
