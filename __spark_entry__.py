@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solarpos_spark import oracle_sql as _osql
-from solarpos_spark.operators import dedup, similarity, text, windows
+from solarpos_spark.operators import dedup, search, similarity, text, windows
 from solarpos_spark.operators.position import position
 from solarpos_spark.operators.sunrise import sunrise
 from solarpos_spark.sources import inputs, tokens
@@ -355,6 +355,36 @@ def _q_simhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir), hash_fn="poly31")
 
 
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-<=k near-dup pairs via pigeonhole banding (Manku
+    WWW'07): equi-join on one of k+1 fingerprint pieces, popcount verify —
+    never all-pairs. poly31 62-bit family so the oracle is bit-exact."""
+    fps = dedup.simhash(_docs(spark, sf_dir), hash_fn="poly31")
+    return dedup.simhash_near_dup_pairs(fps, max_hamming=3, n_bits=62)
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (pointer-jumping min-label
+    propagation, O(log n) rounds) over the n-gram Jaccard pair graph;
+    singleton docs are their own cluster. Oracle: recursive-CTE reachable
+    minimum — the same fixpoint, schedule-independent."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                      max_shingle_df=1000)
+    return dedup.dedup_clusters(docs, pairs)
+
+
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One kept doc per near-dup cluster (longest text, doc_id tiebreak) —
+    the keep-list a corpus dedup pass actually ships. WindowGroupLimit
+    keeps the rank-1 shuffle O(clusters), not O(corpus)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                      max_shingle_df=1000)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    return dedup.canonical_docs(docs, clusters)
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs variant — the small-scale oracle; the production
     default is the bucketed query below."""
@@ -391,6 +421,151 @@ def _q_ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.ann_topk(emb, q, dim=64, k=3, n_planes=6, multiprobe=3)
+
+
+_CONTAMINATION_PROBES = ("hash join", "sort merge", "broadcast join",
+                         "columnar scan", "bloom filter")
+
+
+def _q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage screen (text.contamination_screen): broadcast-NLJ
+    substring probes over the corpus, one stream of the documents."""
+    return text.contamination_screen(_docs(spark, sf_dir),
+                                     _CONTAMINATION_PROBES)
+
+
+_CONTAMINATION_ORACLE = f"""
+WITH probes AS (
+  SELECT unnest([{", ".join("'" + p + "'" for p in sorted(set(_CONTAMINATION_PROBES)))}]) AS probe),
+hits AS (
+  SELECT d.doc_id, p.probe
+  FROM documents d JOIN probes p
+    ON contains(lower(trim(d.text)), p.probe))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       array_to_string(list_sort(list(probe)), ',') AS matched
+FROM hits GROUP BY doc_id
+"""
+
+
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing layout (curate.sequence_pack): per-shard
+    running token offsets -> fixed-capacity window placement. The running
+    sum partitions by shard, so no single-reducer global ordering."""
+    from solarpos_spark.operators.curate import sequence_pack
+
+    return sequence_pack(_docs(spark, sf_dir), capacity=256)
+
+
+_SEQUENCE_PACK_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source AS shard,
+         CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT))))
+              + length(text)
+              - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS BIGINT) AS n_tokens
+  FROM documents),
+placed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS "offset"
+  FROM base)
+SELECT doc_id, shard, n_tokens, "offset",
+       CAST("offset" // 256 AS BIGINT) AS pack_id,
+       CAST("offset" % 256 AS BIGINT) AS pack_pos,
+       ("offset" // 256) <> (("offset" + n_tokens - 1) // 256)
+         AS spans_boundary
+FROM placed
+"""
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText within-doc repetition metrics (text.py
+    repetition_stats): dup-word / top-word / top-bigram fractions."""
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+_REPETITION_STATS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents),
+pos AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+wc AS (SELECT doc_id, wd, count(*) AS c FROM pos GROUP BY 1, 2),
+wstats AS (
+  SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+         max(c) AS top_w
+  FROM wc GROUP BY 1),
+bg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgs
+  FROM w),
+bpos AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bpos GROUP BY 1, 2),
+bstats AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg FROM bc GROUP BY 1)
+SELECT ws.doc_id, CAST(ws.n_words AS BIGINT) AS n_words,
+       round(1.0 - ws.n_distinct * 1.0 / ws.n_words, 6) AS dup_word_frac,
+       round(ws.top_w * 1.0 / ws.n_words, 6) AS top_word_frac,
+       coalesce(round(bs.top_bg * 1.0 / bs.n_bigrams, 6), 0.0)
+         AS top_bigram_frac
+FROM wstats ws LEFT JOIN bstats bs ON bs.doc_id = ws.doc_id
+"""
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (similarity.ivf_topk): data-dependent coarse
+    quantization — centroids trained driver-side (deterministic seed
+    sample), corpus assignment a zero-shuffle literal projection, search
+    touches nprobe/n_centroids of the corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, q, k=3, n_centroids=16, nprobe=4)
+
+
+_IVF_TOPK_ORACLE = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings WHERE vec_id < 16),
+clist AS (SELECT list(c ORDER BY cid) AS cl, list(cn ORDER BY cid) AS cnl
+          FROM cents),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+  FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, vn, list_indexof(sc, list_max(sc)) AS list_id
+  FROM (SELECT vec_id, v, vn,
+               list_transform(range(1, 17),
+                              j -> list_dot_product(v, cl[j]) / cnl[j]) AS sc
+        FROM corpus, clist)),
+q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM corpus
+      WHERE vec_id < 10),
+qscore AS (
+  SELECT q.query_id, q.qv, q.qn, cents.cid,
+         list_dot_product(q.qv, cents.c) / cents.cn AS cs
+  FROM q, cents),
+probes AS (
+  SELECT query_id, qv, qn, cid + 1 AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, cid ASC) AS pr
+        FROM qscore)
+  WHERE pr <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, a.v) / (p.qn * a.vn), 6) AS score
+  FROM probes p JOIN assigned a
+    ON a.list_id = p.list_id AND a.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM cand)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+FROM ranked WHERE rank <= 3
+"""
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,6 +700,55 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
 FROM q
 WHERE n_words >= 20 AND stopword_ratio >= 0.02 AND avg_word_len <= 12.0
 """
+
+#: curate with near_dup='cluster': same exact-dedup + shingle CTEs, but the
+#: pruning step is recursive-CTE connected components over the pair graph
+#: with one canonical keeper per cluster (longest text, doc_id tiebreak) —
+#: mirroring dedup.dedup_clusters + dedup.canonical_docs over `uniq`.
+_CURATE_CLUSTER_ORACLE = (
+    _CURATE_ORACLE
+    .replace("WITH fp AS (", "WITH RECURSIVE fp AS (")
+    .replace(
+        """dropped AS (
+  SELECT DISTINCT doc_b AS doc_id FROM inter
+  WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5
+),
+pruned AS (
+  SELECT u.doc_id, u.text FROM uniq u
+  WHERE u.doc_id NOT IN (SELECT doc_id FROM dropped)
+),""",
+        """pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(n, r) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.n
+),
+comp AS (SELECT n, min(r) AS c FROM reach GROUP BY n),
+clusters AS (
+  SELECT u.doc_id, coalesce(cp.c, u.doc_id) AS cluster_id
+  FROM uniq u LEFT JOIN comp cp ON cp.n = u.doc_id
+),
+ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(u.text) DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN uniq u ON u.doc_id = c.doc_id
+),
+pruned AS (
+  SELECT u.doc_id, u.text FROM uniq u
+  JOIN ranked r ON r.doc_id = u.doc_id AND r.rn = 1
+),""",
+    )
+)
+assert "reach" in _CURATE_CLUSTER_ORACLE  # the .replace anchors matched
 
 
 def _q_geohash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,6 +1131,65 @@ FROM s GROUP BY split
 """
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (curate.stratified_sample):
+    the training-mix rebalancer. Hash-bucket projection + pushed filter —
+    zero shuffle; the gate aggregates the kept set per stratum."""
+    from solarpos_spark.operators.curate import stratified_sample
+
+    kept = stratified_sample(
+        _docs(spark, sf_dir),
+        {"en": 2500, "de": 10000, "fr": 10000, "es": 5000, "zh": 1250},
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_STRATIFIED_SAMPLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ((doc_id % 4294967296 + 4294967296) % 4294967296 + 7)
+           % 4294967296 AS x
+  FROM documents),
+b AS (
+  SELECT doc_id, lang,
+         ((x % 65536) * 2654435761
+          + ((x // 65536) * 2654435761) % 4294967296 * 65536)
+         % 4294967296 % 10000 AS bucket
+  FROM h),
+kept AS (
+  SELECT doc_id, lang FROM b
+  WHERE bucket < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 10000
+                           WHEN 'fr' THEN 10000 WHEN 'es' THEN 5000
+                           WHEN 'zh' THEN 1250 ELSE 0 END)
+SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM kept GROUP BY lang
+"""
+
+
+def _q_curate_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-exact curation: connected components over the near-dup pair
+    graph + one canonical doc per cluster, instead of greedy drop-greater-id
+    (operators/curate.py near_dup='cluster')."""
+    from solarpos_spark.operators.curate import curate
+
+    return curate(_docs(spark, sf_dir), near_dup="cluster")
+
+
+_BM25_QUERY = ["broadcast", "shuffle", "join"]
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over inverted postings (operators/search.py):
+    query-term filter under the explode (postings stay O(matches)),
+    broadcast per-term stats, deterministic rank cut."""
+    return search.bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=15)
+
+
 def _q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregate (all 4 grouping sets ride one Expand + two-phase
     shuffle — the full-lattice sibling of lineitem_rollup)."""
@@ -1134,6 +1417,70 @@ hashed AS (
 ),
 summed AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
 SELECT doc_id, ({fingerprint}) AS simhash FROM summed
+"""
+
+
+def _simhash_near_dup_oracle(max_hamming: int = 3, n_bits: int = 62) -> str:
+    """Mirror of dedup.simhash_near_dup_pairs over the poly31 fingerprints:
+    same pigeonhole pieces, same popcount-on-xor verify (fingerprints are
+    nonnegative 62-bit, so >> matches Spark's shiftrightunsigned)."""
+    pieces = max_hamming + 1
+    width = -(-n_bits // pieces)
+    mask = (1 << width) - 1
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS piece, "
+        f"(simhash >> {j * width}) & {mask} AS val FROM fp"
+        for j in range(pieces)
+    )
+    return f"""
+WITH fp AS ({_simhash_oracle()}),
+stacked AS ({stacked})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM stacked a JOIN stacked b
+  ON a.piece = b.piece AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+#: shared recursive-CTE prelude: n-gram Jaccard pairs -> undirected edges ->
+#: min-reachable component per node -> cluster id per document (singletons
+#: keep their own id). The fixpoint ("component = min doc_id reachable") is
+#: exactly what dedup.connected_components converges to, independent of its
+#: iteration schedule.
+_DUP_CLUSTERS_CTE = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE}),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(n, r) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.n
+),
+comp AS (SELECT n, min(r) AS c FROM reach GROUP BY n),
+clusters AS (
+  SELECT d.doc_id, coalesce(cp.c, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp cp ON cp.n = d.doc_id
+)
+"""
+
+_DUP_CLUSTERS_ORACLE = _DUP_CLUSTERS_CTE + """
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+_DEDUP_CANONICAL_ORACLE = _DUP_CLUSTERS_CTE + """
+, ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS keep_doc_id, CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE rn = 1
 """
 
 
@@ -1506,10 +1853,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_checkable": _q_minhash_lsh_checkable,
         "simhash": _q_simhash,
         "simhash_checkable": _q_simhash_checkable,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_bucketed": _q_embedding_near_dup_bucketed,
         "embedding_near_dup_multiprobe": _q_embedding_near_dup_multiprobe,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "ann_topk_multiprobe": _q_ann_topk_multiprobe,
         "lang_id": _q_lang_id,
         "lang_id_v2": _q_lang_id_v2,
@@ -1520,6 +1871,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_position_lines": _q_csv_position_lines,
         "geohash_density": _q_geohash_density,
         "curate_corpus": _q_curate,
+        "curate_corpus_cluster": _q_curate_cluster,
+        "stratified_sample": _q_stratified_sample,
+        "bm25_search": _q_bm25_search,
+        "repetition_stats": _q_repetition_stats,
+        "sequence_pack": _q_sequence_pack,
+        "contamination_screen": _q_contamination_screen,
         "props_extract": _q_props_extract,
         "customer_revenue": _q_customer_revenue,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1664,6 +2021,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "minhash_lsh_checkable": _minhash_oracle(),
         "simhash_checkable": _simhash_oracle(),
+        "simhash_near_dup": _simhash_near_dup_oracle(),
+        "dup_clusters": _DUP_CLUSTERS_ORACLE,
+        "dedup_canonical": _DEDUP_CANONICAL_ORACLE,
         "embedding_near_dup": _NEAR_DUP_ORACLE,
         "embedding_near_dup_bucketed": _near_dup_bucketed_oracle(),
         "embedding_near_dup_multiprobe": _near_dup_multiprobe_oracle(),
@@ -1675,6 +2035,13 @@ def oracle_sql() -> dict[str, str]:
         "csv_position_lines": _csv_lines_oracle(),
         "geohash_density": _geohash_oracle(),
         "curate_corpus": _CURATE_ORACLE,
+        "curate_corpus_cluster": _CURATE_CLUSTER_ORACLE,
+        "stratified_sample": _STRATIFIED_SAMPLE_ORACLE,
+        "bm25_search": search.bm25_sql_oracle(_BM25_QUERY, k=15),
+        "ivf_topk": _IVF_TOPK_ORACLE,
+        "repetition_stats": _REPETITION_STATS_ORACLE,
+        "sequence_pack": _SEQUENCE_PACK_ORACLE,
+        "contamination_screen": _CONTAMINATION_ORACLE,
         "props_extract": _PROPS_ORACLE,
         "customer_revenue": _CUSTOMER_REVENUE_ORACLE,
         "order_priority_semi": _ORDER_PRIORITY_SEMI_ORACLE,

@@ -4,16 +4,20 @@ The end-to-end shape a 100 TB text-curation job takes, as one declarative
 plan: exact dedup -> near-dup pruning -> quality gating -> token accounting.
 Every stage is a previously-tested operator; composition adds no Python.
 
-Near-dup rule (deterministic, chain-safe): a document is dropped iff it
-appears as the GREATER id of any near-duplicate pair (doc_a < doc_b drops
-doc_b). Greedy-by-id is the standard scalable choice — cluster-exact
-(connected components) would need an iterative join; at 100 TB greedy over
-LSH candidates is what production pipelines run.
+Near-dup rule: two modes, both deterministic.
+* ``near_dup='greedy'`` (default) — drop the GREATER id of every pair
+  (doc_a < doc_b drops doc_b). Chain-safe, single anti-join, the cheap
+  standard choice.
+* ``near_dup='cluster'`` — exact connected components over the pair graph
+  (dedup.connected_components, pointer-jumping min-label propagation) and
+  keep ONE canonical doc per cluster (longest text, id tiebreak). Costs
+  O(log n) iterative joins but never drops a whole chain down to nothing
+  the way greedy can when near-dup pairs form long paths.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup, text
@@ -27,6 +31,7 @@ def curate(
     min_stopword_ratio: float = 0.02,
     max_avg_word_len: float = 12.0,
     text_col: str = "text",
+    near_dup: str = "greedy",
 ) -> DataFrame:
     """Curated corpus: survivors with their token-accounting features.
 
@@ -46,8 +51,14 @@ def curate(
     # 2. near-dup pruning among survivors
     pairs = dedup.ngram_jaccard_pairs(uniq, threshold=jaccard_threshold,
                                       text_col=text_col)
-    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    pruned = uniq.join(dropped, "doc_id", "left_anti")
+    if near_dup == "cluster":
+        clusters = dedup.dedup_clusters(uniq, pairs)
+        keep = dedup.canonical_docs(uniq, clusters, text_col=text_col) \
+            .select(F.col("keep_doc_id").alias("doc_id"))
+        pruned = uniq.join(keep, "doc_id", "left_semi")
+    else:
+        dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        pruned = uniq.join(dropped, "doc_id", "left_anti")
 
     # 3. quality gate + token accounting
     feats = text.text_quality(pruned, text_col=text_col)
@@ -63,6 +74,59 @@ def curate(
 
 
 _KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+
+
+def hash_bucket(id_col, seed: int = 1, denom: int = 10000):
+    """Deterministic bucket in [0, denom) from an int64 id.
+
+    Overflow-safe to the full int64 id range: the 32x32-bit multiply by the
+    Knuth constant is split into 16-bit halves mod 2^32 (max intermediate
+    < 2^49) and both reductions use pmod, so buckets never go negative —
+    the naive (id + seed) * K wraps past id ~3.47e9 (and throws under
+    spark.sql.ansi.enabled), silently skewing assignment. For smaller ids
+    the buckets are bit-identical to the naive form (the oracle SQL mirrors
+    this construction). Pure JVM integer arithmetic, engine-portable.
+    """
+    x = F.pmod(F.pmod(id_col.cast("long"), F.lit(2**32))
+               + F.lit(int(seed)), F.lit(2**32))
+    lo = F.pmod(x, F.lit(2**16))
+    # (x - lo) is a multiple of 2^16 below 2^32: the double division is
+    # exact (< 2^53), so the cast back to long is lossless
+    hi = ((x - lo) / F.lit(2**16)).cast("long")
+    prod = F.pmod(
+        lo * F.lit(_KNUTH)
+        + F.pmod(hi * F.lit(_KNUTH), F.lit(2**32)) * F.lit(2**16),
+        F.lit(2**32),
+    )
+    return F.pmod(prod, F.lit(denom))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    default_rate: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the language-mix rebalancer.
+
+    ``rates`` maps stratum value -> keep threshold per 10,000 (e.g.
+    {'en': 2500, 'de': 10000} keeps ~25% of English and all German). A row
+    survives iff hash_bucket(id, seed) < its stratum's threshold; strata
+    absent from ``rates`` use ``default_rate``. Content- and
+    partitioning-independent (same kept set on any cluster size, any
+    re-run), composable with split_assign (different seeds decorrelate the
+    two bucketings). Pure projection + filter: zero shuffle, pushes into
+    the scan alongside other predicates.
+    """
+    bucket = hash_bucket(F.col(id_col), seed)
+    thr = F.lit(int(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == F.lit(value),
+                     F.lit(int(rate))).otherwise(thr)
+    return df.filter(bucket < thr)
 
 
 def split_assign(
@@ -84,27 +148,60 @@ def split_assign(
     projection; downstream consumers filter on ``split`` and the filter
     pushes into the scan of a split-partitioned copy.
     """
-    # Overflow-safe to the full int64 id range: the 32x32-bit multiply is
-    # split into 16-bit halves mod 2^32 (max intermediate < 2^49) and both
-    # reductions use pmod, so buckets stay in [0, 10000) for any id — the
-    # naive (id + seed) * K wraps negative past id ~3.47e9 (and throws
-    # under spark.sql.ansi.enabled), silently skewing assignment toward
-    # 'train'. For smaller ids the buckets are bit-identical to the naive
-    # form (the oracle SQL mirrors this construction).
-    x = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(2**32))
-               + F.lit(int(seed)), F.lit(2**32))
-    lo = F.pmod(x, F.lit(2**16))
-    # (x - lo) is a multiple of 2^16 below 2^32: the double division is
-    # exact (< 2^53), so the cast back to long is lossless
-    hi = ((x - lo) / F.lit(2**16)).cast("long")
-    prod = F.pmod(
-        lo * F.lit(_KNUTH)
-        + F.pmod(hi * F.lit(_KNUTH), F.lit(2**32)) * F.lit(2**16),
-        F.lit(2**32),
-    )
-    bucket = F.pmod(prod, F.lit(10000))
+    bucket = hash_bucket(F.col(id_col), seed)
     # cascading CASE, folded right-to-left: first bound > bucket wins
     expr = F.lit(None).cast("string")
     for name, bound in reversed(cuts):
         expr = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def sequence_pack(
+    df: DataFrame,
+    *,
+    capacity: int = 256,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-sequence packing layout: concatenate documents in id order
+    and cut fixed-``capacity`` token windows; emit each document's placement.
+
+    The tokens-per-doc measure is the deterministic per-word subword count
+    (text.subword_token_count). Documents are laid out per SHARD
+    (default: the `source` column) — the unit real pipelines pack within,
+    which also keeps the running-sum window partitioned (a global ordering
+    would serialize the shuffle into one reducer at corpus scale; per-shard
+    it parallelizes across shards and stays deterministic).
+
+    Output per doc: (doc_id, shard, n_tokens, offset, pack_id, pack_pos,
+    spans_boundary) where offset is the running token start within the
+    shard, pack_id = offset // capacity, pack_pos = offset % capacity, and
+    spans_boundary flags docs crossing a window cut (the ones an
+    attention-masking loader treats specially).
+    """
+    from .text import subword_token_count, words_col
+
+    words = words_col(F.col(text_col))
+    n_punct = (F.length(F.col(text_col))
+               - F.length(F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(shard_col).alias("shard"),
+        subword_token_count(words, n_punct).alias("n_tokens"),
+    )
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    placed = base.withColumn(
+        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))
+    # integer division (`div`) on both sides — exact for any int64 offset,
+    # unlike a double floor (and DuckDB's CAST(double AS BIGINT) rounds
+    # where Spark's truncates, so float division would diverge)
+    cap = int(capacity)
+    return placed.select(
+        "doc_id", "shard", "n_tokens", "offset",
+        F.expr(f"`offset` div {cap}").alias("pack_id"),
+        F.pmod(F.col("offset"), F.lit(cap)).cast("long").alias("pack_pos"),
+        F.expr(f"`offset` div {cap} != (`offset` + n_tokens - 1) div {cap}")
+         .alias("spans_boundary"),
+    )

@@ -258,6 +258,62 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    fps: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_bits: int = 62,
+    fp_col: str = "simhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding (the standard web-scale construction, Manku et al.
+    WWW'07 "Detecting Near-Duplicates for Web Crawling"): split the
+    fingerprint into ``max_hamming + 1`` contiguous bit pieces — any pair
+    within Hamming distance k must agree EXACTLY on at least one piece — so
+    candidates come from an equi-join on (piece_index, piece_value), never
+    an all-pairs scan. The verify step is one JVM popcount on the XOR.
+
+    Scale shape: one explode (pieces per doc), one keyed shuffle on the
+    piece value, distinct on the surviving pairs. Identical topology to
+    lsh_candidate_pairs; piece skew (a common piece value — e.g. the
+    all-zero piece from short docs) is bounded because each piece carries
+    ~n_bits/(k+1) >= 15 bits of fingerprint.
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    pieces = max_hamming + 1
+    width = (n_bits + pieces - 1) // pieces
+    mask = (1 << width) - 1
+    fp = F.col(fp_col)
+    piece_structs = [
+        F.struct(
+            F.lit(j).alias("piece"),
+            F.shiftrightunsigned(fp, j * width).bitwiseAND(F.lit(mask)).alias("val"),
+        )
+        for j in range(pieces)
+    ]
+    stacked = fps.select(
+        F.col(id_col).alias("doc_id"), fp.alias("_fp"),
+        F.explode(F.array(*piece_structs)).alias("pp"),
+    ).select("doc_id", "_fp", "pp.piece", "pp.val")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
+    return (
+        a.join(b, (F.col("a.piece") == F.col("b.piece"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame, *, text_col: str = "text",
             hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash over words: bit b set iff sum over words of sign(bit b of
@@ -297,3 +353,121 @@ def simhash(df: DataFrame, *, text_col: str = "text",
     for t in bit_terms[1:]:
         acc = acc.bitwiseOR(t)
     return summed.select("doc_id", acc.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph.
+
+    Min-label propagation with pointer jumping: each round every node takes
+    the minimum label over itself and its neighbors (one keyed join +
+    groupBy-min), then labels are compressed through themselves
+    (l <- l[l], a second self-join) — the pointer-doubling step that turns
+    O(diameter) convergence into O(log n) rounds, the property that makes
+    the iterative approach viable on a 100 TB dedup graph where a single
+    viral near-dup cluster can chain through millions of documents. Each
+    round materializes via localCheckpoint so the lineage (and the plan
+    Catalyst must optimize) stays O(1) in the iteration count.
+
+    The fixpoint is exactly "label = min doc_id reachable", independent of
+    iteration schedule — which is what the recursive-CTE SQL oracle
+    computes. Convergence is detected by an aggregate (changed == 0), so
+    the number of Spark jobs is rounds + 1, not rows.
+
+    Output: (node, component) for every node that appears in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor round: l(v) <- min(l(v), min_{u in N(v)} l(u))
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(F.col("u").alias("node"), "label")
+        )
+        stepped = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: l(v) <- l(l(v))
+        lmap = stepped.select(F.col("node").alias("_k"), F.col("label").alias("_v"))
+        jumped = (
+            stepped.join(lmap, stepped["label"] == lmap["_k"], "left")
+            .select("node", F.coalesce("_v", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """Cluster id per document: min doc_id of its near-dup component;
+    documents in no pair are their own singleton cluster. Zero extra
+    shuffle beyond connected_components + one left join on doc_id."""
+    cc = connected_components(pairs, **cc_kwargs)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One kept document per near-dup cluster: longest text wins, doc_id
+    breaks ties. rank-1 window over the cluster key — Spark plans this as
+    WindowGroupLimit (top-1 retained per partition BEFORE the shuffle), so
+    the exchange carries one row per (cluster, input partition), not the
+    whole corpus. Output: (cluster_id, keep_doc_id, n_docs)."""
+    joined = clusters.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.length(text_col).alias("_len")),
+        "doc_id",
+    )
+    win = Window.partitionBy("cluster_id").orderBy(
+        F.col("_len").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("_rn", F.row_number().over(win))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("_n").cast("long").alias("n_docs"),
+        )
+    )

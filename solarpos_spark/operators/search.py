@@ -1,0 +1,129 @@
+"""Keyword search: inverted postings + BM25 ranking over the corpus.
+
+The retrieval primitive a training-data pipeline uses for targeted corpus
+audits ("find the documents about X that survived curation") and for
+building seed sets. Whole pipeline is JVM expressions — explode, two hash
+aggregations, one broadcast of per-term stats — no Python in the hot path.
+
+Scale shape (100 TB corpus, q query terms):
+* the query-term filter lands directly under the explode, so the postings
+  relation is O(matching tokens), never O(corpus tokens);
+* per-doc length and the global avgdl/N are separate aggregations over the
+  corpus — at scale these are precomputed once per corpus version and
+  reused across queries (pass ``doc_stats=``);
+* per-term document frequencies aggregate the tiny filtered postings;
+* the final score needs only (candidate doc x query term) rows — the
+  global top-k sort runs over candidate docs only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def doc_length_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, dl) token counts — the reusable per-corpus statistic."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("dl"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    doc_stats: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))        (Robertson/Lucene)
+    score  = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Output: (rank, doc_id, score) with score rounded to 6 decimals; ties
+    broken by doc_id so the cut is deterministic across engines. The rank
+    window is unpartitioned but runs over candidate docs only (those
+    containing >= 1 query term) — bounded by the postings filter, not the
+    corpus.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    if doc_stats is None:
+        doc_stats = doc_length_stats(docs, text_col=text_col)
+
+    # corpus scalars: one row each, joined by broadcast cross-join
+    scalars = doc_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    # postings restricted to query terms BEFORE any aggregation
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    n, avgdl = F.col("n_docs"), F.col("avgdl")
+    idf = F.log(F.lit(1.0) + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doc_stats, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            (idf * F.col("tf") * (k1 + 1.0)
+             / (F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / avgdl))).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c"), 6).alias("score"))
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+    )
+
+
+def bm25_sql_oracle(query_terms: list[str], *, k: int = 10, k1: float = 1.2,
+                    b: float = 0.75, src: str = "documents") -> str:
+    """DuckDB mirror of bm25_topk — same tokenization, same float chain."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH dl AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
+  FROM {src}),
+scalars AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM {src}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({in_list}) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({k1} + 1.0)
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), scalars s),
+scored AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY 1),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM ranked
+WHERE rank <= {k}
+"""

@@ -8,6 +8,8 @@ same-bucket pairs (the shuffle is keyed by bucket, never all-pairs).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -232,3 +234,113 @@ def embedding_near_duplicates(
                         / (F.col("_na") * F.col("_nb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """IVF 'training': deterministic centroid set = the embeddings of the
+    ``n_centroids`` lowest ids, collected driver-side with their norms.
+
+    IVF splits into a train phase (tiny: centroids live on the driver, like
+    faiss's index.train) and an add/search phase that is pure distributed
+    expression code. The deterministic seed-sample stands in for k-means —
+    the PLAN shape (zero-shuffle assignment, list-pruned search) is the
+    production structure; a better codebook only changes these literals.
+    The norm uses the same left-fold double accumulation as _norm so SQL
+    mirrors bit-match.
+    """
+    rows = (corpus.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col).collect())
+    out = []
+    for r in sorted(rows, key=lambda r: r[0]):
+        vec = [float(x) for x in r[1]]
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        out.append((int(r[0]), vec, math.sqrt(acc)))
+    return out
+
+
+def _centroid_scores(vec: Column, cents) -> Column:
+    """Array of dot(vec, c_j)/||c_j|| against the literal codebook."""
+    return F.array(*[
+        _dot(vec, F.array(*[F.lit(v) for v in c])) / F.lit(cn)
+        for _, c, cn in cents
+    ])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into centroid
+    lists, search only the ``nprobe`` lists nearest each query.
+
+    The complement of the hyperplane-LSH path (ann_topk): data-dependent
+    partitioning instead of data-oblivious, the recall dial is nprobe
+    instead of n_planes. Corpus-side assignment is a ZERO-SHUFFLE literal
+    projection (argmax over the literal codebook scores — first index wins
+    FP ties, same rule as SQL list_indexof); only the (tiny) query side
+    derives its probe set relationally. The candidate join shuffles the
+    corpus once, keyed by list_id — at 10^9 vectors the fraction scanned is
+    nprobe/n_centroids, the IVF contract.
+
+    Output: (query_id, rank, neighbor_id, score), deterministic ties.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_centroids=n_centroids,
+                                  id_col=id_col, vec_col=vec_col)
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    # 1-based argmax, first occurrence on ties (matches list_indexof)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
+        F.array_position(scores, F.array_max(scores)).alias("list_id"),
+    )
+    # query probe sets: rank the codebook relationally (tiny side)
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(pd.DataFrame(
+        {"cid": [c[0] for c in centroids],
+         "cvec_c": [c[1] for c in centroids],
+         "cn_c": [c[2] for c in centroids]}))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    qscored = q.crossJoin(F.broadcast(cdf)).select(
+        "query_id", "qvec", "_qn", "cid",
+        (_dot(F.col("qvec"), F.col("cvec_c")) / F.col("cn_c")).alias("_cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col("cid").asc())
+    probes = (qscored.withColumn("_pr", F.row_number().over(wq))
+              .filter(F.col("_pr") <= nprobe)
+              .select("query_id", "qvec", "_qn",
+                      (F.col("cid") + 1).alias("list_id")))
+    scored = (
+        assigned.join(F.broadcast(probes),
+                      (assigned.list_id == probes.list_id)
+                      & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id",
+                F.round(_dot(F.col("qvec"), F.col("cvec"))
+                        / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))

@@ -190,3 +190,91 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = spread_input(df.select("doc_id", text_col))
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select(F.col("doc_id"), F.md5(norm).alias("fingerprint"))
+
+
+def repetition_stats(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Within-document repetition metrics (the Gopher/MassiveText quality
+    rules: published filters drop docs whose top-bigram or duplicate-word
+    fractions are extreme — boilerplate, keyword stuffing, scraper loops).
+
+    Per document: duplicate-word fraction (1 - distinct/total), top-word
+    fraction, top-bigram fraction. Relational construction: one posexplode
+    of the words array, bigrams via lead() windows (the shingle_rows
+    pattern — never a higher-order lambda over the text), then two-level
+    hash aggregation (doc_id, token) -> doc_id. Both exchanges key on
+    doc_id first, so the wide shuffle is bounded by distinct tokens per
+    doc, with map-side partial aggregation. Fractions round to 6 decimals
+    (engine-portable); single-word docs have no bigrams -> 0.0.
+    """
+    from .dedup import spread_input
+
+    docs = spread_input(df.select("doc_id", text_col))
+    wd = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"))
+    pos = wd.selectExpr("doc_id", "posexplode(_w) AS (_p, wd)")
+    win = Window.partitionBy("doc_id").orderBy("_p")
+    big = (pos.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("wd"), F.lead("wd", 1).over(win)).alias("bg"),
+            F.lead("wd", 1).over(win).isNotNull().alias("_full"))
+           .filter(F.col("_full")))
+    wstats = (pos.groupBy("doc_id", "wd").agg(F.count(F.lit(1)).alias("c"))
+              .groupBy("doc_id")
+              .agg(F.sum("c").alias("n_words"),
+                   F.count(F.lit(1)).alias("n_distinct"),
+                   F.max("c").alias("top_w")))
+    bstats = (big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+              .groupBy("doc_id")
+              .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg")))
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6)
+             .alias("dup_word_frac"),
+            F.round(F.col("top_w") / F.col("n_words"), 6)
+             .alias("top_word_frac"),
+            F.coalesce(
+                F.round(F.col("top_bg") / F.col("n_bigrams"), 6), F.lit(0.0))
+             .alias("top_bigram_frac"),
+        )
+    )
+
+
+def contamination_screen(
+    df: DataFrame,
+    probes: tuple[str, ...],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination screen: which documents contain any of the
+    probe phrases (the eval-set n-grams a training corpus must not leak).
+
+    Relational form: the probe set is a tiny broadcast relation joined with
+    a substring-containment predicate — a broadcast nested-loop join that
+    streams the corpus ONCE and tests |probes| literals per row, JVM-side
+    (this is the one place BroadcastNestedLoopJoin is the right plan: the
+    build side is a handful of phrases). The lowercase projection sits
+    below the join so it folds once per document, not once per probe pair.
+    Output: (doc_id, n_hits, matched) with matched = sorted
+    comma-joined probe list; only contaminated docs are returned.
+    """
+    from .dedup import spread_input
+
+    spark = df.sparkSession
+    pdf = spark.createDataFrame([(p.lower(),) for p in sorted(set(probes))],
+                                "probe string")
+    docs = spread_input(df.select("doc_id", text_col)).select(
+        "doc_id", F.lower(F.trim(F.col(text_col))).alias("_lt"))
+    hits = docs.join(F.broadcast(pdf),
+                     F.expr("contains(_lt, probe)"))
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.array_join(F.sort_array(F.collect_list("probe")), ",")
+              .alias("matched"))
+        .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"),
+                "matched")
+    )

@@ -111,14 +111,33 @@ def _u01(x: np.ndarray) -> np.ndarray:
     return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def decode_tokens(df: DataFrame) -> DataFrame:
+def decode_tokens(df: DataFrame,
+                  fields: tuple[str, ...] | None = None) -> DataFrame:
     """tokens array<int32> -> one row per encoded record (S5 paired scan).
 
     Fully vectorized per Arrow batch: one concatenate + reshape + np.repeat;
     no per-row Python beyond list extraction. ``seq_index`` preserves the
     in-sequence order (the reference's encounter-order determinism,
     CsvFormatter.java:55) without any global sort.
+
+    ``fields`` prunes the EMITTED columns (doc_id always included): a
+    mapInArrow stage is a black box to Catalyst, so the column pruning the
+    optimizer does for free on JVM operators must be requested explicitly
+    here. The decode arithmetic is cheap numpy either way — what pruning
+    saves is Arrow IPC bytes, the memory-bandwidth component that caps
+    scaling at high parallelism (an aggregation consuming 3 of the 11
+    columns ships ~1/3 the bytes; measured on the window_agg scaling job).
     """
+    names_all = [f.split()[0] for f in DECODED_SCHEMA.split(", ")]
+    if fields is None:
+        keep = names_all
+    else:
+        bad = set(fields) - set(names_all)
+        if bad:
+            raise ValueError(f"unknown decoded fields: {sorted(bad)}")
+        keep = [n for n in names_all if n == "doc_id" or n in fields]
+    types = dict(f.split() for f in DECODED_SCHEMA.split(", "))
+    out_schema = ", ".join(f"{n} {types[n]}" for n in keep)
 
     def explode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -137,31 +156,29 @@ def decode_tokens(df: DataFrame) -> DataFrame:
             if total == 0:
                 continue
             flat = flat_vals[offsets[0]:offsets[-1]].reshape(-1, codec.TOKENS_PER_RECORD)
-            fields = codec.decode_records(flat)
             doc_idx = np.repeat(np.arange(batch.num_rows), counts)
             doc_ids = batch.column(names.index("doc_id")).take(pa.array(doc_idx))
             ends = np.cumsum(counts)
             seq_index = (np.arange(total) - np.repeat(ends - counts, counts)).astype(np.int32)
+            decoded = codec.decode_records(flat)
+            cols = {
+                "doc_id": lambda: doc_ids,
+                "seq_index": lambda: pa.array(seq_index),
+                "lat": lambda: pa.array(decoded["lat"]),
+                "lon": lambda: pa.array(decoded["lon"]),
+                "unix_sec": lambda: pa.array(decoded["unix_sec"]),
+                "offset_sec": lambda: pa.array(decoded["offset_sec"],
+                                               type=pa.int32()),
+                "delta_t": lambda: pa.array(decoded["delta_t"]),
+                "elevation": lambda: pa.array(decoded["elevation"]),
+                "pressure": lambda: pa.array(decoded["pressure"]),
+                "temperature": lambda: pa.array(decoded["temperature"]),
+                "flags": lambda: pa.array(decoded["flags"], type=pa.int32()),
+            }
             yield pa.RecordBatch.from_arrays(
-                [
-                    doc_ids,
-                    pa.array(seq_index),
-                    pa.array(fields["lat"]),
-                    pa.array(fields["lon"]),
-                    pa.array(fields["unix_sec"]),
-                    pa.array(fields["offset_sec"], type=pa.int32()),
-                    pa.array(fields["delta_t"]),
-                    pa.array(fields["elevation"]),
-                    pa.array(fields["pressure"]),
-                    pa.array(fields["temperature"]),
-                    pa.array(fields["flags"], type=pa.int32()),
-                ],
-                names=["doc_id", "seq_index", "lat", "lon", "unix_sec",
-                       "offset_sec", "delta_t", "elevation", "pressure",
-                       "temperature", "flags"],
-            )
+                [cols[n]() for n in keep], names=list(keep))
 
-    return df.mapInArrow(explode, schema=DECODED_SCHEMA)
+    return df.mapInArrow(explode, schema=out_schema)
 
 
 FUSED_POSITION_SCHEMA = (

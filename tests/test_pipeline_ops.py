@@ -317,3 +317,239 @@ class TestSplitAssign:
                & (F.col("split") != "val"))
             | ((F.col("b") >= 9900) & (F.col("split") != "test"))).count()
         assert mism == 0
+
+
+class TestSimhashNearDup:
+    def test_planted_near_dups_found(self, spark):
+        # doc 2 = doc 1 with one word changed; doc 3 unrelated
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+        rows = [(1, base), (2, base.replace("delta", "omega")),
+                (3, "completely different words about other topics entirely "
+                    "with no shared vocabulary at all whatsoever here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = dedup.simhash(df, hash_fn="poly31")
+        pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+                 for r in dedup.simhash_near_dup_pairs(
+                     fps, max_hamming=10, n_bits=62).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_hamming_exact_vs_bruteforce(self, docs, spark):
+        fps = dedup.simhash(docs.filter(F.col("doc_id") < 40),
+                            hash_fn="poly31")
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in dedup.simhash_near_dup_pairs(
+                   fps, max_hamming=6, n_bits=62).collect()}
+        rows = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+        ids = sorted(rows)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(rows[a] ^ rows[b]).count("1")
+                if h <= 6:
+                    want[(a, b)] = h
+        assert got == want  # banding loses nothing within the radius
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        # chain 1-2-3-4-5 (diameter 4: needs pointer jumping or >1 round),
+        # island pair 10-11, singleton 20 absent from pairs
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+            "doc_a long, doc_b long")
+        cc = {r["node"]: r["component"]
+              for r in dedup.connected_components(pairs).collect()}
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges_logarithmically(self, spark):
+        # 64-node chain: min-label alone needs 63 rounds; pointer jumping
+        # must land well under the max_iter=12 budget we give it
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "doc_a long, doc_b long")
+        cc = dedup.connected_components(pairs, max_iter=12)
+        comps = {r["component"] for r in cc.collect()}
+        assert comps == {0}
+
+    def test_clusters_include_singletons(self, spark):
+        docs_df = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(6)], "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 4)], "doc_a long, doc_b long")
+        cl = {r["doc_id"]: r["cluster_id"]
+              for r in dedup.dedup_clusters(docs_df, pairs).collect()}
+        assert cl == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 5}
+
+    def test_canonical_longest_then_id(self, spark):
+        docs_df = spark.createDataFrame(
+            [(1, "short"), (2, "the longest text here"), (3, "mid text"),
+             (4, "equal-len"), (5, "equal-len")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long")
+        clusters = dedup.dedup_clusters(docs_df, pairs)
+        out = {r["cluster_id"]: (r["keep_doc_id"], r["n_docs"])
+               for r in dedup.canonical_docs(docs_df, clusters).collect()}
+        assert out[1] == (2, 3)   # longest text wins
+        assert out[4] == (4, 2)   # equal length -> lowest doc_id
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, spark):
+        from solarpos_spark.operators.curate import stratified_sample
+
+        df = spark.range(20_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"))
+        kept = stratified_sample(df, {"en": 2500, "de": 10000})
+        counts = {r["lang"]: r["n"] for r in
+                  kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        assert counts["de"] == 10_000          # rate 10000/10000 keeps all
+        assert 0.22 <= counts["en"] / 10_000 <= 0.28
+        # stable under repartitioning (content/partitioning independence)
+        again = stratified_sample(df.repartition(13), {"en": 2500, "de": 10000})
+        assert again.select("doc_id").exceptAll(kept.select("doc_id")).count() == 0
+        # stratum absent from rates -> default_rate=0 drops it
+        extra = df.withColumn("lang", F.lit("xx"))
+        assert stratified_sample(extra, {"en": 2500}).count() == 0
+
+    def test_curate_cluster_mode_keeps_canonical(self, spark):
+        from solarpos_spark.operators.curate import curate
+
+        filler = ("the quick brown fox jumps over the lazy dog and then "
+                  "runs far away into the green hills of the north " * 3)
+        # 1 and 2 near-dup chain; 2 is longest -> cluster mode keeps 2,
+        # greedy mode keeps 1 (drops the greater id of the pair)
+        rows = [(1, filler), (2, filler + "with a small extra tail of words"),
+                (3, "an unrelated document " + filler.replace("fox", "owl")
+                    .replace("dog", "cat").replace("green", "blue"))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        greedy = {r["doc_id"] for r in curate(df).collect()}
+        cluster = {r["doc_id"] for r in
+                   curate(df, near_dup="cluster").collect()}
+        assert 1 in greedy and 2 not in greedy
+        assert 2 in cluster and 1 not in cluster
+
+
+class TestBM25:
+    def test_ranking_and_candidates(self, spark):
+        from solarpos_spark.operators.search import bm25_topk
+
+        rows = [
+            (1, "shuffle shuffle shuffle join broadcast pad pad pad"),
+            (2, "shuffle join pad pad pad pad pad pad pad pad pad pad"),
+            (3, "completely unrelated text with no query words at all"),
+            (4, "join pad pad pad pad pad pad pad"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bm25_topk(df, ["shuffle", "broadcast", "join"], k=10).collect()
+        ids = [r["doc_id"] for r in out]
+        assert 3 not in ids                 # no query term -> not a candidate
+        assert ids[0] == 1                  # most matches, shortest-ish
+        assert out[0]["rank"] == 1
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_idf_downweights_common_terms(self, spark):
+        from solarpos_spark.operators.search import bm25_topk
+
+        # 'pad' occurs in every doc -> ~zero idf; a doc matching only 'pad'
+        # must rank below a doc matching the rare term
+        rows = [(i, "pad filler words here") for i in range(1, 9)]
+        rows += [(9, "rare pad filler words"), (10, "pad pad pad pad")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bm25_topk(df, ["rare", "pad"], k=3).collect()
+        assert out[0]["doc_id"] == 9
+
+
+class TestIVF:
+    def test_ivf_finds_planted_neighbor(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((40, 16)).astype("float32")
+        base[25] = base[30] * 0.97 + 0.01  # plant: 30's near-identical twin
+        rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id") == 30)
+        out = similarity.ivf_topk(df, q, k=1, n_centroids=8, nprobe=8)
+        r = out.collect()
+        assert len(r) == 1 and r[0]["neighbor_id"] == 25
+        # nprobe = n_centroids probes every list -> must equal brute force
+        bf = similarity.brute_force_topk(df, q, k=1).collect()
+        assert r[0]["neighbor_id"] == bf[0]["neighbor_id"]
+        assert r[0]["score"] == bf[0]["score"]
+
+    def test_ivf_prunes_lists(self, emb, spark):
+        # with nprobe=1 every candidate's list must be the query's top list
+        out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 4),
+                                  k=50, n_centroids=8, nprobe=1)
+        cents = similarity.ivf_centroids(emb, n_centroids=8)
+        scores = similarity._centroid_scores(F.col("embedding"), cents)
+        assigned = emb.select(
+            F.col("vec_id"),
+            F.array_position(scores, F.array_max(scores)).alias("list_id"))
+        joined = (out.join(assigned.withColumnRenamed("vec_id", "neighbor_id"),
+                           "neighbor_id")
+                  .join(assigned.withColumnRenamed("vec_id", "query_id")
+                        .withColumnRenamed("list_id", "qlist"), "query_id"))
+        # neighbor lists may differ from the query's own list only if the
+        # query's nearest centroid differs from its assignment tie-break --
+        # but with nprobe=1 all candidates share ONE list per query
+        per_q = joined.groupBy("query_id").agg(
+            F.countDistinct("list_id").alias("nl"))
+        assert all(r["nl"] == 1 for r in per_q.collect())
+
+
+class TestRepetitionStats:
+    def test_planted_repetition(self, spark):
+        rows = [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "all words here are fully distinct tokens friend"),
+            (3, "one"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+        assert out[1]["dup_word_frac"] == round(1 - 1 / 8, 6)
+        assert out[1]["top_word_frac"] == 1.0
+        assert out[1]["top_bigram_frac"] == 1.0
+        assert out[2]["dup_word_frac"] == 0.0
+        assert out[2]["top_word_frac"] == 0.125
+        assert out[3]["top_bigram_frac"] == 0.0   # no bigrams in 1-word doc
+
+
+class TestSequencePack:
+    def test_layout_invariants(self, spark):
+        from solarpos_spark.operators.curate import sequence_pack
+
+        rows = [(i, "s0" if i < 6 else "s1",
+                 "word " * (30 + i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = sequence_pack(df, capacity=64).orderBy("shard", "doc_id").collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, docs in by_shard.items():
+            # offsets are the exclusive running sum, starting at 0
+            run = 0
+            for r in docs:
+                assert r["offset"] == run
+                assert r["pack_id"] == run // 64
+                assert r["pack_pos"] == run % 64
+                assert r["spans_boundary"] == (
+                    run // 64 != (run + r["n_tokens"] - 1) // 64)
+                run += r["n_tokens"]
+
+
+class TestContaminationScreen:
+    def test_probe_hits(self, spark):
+        rows = [(1, "uses a Hash Join and a bloom filter"),
+                (2, "clean text with nothing of interest"),
+                (3, "BROADCAST JOIN everywhere")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in text.contamination_screen(
+            df, ("hash join", "broadcast join", "bloom filter")).collect()}
+        assert set(out) == {1, 3}
+        assert out[1]["n_hits"] == 2
+        assert out[1]["matched"] == "bloom filter,hash join"
+        assert out[3]["matched"] == "broadcast join"

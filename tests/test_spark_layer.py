@@ -100,6 +100,23 @@ class TestTokenCodec:
             assert r["delta_t"] == 69.0
             assert 0 <= r["seq_index"] < 4
 
+    def test_field_pruned_decode_matches_full(self, spark):
+        """fields= must change only the emitted columns, never the values
+        (the manual column pruning an Arrow stage needs, since Catalyst
+        cannot prune through mapInArrow)."""
+        t = tokens.generate_token_sequences(spark, 16, records_per_doc=3)
+        full = tokens.decode_tokens(t).select(
+            "doc_id", "unix_sec", "lat").orderBy(
+            "doc_id", "unix_sec", "lat").collect()
+        pruned_df = tokens.decode_tokens(t, fields=("unix_sec", "lat"))
+        assert pruned_df.columns == ["doc_id", "lat", "unix_sec"]
+        pruned = pruned_df.select("doc_id", "unix_sec", "lat") \
+            .orderBy("doc_id", "unix_sec", "lat").collect()
+        assert [tuple(r) for r in pruned] == [tuple(r) for r in full]
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            tokens.decode_tokens(t, fields=("nope",))
+
     def test_generation_is_partition_invariant(self, spark):
         a = tokens.decode_tokens(
             tokens.generate_token_sequences(spark, 20, partitions=1)

@@ -99,9 +99,14 @@ def worker(cores: int, token_path: str) -> None:
             algorithm="spa", ts_col="unix_sec", time_is_unix=True)
 
     def window_job():
-        dec = tokens.decode_tokens(tok).withColumn(
-            "ts", F.timestamp_seconds("unix_sec")).withColumn(
-            "value", F.col("lat"))
+        # fields= prunes the Arrow stage's output to the 3 consumed columns
+        # (Catalyst cannot push column pruning through mapInArrow): same
+        # aggregate result, ~1/3 the JVM<->Python IPC bytes — the bandwidth
+        # component that capped the 16-core legs at eff 0.45 on the
+        # low-bandwidth 2026-08-17 host
+        dec = tokens.decode_tokens(tok, fields=("unix_sec", "lat")) \
+            .withColumn("ts", F.timestamp_seconds("unix_sec")) \
+            .withColumn("value", F.col("lat"))
         return tumbling_counts(dec, key_col="doc_id")
 
     fns = {"token_stream_spa": token_job, "token_fused_spa": token_fused_job,
