@@ -153,6 +153,15 @@ def main() -> None:
     run("events_pivot", lambda: qs["events_pivot"](spark, sf_dir))
     run("user_running_value",
         lambda: qs["user_running_value"](spark, sf_dir))
+    # round-3 additions: simhash pairing, CC dup clustering, BM25 search,
+    # IVF ANN, repetition metrics, packing layout (walls only — the
+    # position headline mix is unchanged)
+    run("simhash_near_dup", lambda: qs["simhash_near_dup"](spark, sf_dir))
+    run("dup_clusters", lambda: qs["dup_clusters"](spark, sf_dir))
+    run("bm25_search", lambda: qs["bm25_search"](spark, sf_dir))
+    run("ivf_topk", lambda: qs["ivf_topk"](spark, sf_dir))
+    run("repetition_stats", lambda: qs["repetition_stats"](spark, sf_dir))
+    run("sequence_pack", lambda: qs["sequence_pack"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({
