@@ -568,6 +568,16 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_ivf_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same IVF search with the vectorized fold-ordered Arrow assignment
+    (similarity.ivf_assign_arrow) — shares the expression path's oracle
+    verbatim, which PROVES the two implementations are bit-identical."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, q, k=3, n_centroids=16, nprobe=4,
+                               assign="arrow")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_docs(spark, sf_dir))
 
@@ -1861,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_multiprobe": _q_embedding_near_dup_multiprobe,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_arrow": _q_ivf_topk_arrow,
         "ann_topk_multiprobe": _q_ann_topk_multiprobe,
         "lang_id": _q_lang_id,
         "lang_id_v2": _q_lang_id_v2,
@@ -2039,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_ORACLE,
         "bm25_search": search.bm25_sql_oracle(_BM25_QUERY, k=15),
         "ivf_topk": _IVF_TOPK_ORACLE,
+        "ivf_topk_arrow": _IVF_TOPK_ORACLE,
         "repetition_stats": _REPETITION_STATS_ORACLE,
         "sequence_pack": _SEQUENCE_PACK_ORACLE,
         "contamination_screen": _CONTAMINATION_ORACLE,

@@ -553,3 +553,14 @@ class TestContaminationScreen:
         assert out[1]["n_hits"] == 2
         assert out[1]["matched"] == "bloom filter,hash join"
         assert out[3]["matched"] == "broadcast join"
+
+
+class TestIVFArrow:
+    def test_arrow_assignment_bit_parity(self, emb, spark):
+        q = emb.filter(F.col("vec_id") < 6)
+        a = similarity.ivf_topk(emb, q, k=4, n_centroids=8, nprobe=3) \
+            .orderBy("query_id", "rank").collect()
+        b = similarity.ivf_topk(emb, q, k=4, n_centroids=8, nprobe=3,
+                                assign="arrow") \
+            .orderBy("query_id", "rank").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
