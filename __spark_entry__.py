@@ -1766,6 +1766,77 @@ def _q_stream_join_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_CURATE_RATES = {"en": 5000, "de": 10000, "fr": 10000,
+                        "es": 10000, "zh": 10000}
+
+
+def _q_stream_curate_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming curation, gate-hashed: the documents table
+    streams in over multiple micro-batches, each doc passes the quality
+    gate + per-language stratified sampler (the batch operators' exact
+    expressions; streaming/pipeline.py curated_doc_stream), and the
+    exactly-once sink commits the kept set. No state, no watermark — a
+    doc's verdict is a pure function of the doc, so the committed rows are
+    file- and batch-order independent; the oracle is the identical batch
+    SQL over the same table."""
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming import pipeline as sp
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamcurate_")
+    _docs(spark, sf_dir).repartition(8).write.mode("overwrite") \
+        .parquet(in_dir)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("maxFilesPerTrigger", 2)
+              .parquet(in_dir))
+    kept = sp.curated_doc_stream(stream, _STREAM_CURATE_RATES)
+    q = exactly_once_parquet_sink(kept, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    # drop the sink's batch_id partition column: the gate compares VALUES,
+    # and which micro-batch committed a row is scheduling, not semantics
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "lang", "n_chars", "n_words", "stopword_ratio",
+        "est_bpe_tokens")
+
+
+_STREAM_CURATE_ORACLE = """
+WITH q AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> lower(x) IN ('the','a','of','and','to','in','is'))) * 1.0
+               / len(string_split_regex(trim(text), '\\s+')), 6)
+           AS stopword_ratio,
+         round(length(text) * 1.0
+               / len(string_split_regex(trim(text), '\\s+')), 6)
+           AS avg_word_len,
+         CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT))))
+              + length(text)
+              - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS BIGINT) AS est_bpe_tokens
+  FROM documents),
+b AS (
+  SELECT *,
+         (((((doc_id % 4294967296 + 4294967296) % 4294967296 + 7)
+            % 4294967296) % 65536) * 2654435761
+          + ((((doc_id % 4294967296 + 4294967296) % 4294967296 + 7)
+              % 4294967296) // 65536) * 2654435761 % 4294967296 * 65536)
+         % 4294967296 % 10000 AS bucket
+  FROM q)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words, stopword_ratio, est_bpe_tokens
+FROM b
+WHERE n_words >= 20 AND stopword_ratio >= 0.02 AND avg_word_len <= 12.0
+  AND bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                         WHEN 'fr' THEN 10000 WHEN 'es' THEN 10000
+                         WHEN 'zh' THEN 10000 ELSE 0 END
+"""
+
+
 def _quantized_astro_base(limit: int, *, with_day0: bool = False) -> str:
     """Codec-quantized derived-input base SQL: round-half-away-from-zero at
     1e-5 then the same double division decode_records performs."""
@@ -1903,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": _q_orders_cube,
         "stream_position_committed": _q_stream_position_committed,
         "stream_dedup_committed": _q_stream_dedup_committed,
+        "stream_curate_committed": _q_stream_curate_committed,
         "stream_window_committed": _q_stream_window_committed,
         "stream_join_committed": _q_stream_join_committed,
     }
@@ -2068,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": _ORDERS_CUBE_ORACLE,
         "stream_position_committed": _stream_pos_oracle(),
         "stream_dedup_committed": _STREAM_DEDUP_ORACLE,
+        "stream_curate_committed": _STREAM_CURATE_ORACLE,
         "stream_window_committed": _STREAM_WINDOW_ORACLE,
         "stream_join_committed": _stream_join_oracle(),
         "deltat_estimate": _DELTAT_ORACLE,

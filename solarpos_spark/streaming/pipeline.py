@@ -158,3 +158,57 @@ def position_sunrise_join(decoded: DataFrame, *, algorithm: str = "spa",
                    & (F.col("p.event_time") <= F.col("sunset")))
         .alias("is_daylight"),
     )
+
+
+def curated_doc_stream(
+    docs: DataFrame,
+    rates: dict[str, int] | None = None,
+    *,
+    min_words: int = 20,
+    min_stopword_ratio: float = 0.02,
+    max_avg_word_len: float = 12.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateless streaming curation: quality gate + stratified sampling on
+    an unbounded DOCUMENT stream (the LLM-data twin of the token CEP path).
+
+    Every stage is a pure projection/filter built from the SAME expression
+    builders as the batch operators (text.text_quality features,
+    curate.hash_bucket sampling), so committed rows are bit-identical to
+    the batch plan over the same input — which is exactly what the gate
+    entry hash-checks. No state, no watermark: a quality filter commits a
+    doc the micro-batch it arrives, at any file/batch ordering. (The
+    stateful stages of batch curate — exact/near dedup — need keyed state
+    on a stream; the exact-dedup analogue is deduped_stream.)
+    """
+    from ..operators.curate import hash_bucket
+    from ..operators.text import (STOPWORDS_EN, _stopword_hits,
+                                  subword_token_count, words_col)
+
+    words = words_col(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,!?;:]", ""))
+    n_words = F.size(words)
+    sw = _stopword_hits(words, STOPWORDS_EN)
+    feats = docs.select(
+        "doc_id", "lang",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(sw / n_words, 6).alias("stopword_ratio"),
+        F.round(n_chars / n_words, 6).alias("avg_word_len"),
+        subword_token_count(words, n_punct).alias("est_bpe_tokens"),
+    )
+    kept = feats.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("avg_word_len") <= max_avg_word_len)
+    )
+    if rates is not None:
+        thr = F.lit(0)
+        for value, rate in sorted(rates.items()):
+            thr = F.when(F.col("lang") == F.lit(value),
+                         F.lit(int(rate))).otherwise(thr)
+        kept = kept.filter(hash_bucket(F.col("doc_id"), seed=7) < thr)
+    return kept.select("doc_id", "lang", "n_chars", "n_words",
+                       "stopword_ratio", "est_bpe_tokens")
