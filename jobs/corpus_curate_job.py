@@ -1,0 +1,101 @@
+"""spark-submit entry point: the end-to-end corpus curation pipeline.
+
+The batch job a 100 TB training-data run submits: documents parquet in,
+training-ready corpus out — exact + near-dup dedup (greedy or
+cluster-exact connected components), quality gate, per-language
+stratified rebalancing, deterministic train/val/test split, and the
+sequence-packing layout — written partitioned by split so downstream
+readers prune to their split at the scan.
+
+    spark-submit --py-files dist/solarpos_spark.zip jobs/corpus_curate_job.py \
+        --input /data/documents --output /data/curated \
+        [--near-dup greedy|cluster] [--jaccard 0.5] [--capacity 2048] \
+        [--rate lang=per10k ...] [--repartition N]
+
+Every stage is a gate-checked operator (curate_corpus[_cluster],
+stratified_sample, corpus_split, sequence_pack queries); this script only
+composes them, so the composed output is as deterministic as its parts —
+content- and partitioning-independent, stable across cluster sizes.
+
+On a cluster, drop the local master: the session builder only forces
+``local[N]`` when no master is configured externally.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_rates(pairs: list[str]) -> dict[str, int]:
+    out = {}
+    for p in pairs:
+        lang, _, rate = p.partition("=")
+        out[lang] = int(rate)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--near-dup", choices=["greedy", "cluster"],
+                    default="greedy")
+    ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--capacity", type=int, default=2048,
+                    help="tokens per packed training sequence")
+    ap.add_argument("--rate", action="append", default=[],
+                    metavar="LANG=PER10K",
+                    help="per-language keep rate (default: keep all)")
+    ap.add_argument("--repartition", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from solarpos_spark.operators.curate import (curate, sequence_pack,
+                                                 split_assign,
+                                                 stratified_sample)
+    from solarpos_spark.plans.session import build_session
+
+    spark = build_session(app_name="corpus-curate")
+    docs = spark.read.parquet(args.input)
+    if args.repartition:
+        docs = docs.repartition(args.repartition)
+
+    # 1. dedup + quality gate -> surviving doc ids with token accounting
+    kept = curate(docs, jaccard_threshold=args.jaccard,
+                  near_dup=args.near_dup)
+    survivors = docs.join(kept.select("doc_id", "est_bpe_tokens"), "doc_id")
+
+    # 2. language-mix rebalancing (optional)
+    rates = parse_rates(args.rate)
+    if rates:
+        # unlisted languages keep everything (default_rate=10000): --rate
+        # only DOWN-samples the strata it names, it never silently drops
+        # the rest of the corpus
+        survivors = stratified_sample(survivors, rates, default_rate=10000)
+
+    # 3. deterministic split + packing layout, one output
+    layout = sequence_pack(survivors, capacity=args.capacity)
+    final = (split_assign(survivors)
+             .join(layout.select("doc_id", "n_tokens", "offset", "pack_id",
+                                 "pack_pos", "spans_boundary"), "doc_id"))
+
+    (final.write.mode("overwrite").partitionBy("split")
+     .parquet(args.output))
+
+    stats = (spark.read.parquet(args.output)
+             .groupBy("split")
+             .agg(F.count(F.lit(1)).alias("docs"),
+                  F.sum("n_tokens").alias("tokens"))
+             .orderBy("split").collect())
+    for r in stats:
+        print(f"split={r['split']} docs={r['docs']} tokens={r['tokens']}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -419,3 +419,37 @@ class TestStreamingDedup:
         got = spark.read.parquet(out)
         assert got.count() == n_unique  # doubled input, each record once
         assert got.select("doc_id", "seq_index").distinct().count() == n_unique
+
+
+class TestStreamingCurate:
+    def test_batch_order_independent_and_batch_parity(self, spark, tmp_path):
+        """curated_doc_stream is stateless: committed rows must be identical
+        whether the docs arrive in 1 micro-batch or 8, and must equal the
+        same expressions applied in one batch plan."""
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming import pipeline
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        src = str(tmp_path / "docs")
+        docs.repartition(8).write.parquet(src)
+        rates = {"en": 5000}
+        schema = ("doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+
+        outs = []
+        for tag, mfpt in [("one", 100), ("eight", 1)]:
+            out = str(tmp_path / f"out_{tag}")
+            ckpt = str(tmp_path / f"ckpt_{tag}")
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", mfpt).parquet(src))
+            q = exactly_once_parquet_sink(
+                pipeline.curated_doc_stream(stream, rates), out, ckpt,
+                trigger_available_now=True)
+            drain(q)
+            outs.append({tuple(r) for r in spark.read.parquet(out)
+                         .drop("batch_id").collect()})
+        assert outs[0] == outs[1] and outs[0]
+        batch = {tuple(r) for r in
+                 pipeline.curated_doc_stream(docs, rates).collect()}
+        assert outs[0] == batch
