@@ -355,6 +355,46 @@ def _q_simhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir), hash_fn="poly31")
 
 
+def _q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates -> exact Jaccard verify (dedup.minhash_verified_pairs,
+    poly31 family): the production near-dup pipeline — verify cost bounded
+    by |candidates|, reported similarity exact."""
+    return dedup.minhash_verified_pairs(_docs(spark, sf_dir),
+                                        hash_fn="poly31")
+
+
+def _minhash_verified_oracle(threshold: float = 0.5) -> str:
+    """Candidates from the minhash oracle, intersections from the shingle
+    relation, jaccard filtered — mirroring minhash_verified_pairs."""
+    return f"""
+WITH cand AS ({_minhash_oracle()}),
+w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) <= 2
+      THEN [array_to_string(ws, ' ')]
+      ELSE list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      END) AS shingles
+  FROM w),
+ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS sg FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb,
+         count(*) AS n_common
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+v AS (
+  SELECT i.* FROM inter i
+  JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+FROM v
+WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= {threshold}
+"""
+
+
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-<=k near-dup pairs via pigeonhole banding (Manku
     WWW'07): equi-join on one of k+1 fingerprint pieces, popcount verify —
@@ -1934,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_checkable": _q_minhash_lsh_checkable,
         "simhash": _q_simhash,
         "simhash_checkable": _q_simhash_checkable,
+        "minhash_verified": _q_minhash_verified,
         "simhash_near_dup": _q_simhash_near_dup,
         "dup_clusters": _q_dup_clusters,
         "dedup_canonical": _q_dedup_canonical,
@@ -2104,6 +2145,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "minhash_lsh_checkable": _minhash_oracle(),
         "simhash_checkable": _simhash_oracle(),
+        "minhash_verified": _minhash_verified_oracle(),
         "simhash_near_dup": _simhash_near_dup_oracle(),
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "dedup_canonical": _DEDUP_CANONICAL_ORACLE,

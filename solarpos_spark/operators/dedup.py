@@ -471,3 +471,56 @@ def canonical_docs(
             F.col("_n").cast("long").alias("n_docs"),
         )
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The full production near-dup pipeline: MinHash/LSH candidate
+    generation THEN exact Jaccard verification — only candidate pairs pay
+    the set-intersection cost.
+
+    ngram_jaccard_pairs alone compares every co-shingle pair (correct, but
+    the co-shingle join is the corpus-scale bottleneck); LSH alone returns
+    candidates with false positives. Composing them bounds the verify work
+    by |candidates| (the LSH recall/precision dial) while the reported
+    similarity is exact: intersection counts come from a co-shingle join
+    SEMI-restricted to candidate pairs, so the wide shingle exchange
+    aggregates only rows that can reach a candidate pair. Output:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    sigs = minhash_signatures(df, num_hashes=num_hashes, n=n,
+                              text_col=text_col, hash_fn=hash_fn)
+    cand = lsh_candidate_pairs(sigs, bands=bands,
+                               rows_per_band=rows_per_band, hash_fn=hash_fn)
+    ex = shingle_rows(df, n=n, text_col=text_col).repartition("shingle")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["doc_a", "doc_b"])   # candidates only
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(F.col("n_common")
+                        / (F.col("na") + F.col("nb") - F.col("n_common")), 6)
+                 .alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

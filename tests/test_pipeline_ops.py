@@ -564,3 +564,23 @@ class TestIVFArrow:
                                 assign="arrow") \
             .orderBy("query_id", "rank").collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestMinhashVerified:
+    def test_verified_subset_of_exact(self, docs, spark):
+        """Verified pairs = exact-jaccard pairs restricted to LSH
+        candidates: every verified pair must appear in the exhaustive
+        jaccard output with the SAME similarity, and high-sim pairs that
+        band together must survive."""
+        sub = docs.filter(F.col("doc_id") < 120)
+        exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in dedup.ngram_jaccard_pairs(
+                     sub, threshold=0.5).collect()}
+        ver = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in dedup.minhash_verified_pairs(sub).collect()}
+        assert set(ver) <= set(exact)
+        for k, v in ver.items():
+            assert exact[k] == v
+        # near-identical pairs (jaccard >= 0.9) band together w.h.p.
+        high = {k for k, v in exact.items() if v >= 0.9}
+        assert high <= set(ver)
