@@ -672,6 +672,37 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_metadata(docs)
 
 
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (multimodal.sample_frames): the exploding
+    1->N Arrow shape; every 4th 32-byte frame of the payload with a
+    checksum decode stub. ASCII payloads => the oracle recomputes spans
+    with substr + ascii sums."""
+    from solarpos_spark.operators.multimodal import sample_frames
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return sample_frames(docs, frame_bytes=32, stride=4)
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH f AS (
+  SELECT doc_id, text, strlen(text) // 32 AS n_frames
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST((n_frames + 3) // 4 AS BIGINT))) AS j
+  FROM f WHERE n_frames > 0)
+SELECT doc_id, CAST(j * 4 AS INT) AS frame_idx,
+       CAST(j * 4 * 32 AS BIGINT) AS frame_off,
+       CAST(list_sum(list_transform(
+              range(1, 33),
+              i -> CAST(ascii(substr(text, CAST(j * 4 * 32 AS INT) + i, 1))
+                   AS BIGINT)))
+         AS BIGINT) AS frame_checksum
+FROM s
+"""
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_quality(_docs(spark, sf_dir))
 
@@ -1988,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "lang_id_v2": _q_lang_id_v2,
         "multimodal_meta": _q_multimodal_meta,
+        "frame_sample": _q_frame_sample,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_fingerprint,
         "similarity_topk": _q_similarity_topk,
@@ -2157,6 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_ORACLE,
         "lang_id_v2": _lang_id_v2_oracle(),
         "multimodal_meta": _MULTIMODAL_ORACLE,
+        "frame_sample": _FRAME_SAMPLE_ORACLE,
         "csv_position_lines": _csv_lines_oracle(),
         "geohash_density": _geohash_oracle(),
         "curate_corpus": _CURATE_ORACLE,

@@ -90,3 +90,59 @@ def extract_binary_metadata(df: DataFrame, *, payload_col: str = "payload",
             )
 
     return df.mapInArrow(meta, schema=METADATA_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame_checksum long"
+
+
+def sample_frames(df: DataFrame, *, frame_bytes: int = 32, stride: int = 4,
+                  payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling over video-like binary payloads: the EXPLODING
+    (1 -> N rows) Arrow shape a real frame sampler has.
+
+    The payload is treated as ``n_bytes // frame_bytes`` fixed-size frames;
+    every ``stride``-th frame is emitted with its byte offset and an
+    additive checksum of its bytes (the deterministic stand-in for the
+    per-frame decode — swapping the checksum for an ffmpeg/PIL call changes
+    nothing in the batch plumbing). Fully vectorized: sampled-frame counts
+    via integer arithmetic, per-frame spans via one prefix-sum over the
+    flat value buffer, row replication with np.repeat — no per-row Python.
+    """
+
+    def frames(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            payload = batch.column(names.index(payload_col))
+            if isinstance(payload, pa.ChunkedArray):
+                payload = payload.combine_chunks()
+            bufs = payload.buffers()
+            all_offsets = np.frombuffer(bufs[1], dtype=np.int32)
+            offsets = all_offsets[payload.offset: payload.offset
+                                  + len(payload) + 1].astype(np.int64)
+            values = (np.frombuffer(bufs[2], dtype=np.uint8)
+                      if bufs[2] is not None else np.zeros(0, np.uint8))
+            lens = np.diff(offsets)
+            n_frames = lens // frame_bytes
+            n_sampled = (n_frames + stride - 1) // stride
+            total = int(n_sampled.sum())
+            if total == 0:
+                continue
+            row_idx = np.repeat(np.arange(batch.num_rows), n_sampled)
+            ends = np.cumsum(n_sampled)
+            within = np.arange(total) - np.repeat(ends - n_sampled, n_sampled)
+            frame_idx = (within * stride).astype(np.int32)
+            frame_off = frame_idx.astype(np.int64) * frame_bytes
+            starts = offsets[:-1][row_idx] + frame_off
+            cs = np.concatenate(([0], np.cumsum(values, dtype=np.int64)))
+            checksum = cs[starts + frame_bytes] - cs[starts]
+            ids = batch.column(names.index(id_col)).take(pa.array(row_idx))
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()), pa.array(frame_idx),
+                 pa.array(frame_off), pa.array(checksum)],
+                names=["doc_id", "frame_idx", "frame_off", "frame_checksum"],
+            )
+
+    return df.mapInArrow(frames, schema=FRAME_SCHEMA)

@@ -584,3 +584,34 @@ class TestMinhashVerified:
         # near-identical pairs (jaccard >= 0.9) band together w.h.p.
         high = {k for k, v in exact.items() if v >= 0.9}
         assert high <= set(ver)
+
+
+class TestFrameSample:
+    def test_frame_spans_and_short_payloads(self, spark):
+        from solarpos_spark.operators.multimodal import sample_frames
+
+        rows = [(1, b"A" * 100), (2, b"b" * 31), (3, b"xy" * 80)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {(r["doc_id"], r["frame_idx"]): r
+               for r in sample_frames(df, frame_bytes=32, stride=2).collect()}
+        # doc 1: 3 frames -> sampled 0, 2
+        assert (1, 0) in out and (1, 2) in out and (1, 1) not in out
+        assert out[(1, 0)]["frame_checksum"] == 65 * 32
+        assert out[(1, 2)]["frame_off"] == 64
+        # doc 2: shorter than one frame -> absent entirely
+        assert not any(d == 2 for d, _ in out)
+        # doc 3: alternating bytes, frame 0 = 16*'x' + 16*'y' interleaved
+        assert out[(3, 0)]["frame_checksum"] == 16 * (120 + 121)
+
+    def test_sliced_batch_offsets(self, spark):
+        # a filter upstream produces sliced Arrow arrays with nonzero
+        # offset — spans must still come from the right rows
+        from solarpos_spark.operators.multimodal import sample_frames
+
+        rows = [(i, bytes([i % 251]) * 64) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary") \
+            .filter(F.col("doc_id") >= 25)
+        out = sample_frames(df, frame_bytes=32, stride=1).collect()
+        assert len(out) == 25 * 2
+        for r in out:
+            assert r["frame_checksum"] == (r["doc_id"] % 251) * 32
