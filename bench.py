@@ -162,6 +162,9 @@ def main() -> None:
     run("ivf_topk", lambda: qs["ivf_topk"](spark, sf_dir))
     run("repetition_stats", lambda: qs["repetition_stats"](spark, sf_dir))
     run("sequence_pack", lambda: qs["sequence_pack"](spark, sf_dir))
+    run("minhash_verified", lambda: qs["minhash_verified"](spark, sf_dir))
+    run("frame_sample", lambda: qs["frame_sample"](spark, sf_dir))
+    run("ivf_topk_arrow", lambda: qs["ivf_topk_arrow"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({
