@@ -703,6 +703,32 @@ FROM s
 """
 
 
+def _q_resize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary->binary resize plumbing (multimodal.resize_payload): keep
+    every 8th byte, rebuild variable-size output buffers per batch. The
+    gate compares sizes + checksum (binary reprs differ across engines);
+    the thumb bytes themselves are pinned by pytest."""
+    from solarpos_spark.operators.multimodal import resize_payload
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return resize_payload(docs, factor=8).select(
+        "doc_id", "n_bytes_in", "n_bytes_out", "thumb_checksum")
+
+
+_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes_in,
+       CAST((strlen(text) + 7) // 8 AS BIGINT) AS n_bytes_out,
+       CAST(list_sum(list_transform(
+              range(0, CAST((strlen(text) + 7) // 8 AS BIGINT)),
+              i -> CAST(ascii(substr(text, CAST(i * 8 + 1 AS INT), 1))
+                   AS BIGINT)))
+         AS BIGINT) AS thumb_checksum
+FROM documents
+"""
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_quality(_docs(spark, sf_dir))
 
@@ -2020,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_v2": _q_lang_id_v2,
         "multimodal_meta": _q_multimodal_meta,
         "frame_sample": _q_frame_sample,
+        "resize_payload": _q_resize_payload,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_fingerprint,
         "similarity_topk": _q_similarity_topk,
@@ -2190,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_v2": _lang_id_v2_oracle(),
         "multimodal_meta": _MULTIMODAL_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
+        "resize_payload": _RESIZE_ORACLE,
         "csv_position_lines": _csv_lines_oracle(),
         "geohash_density": _geohash_oracle(),
         "curate_corpus": _CURATE_ORACLE,

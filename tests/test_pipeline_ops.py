@@ -615,3 +615,28 @@ class TestFrameSample:
         assert len(out) == 25 * 2
         for r in out:
             assert r["frame_checksum"] == (r["doc_id"] % 251) * 32
+
+
+class TestResizePayload:
+    def test_thumb_bytes_exact(self, spark):
+        from solarpos_spark.operators.multimodal import resize_payload
+
+        rows = [(1, bytes(range(100))), (2, b"abc"), (3, b"")]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in resize_payload(df, factor=8).collect()}
+        assert bytes(out[1]["thumb"]) == bytes(range(0, 100, 8))
+        assert out[1]["n_bytes_out"] == 13
+        assert out[1]["thumb_checksum"] == sum(range(0, 100, 8))
+        assert bytes(out[2]["thumb"]) == b"a"
+        assert out[3]["n_bytes_out"] == 0 and bytes(out[3]["thumb"]) == b""
+
+    def test_sliced_input(self, spark):
+        from solarpos_spark.operators.multimodal import resize_payload
+
+        rows = [(i, bytes([i % 256]) * (i % 40 + 1)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary") \
+            .filter(F.col("doc_id") >= 30)
+        for r in resize_payload(df, factor=4).collect():
+            n = r["doc_id"] % 40 + 1
+            want = bytes([r["doc_id"] % 256]) * ((n + 3) // 4)
+            assert bytes(r["thumb"]) == want
