@@ -703,6 +703,39 @@ FROM s
 """
 
 
+def _q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF pairwise cosine (text.tfidf_cosine_pairs): the text-native
+    similarity signal; co-term join topology, df-capped hot terms."""
+    return text.tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.9,
+                                   max_term_df=400)
+
+
+_TFIDF_PAIRS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 400),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((1.0 + nd.n) / (1.0 + dfreq.df)) AS w
+  FROM tf JOIN dfreq USING (term), nd),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9
+"""
+
+
 def _q_resize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary->binary resize plumbing (multimodal.resize_payload): keep
     every 8th byte, rebuild variable-size output buffers per batch. The
@@ -2047,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "frame_sample": _q_frame_sample,
         "resize_payload": _q_resize_payload,
+        "tfidf_pairs": _q_tfidf_pairs,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_fingerprint,
         "similarity_topk": _q_similarity_topk,
@@ -2218,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _MULTIMODAL_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "resize_payload": _RESIZE_ORACLE,
+        "tfidf_pairs": _TFIDF_PAIRS_ORACLE,
         "csv_position_lines": _csv_lines_oracle(),
         "geohash_density": _geohash_oracle(),
         "curate_corpus": _CURATE_ORACLE,

@@ -165,6 +165,7 @@ def main() -> None:
     run("minhash_verified", lambda: qs["minhash_verified"](spark, sf_dir))
     run("frame_sample", lambda: qs["frame_sample"](spark, sf_dir))
     run("ivf_topk_arrow", lambda: qs["ivf_topk_arrow"](spark, sf_dir))
+    run("tfidf_pairs", lambda: qs["tfidf_pairs"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({

@@ -278,3 +278,63 @@ def contamination_screen(
         .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"),
                 "matched")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.3,
+    max_term_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-pair cosine similarity over TF-IDF term vectors — the
+    text-native similarity complementing embedding cosine (similarity.py)
+    and set-overlap Jaccard (dedup.py); the standard clustering/dedup
+    signal when no embedding model is in the loop.
+
+    w(t, d) = tf * ln((1 + N) / (1 + df(t))); cos = <a, b> / (|a| |b|),
+    computed with the co-term join topology of ngram_jaccard_pairs: a pair
+    is scored only if it shares >= 1 term, the dot product aggregates the
+    co-term join, per-doc norms live in a small side relation joined to
+    the aggregated pairs. ``max_term_df`` drops ubiquitous terms before
+    pairing (the same hot-key shuffle guard as the shingle df cap).
+    Output: (doc_a, doc_b, cosine) with doc_a < doc_b, rounded to 6.
+    """
+    from .dedup import spread_input
+
+    docs = spread_input(df.select("doc_id", text_col))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+         .alias("term"))
+    tf = (tok.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .repartition("term"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_term_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_term_df)
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    w = (tf.join(dfreq, "term")
+         .crossJoin(F.broadcast(n_docs))
+         .select("doc_id", "term",
+                 (F.col("tf") * F.log((1.0 + F.col("n"))
+                                      / (1.0 + F.col("df")))).alias("w")))
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                 .alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -640,3 +640,26 @@ class TestResizePayload:
             n = r["doc_id"] % 40 + 1
             want = bytes([r["doc_id"] % 256]) * ((n + 3) // 4)
             assert bytes(r["thumb"]) == want
+
+
+class TestTfidfPairs:
+    def test_identical_docs_cosine_one(self, spark):
+        rows = [(1, "alpha beta gamma delta shared words"),
+                (2, "alpha beta gamma delta shared words"),
+                (3, "totally different content here now")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r["doc_a"], r["doc_b"]): r["cosine"]
+               for r in text.tfidf_cosine_pairs(df, threshold=0.0).collect()}
+        assert out[(1, 2)] == 1.0
+        assert (1, 3) not in out and (2, 3) not in out  # no shared terms
+
+    def test_idf_downweights_shared_stopword(self, spark):
+        # every doc shares 'the'; docs sharing only 'the' should score far
+        # below docs sharing a rare content word
+        rows = [(1, "the zebra"), (2, "the zebra"), (3, "the ocean"),
+                (4, "the ocean"), (5, "the plain")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r["doc_a"], r["doc_b"]): r["cosine"]
+               for r in text.tfidf_cosine_pairs(df, threshold=0.0).collect()}
+        assert out[(1, 2)] > 0.99
+        assert out[(1, 5)] < 0.2  # only 'the' in common
