@@ -395,6 +395,48 @@ WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= {threshold}
 """
 
 
+def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY-COMPOSED production dedup pass: MinHash/LSH candidates ->
+    exact-Jaccard verify -> connected components -> one canonical doc per
+    cluster. Every stage is an already-gated operator; this entry pins the
+    composition end-to-end (keep-list + cluster sizes)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_verified_pairs(docs, hash_fn="poly31")
+    clusters = dedup.dedup_clusters(docs, pairs.select("doc_a", "doc_b"))
+    return dedup.canonical_docs(docs, clusters)
+
+
+def _dedup_pipeline_oracle() -> str:
+    """Recursive-CC + canonical keep over the LSH-verified pair oracle."""
+    return f"""
+WITH RECURSIVE vpairs AS ({_minhash_verified_oracle()}),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM vpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM vpairs
+),
+reach(n, r) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.n
+),
+comp AS (SELECT n, min(r) AS c FROM reach GROUP BY n),
+clusters AS (
+  SELECT d.doc_id, coalesce(cp.c, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp cp ON cp.n = d.doc_id
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS keep_doc_id, CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE rn = 1
+"""
+
+
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-<=k near-dup pairs via pigeonhole banding (Manku
     WWW'07): equi-join on one of k+1 fingerprint pieces, popcount verify —
@@ -2065,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_checkable": _q_simhash_checkable,
         "minhash_verified": _q_minhash_verified,
+        "dedup_pipeline": _q_dedup_pipeline,
         "simhash_near_dup": _q_simhash_near_dup,
         "dup_clusters": _q_dup_clusters,
         "dedup_canonical": _q_dedup_canonical,
@@ -2239,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_checkable": _minhash_oracle(),
         "simhash_checkable": _simhash_oracle(),
         "minhash_verified": _minhash_verified_oracle(),
+        "dedup_pipeline": _dedup_pipeline_oracle(),
         "simhash_near_dup": _simhash_near_dup_oracle(),
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "dedup_canonical": _DEDUP_CANONICAL_ORACLE,

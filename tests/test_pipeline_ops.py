@@ -663,3 +663,27 @@ class TestTfidfPairs:
                for r in text.tfidf_cosine_pairs(df, threshold=0.0).collect()}
         assert out[(1, 2)] > 0.99
         assert out[(1, 5)] < 0.2  # only 'the' in common
+
+
+class TestAnsiMode:
+    def test_hash_ops_survive_ansi(self, spark):
+        """spark.sql.ansi.enabled turns silent overflow into errors: the
+        overflow-safe constructions (hash_bucket splitter/sampler, poly31
+        hashes) must run clean on full-range int64 ids under ANSI."""
+        from solarpos_spark.operators.curate import (split_assign,
+                                                     stratified_sample)
+
+        prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            big = spark.range(1000).select(
+                (F.col("id") * 7 + 2**62).alias("doc_id"),
+                F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+                 .alias("lang"),
+                F.lit("w x y z").alias("text"))
+            assert split_assign(big).groupBy("split").count().count() >= 1
+            assert stratified_sample(big, {"en": 5000, "de": 10000}).count() > 0
+            fps = dedup.simhash(big, hash_fn="poly31")
+            assert fps.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
