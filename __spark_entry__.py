@@ -1362,6 +1362,43 @@ def _q_curate_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(_docs(spark, sf_dir), near_dup="cluster")
 
 
+def _q_curate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale curation pipeline: near-dup pairs come from
+    MinHash/LSH candidates + exact-Jaccard verify (curate.py
+    near_dup_pairs='lsh' -> dedup.minhash_verified_pairs) instead of the
+    exhaustive co-shingle join — the composition a 100 TB pass runs.
+    poly31 family so every stage stays SQL-oracle checkable."""
+    from solarpos_spark.operators.curate import curate
+
+    return curate(_docs(spark, sf_dir), near_dup_pairs="lsh",
+                  hash_fn="poly31")
+
+
+def _curate_lsh_oracle() -> str:
+    """_CURATE_ORACLE with the exhaustive co-shingle `inter` CTE replaced
+    by the candidate-restricted intersection: LSH candidates computed over
+    the exact-dedup survivors (uniq), shingles of each candidate pair
+    equi-joined — mirroring the fixed minhash_verified_pairs topology."""
+    out = _CURATE_ORACLE.replace(
+        """inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb,
+         count(*) AS n_common
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),""",
+        f"""cand AS ({_minhash_oracle(source='uniq')}),
+inter AS (
+  SELECT c.doc_a, c.doc_b, a.nsh AS na, b.nsh AS nb, count(*) AS n_common
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.doc_a
+  JOIN ex b ON b.doc_id = c.doc_b AND b.sg = a.sg
+  GROUP BY 1, 2, 3, 4
+),""",
+    )
+    assert "cand AS" in out  # the .replace anchor matched
+    return out
+
+
 _BM25_QUERY = ["broadcast", "shuffle", "join"]
 
 
@@ -1515,9 +1552,12 @@ FROM b
 
 
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8,
-                    rows_per_band: int = 4) -> str:
+                    rows_per_band: int = 4,
+                    source: str = "documents") -> str:
     """Mirror of dedup.minhash_signatures/lsh_candidate_pairs with
-    hash_fn='poly31' — pure integer arithmetic, bit-identical in DuckDB."""
+    hash_fn='poly31' — pure integer arithmetic, bit-identical in DuckDB.
+    ``source`` names the (doc_id, text) relation — a table or an outer
+    CTE (DuckDB scopes outer CTEs into nested WITH bodies)."""
     P = 2147483647
     salted_mins = ", ".join(
         f"min(({(2 * i + 1) * 2654435761 % P} * h + "
@@ -1538,7 +1578,7 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8,
     return f"""
 WITH w AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
-  FROM documents
+  FROM {source}
 ),
 sh AS (
   SELECT doc_id,
@@ -2131,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_density": _q_geohash_density,
         "curate_corpus": _q_curate,
         "curate_corpus_cluster": _q_curate_cluster,
+        "curate_corpus_lsh": _q_curate_lsh,
         "stratified_sample": _q_stratified_sample,
         "bm25_search": _q_bm25_search,
         "repetition_stats": _q_repetition_stats,
@@ -2301,6 +2342,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_density": _geohash_oracle(),
         "curate_corpus": _CURATE_ORACLE,
         "curate_corpus_cluster": _CURATE_CLUSTER_ORACLE,
+        "curate_corpus_lsh": _curate_lsh_oracle(),
         "stratified_sample": _STRATIFIED_SAMPLE_ORACLE,
         "bm25_search": search.bm25_sql_oracle(_BM25_QUERY, k=15),
         "ivf_topk": _IVF_TOPK_ORACLE,

@@ -32,6 +32,9 @@ def curate(
     max_avg_word_len: float = 12.0,
     text_col: str = "text",
     near_dup: str = "greedy",
+    near_dup_pairs: str = "ngram",
+    max_shingle_df: int | None = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Curated corpus: survivors with their token-accounting features.
 
@@ -40,6 +43,20 @@ def curate(
     2. near-dup pruning — drop the greater id of every n-gram-Jaccard pair
        above ``jaccard_threshold`` (computed among exact-dedup survivors);
     3. quality gate — language-ish heuristics over the text features.
+
+    Pair generation (``near_dup_pairs``):
+    * ``'ngram'`` (default) — exhaustive co-shingle Jaccard with the
+      ``max_shingle_df`` skew guard ON by default: one stopword shingle at
+      corpus scale otherwise turns the co-shingle join into a
+      hot-partition cartesian. The cap is a no-op below the df it names
+      (the template corpora never reach it) and bounds the hottest join
+      key at 100 TB; when it fires, Jaccard is computed over the
+      informative shingles only (ngram_jaccard_pairs docstring).
+    * ``'lsh'`` — MinHash/LSH candidates then exact-Jaccard verify
+      (dedup.minhash_verified_pairs): the corpus-scale path — verify cost
+      bounded by |candidates|, never a full co-shingle self-join.
+      ``hash_fn='poly31'`` keeps the whole composition SQL-oracle
+      checkable.
     """
     # 1. exact dedup
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
@@ -49,8 +66,14 @@ def curate(
     uniq = with_fp.join(keepers, ["__fp", "doc_id"]).drop("__fp")
 
     # 2. near-dup pruning among survivors
-    pairs = dedup.ngram_jaccard_pairs(uniq, threshold=jaccard_threshold,
-                                      text_col=text_col)
+    if near_dup_pairs == "lsh":
+        pairs = dedup.minhash_verified_pairs(
+            uniq, threshold=jaccard_threshold, text_col=text_col,
+            hash_fn=hash_fn)
+    else:
+        pairs = dedup.ngram_jaccard_pairs(uniq, threshold=jaccard_threshold,
+                                          text_col=text_col,
+                                          max_shingle_df=max_shingle_df)
     if near_dup == "cluster":
         clusters = dedup.dedup_clusters(uniq, pairs)
         keep = dedup.canonical_docs(uniq, clusters, text_col=text_col) \

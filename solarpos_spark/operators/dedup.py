@@ -492,25 +492,32 @@ def minhash_verified_pairs(
     the co-shingle join is the corpus-scale bottleneck); LSH alone returns
     candidates with false positives. Composing them bounds the verify work
     by |candidates| (the LSH recall/precision dial) while the reported
-    similarity is exact: intersection counts come from a co-shingle join
-    SEMI-restricted to candidate pairs, so the wide shingle exchange
-    aggregates only rows that can reach a candidate pair. Output:
+    similarity is exact.
+
+    The candidate restriction sits BELOW the intersection aggregate —
+    Catalyst never pushes a join under an aggregate, so restricting after
+    counting would silently pay the full unrestricted co-shingle shuffle
+    (the round-3 plan bug). Instead the candidate pairs join the shingle
+    relation directly: shingles of doc_a attach per pair (keyed join on
+    doc_a), then shingles of doc_b equi-join on (doc_b, shingle) keep only
+    shingles present in BOTH docs, and the count aggregates a relation of
+    at most Σ_candidates |shingles(doc_a)| rows. No doc_id<doc_id
+    co-shingle join exists anywhere in the verify subtree. Output:
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
     sigs = minhash_signatures(df, num_hashes=num_hashes, n=n,
                               text_col=text_col, hash_fn=hash_fn)
     cand = lsh_candidate_pairs(sigs, bands=bands,
                                rows_per_band=rows_per_band, hash_fn=hash_fn)
-    ex = shingle_rows(df, n=n, text_col=text_col).repartition("shingle")
+    ex = shingle_rows(df, n=n, text_col=text_col)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = ex.alias("a"), ex.alias("b")
+    sa = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        cand.join(sa, "doc_a")            # shingles of the left doc, per pair
+        .join(sb, ["doc_b", "shingle"])   # keep shingles present in BOTH
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(cand, ["doc_a", "doc_b"])   # candidates only
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n_sh").alias("na"))

@@ -585,6 +585,22 @@ class TestMinhashVerified:
         high = {k for k, v in exact.items() if v >= 0.9}
         assert high <= set(ver)
 
+    def test_candidate_restriction_below_aggregate(self, docs, spark):
+        """The verify stage must contain NO unrestricted co-shingle
+        self-join (shingle equality + doc_id inequality on one Join): the
+        round-3 plan applied the LSH candidate filter ABOVE the
+        intersection aggregate — Catalyst never pushes a join below an
+        aggregate, so the full co-shingle shuffle ran anyway. Lock the
+        fixed shape: every shingle-keyed join is an equi-join against the
+        candidate-restricted relation."""
+        import re
+
+        plan = (dedup.minhash_verified_pairs(docs.filter(F.col("doc_id") < 80))
+                ._jdf.queryExecution().optimizedPlan().toString())
+        for line in plan.splitlines():
+            if re.search(r"shingle#\d+ = shingle#\d+", line):
+                assert not re.search(r"doc_id#\d+ < doc_id#\d+", line), line
+
 
 class TestFrameSample:
     def test_frame_spans_and_short_payloads(self, spark):
