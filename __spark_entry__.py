@@ -598,25 +598,83 @@ FROM wstats ws LEFT JOIN bstats bs ON bs.doc_id = ws.doc_id
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (similarity.ivf_topk): data-dependent coarse
-    quantization — centroids trained driver-side (deterministic seed
-    sample), corpus assignment a zero-shuffle literal projection, search
-    touches nprobe/n_centroids of the corpus."""
+    quantization with a TRAINED codebook — deterministic distributed
+    k-means (similarity.ivf_train_centroids: seeded Knuth-hash init,
+    fixed-point Lloyd rounds as relational stages), corpus assignment a
+    zero-shuffle literal projection, search touches nprobe/n_centroids of
+    the corpus. The oracle re-derives the full training in SQL."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, q, k=3, n_centroids=16, nprobe=4)
+    cents = similarity.ivf_train_centroids(emb, n_centroids=16, n_iter=3,
+                                           seed=11)
+    return similarity.ivf_topk(emb, q, k=3, n_centroids=16, nprobe=4,
+                               centroids=cents)
 
 
-_IVF_TOPK_ORACLE = """
-WITH cents AS (
-  SELECT vec_id AS cid, embedding::DOUBLE[] AS c,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
-  FROM embeddings WHERE vec_id < 16),
-clist AS (SELECT list(c ORDER BY cid) AS cl, list(cn ORDER BY cid) AS cnl
-          FROM cents),
-corpus AS (
+def _ivf_trained_cents_cte(n_centroids: int = 16, n_iter: int = 3,
+                           seed: int = 11, dim: int = 64,
+                           quant_bits: int = 20) -> str:
+    """Training CTE chain ending in cents(cid, c, cn) — the bit-exact SQL
+    mirror of similarity.ivf_train_centroids. Init = K lowest Knuth-hash
+    ranks (the stratified_sample oracle's overflow-safe construction,
+    denom 2^32); each Lloyd round = argmax assignment + FIXED-POINT int64
+    sums (order-independent, so DuckDB and Spark agree bit-for-bit) +
+    one IEEE double division per mean."""
+    K = n_centroids
+    S = f"{float(1 << quant_bits):.1f}"
+
+    def qt(d: int) -> str:
+        x = f"v[{d + 1}] * {S}"
+        return (f"CAST(CASE WHEN {x} < 0 THEN -floor(-({x}) + 0.5) "
+                f"ELSE floor({x} + 0.5) END AS BIGINT)")
+
+    sums = ",\n         ".join(f"sum({qt(d)}) AS s{d}" for d in range(dim))
+    mean = "[" + ", ".join(f"s.s{d} / ({S} * s.cnt)" for d in range(dim)) + "]"
+    parts = [f"""corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
   FROM embeddings),
+rnk AS (
+  SELECT vec_id, v,
+         ((x % 65536) * 2654435761
+          + ((x // 65536) * 2654435761) % 4294967296 * 65536)
+         % 4294967296 AS r
+  FROM (SELECT vec_id, v,
+               ((vec_id % 4294967296 + 4294967296) % 4294967296 + {seed})
+               % 4294967296 AS x
+        FROM corpus)),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY r, vec_id) - 1 AS cid, v AS c
+  FROM rnk ORDER BY r, vec_id LIMIT {K})"""]
+    for it in range(1, n_iter + 1):
+        p = it - 1
+        parts.append(f"""cl{p} AS (
+  SELECT list(c ORDER BY cid) AS cl,
+         list(sqrt(list_dot_product(c, c)) ORDER BY cid) AS cnl
+  FROM c{p}),
+a{it} AS (
+  SELECT vec_id, v, list_indexof(sc, list_max(sc)) AS list_id
+  FROM (SELECT vec_id, v,
+               list_transform(range(1, {K + 1}),
+                              j -> list_dot_product(v, cl[j]) / cnl[j]) AS sc
+        FROM corpus, cl{p})),
+s{it} AS (
+  SELECT list_id, count(*) AS cnt,
+         {sums}
+  FROM a{it} GROUP BY list_id),
+c{it} AS (
+  SELECT p.cid, CASE WHEN s.cnt IS NULL THEN p.c ELSE {mean} END AS c
+  FROM c{p} p LEFT JOIN s{it} s ON s.list_id = p.cid + 1)""")
+    parts.append(f"""cents AS (
+  SELECT cid, c, sqrt(list_dot_product(c, c)) AS cn FROM c{n_iter})""")
+    return ",\n".join(parts)
+
+
+def _ivf_topk_oracle() -> str:
+    return f"""
+WITH {_ivf_trained_cents_cte()},
+clist AS (SELECT list(c ORDER BY cid) AS cl, list(cn ORDER BY cid) AS cnl
+          FROM cents),
 assigned AS (
   SELECT vec_id, v, vn, list_indexof(sc, list_max(sc)) AS list_id
   FROM (SELECT vec_id, v, vn,
@@ -651,13 +709,16 @@ FROM ranked WHERE rank <= 3
 
 
 def _q_ivf_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same IVF search with the vectorized fold-ordered Arrow assignment
+    """Same trained-codebook IVF search with the vectorized fold-ordered
+    Arrow assignment in BOTH training and search
     (similarity.ivf_assign_arrow) — shares the expression path's oracle
     verbatim, which PROVES the two implementations are bit-identical."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.ivf_train_centroids(emb, n_centroids=16, n_iter=3,
+                                           seed=11, assign="arrow")
     return similarity.ivf_topk(emb, q, k=3, n_centroids=16, nprobe=4,
-                               assign="arrow")
+                               centroids=cents, assign="arrow")
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2345,8 +2406,8 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus_lsh": _curate_lsh_oracle(),
         "stratified_sample": _STRATIFIED_SAMPLE_ORACLE,
         "bm25_search": search.bm25_sql_oracle(_BM25_QUERY, k=15),
-        "ivf_topk": _IVF_TOPK_ORACLE,
-        "ivf_topk_arrow": _IVF_TOPK_ORACLE,
+        "ivf_topk": _ivf_topk_oracle(),
+        "ivf_topk_arrow": _ivf_topk_oracle(),
         "repetition_stats": _REPETITION_STATS_ORACLE,
         "sequence_pack": _SEQUENCE_PACK_ORACLE,
         "contamination_screen": _CONTAMINATION_ORACLE,

@@ -236,6 +236,103 @@ def embedding_near_duplicates(
     )
 
 
+def _fold_norm(vec: list[float]) -> float:
+    """||vec|| with the same left-fold double accumulation as _norm (and
+    SQL list_dot_product) — bit-identical across the three engines."""
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_bits: int = 20,
+    assign: str = "expr",
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic distributed k-means codebook (Lloyd's algorithm) —
+    the trained replacement for ivf_centroids' lowest-id seed sample.
+
+    faiss-style split: per round, assignment (literal-codebook argmax —
+    the same zero-shuffle projection the search path uses; ``assign=
+    'arrow'`` switches to the vectorized bit-identical ivf_assign_arrow)
+    and the per-list update sums run as distributed relational stages;
+    only the K x (dim+1) sum table crosses to the driver each round, so
+    training scans the corpus without ever collecting it.
+
+    Every step is engine-portable and order-independent, which makes the
+    trained codebook bit-reproducible in SQL (the gate oracle re-derives
+    the full training, not just the search):
+    * init — the K vectors with the lowest overflow-safe Knuth hash of
+      (vec_id + seed) (curate.hash_bucket, denom 2^32 — the repo's
+      engine-portable seeded RNG), ties by vec_id: a seeded pseudo-random
+      sample, collected driver-side like faiss's train sample;
+    * assignment — argmax_j dot(v, c_j)/||c_j||, first index on FP ties
+      (array_position == SQL list_indexof), the exact search-path rule;
+    * update — per-(list, dim) means accumulated as FIXED-POINT int64
+      sums of sign*floor(|x * 2^quant_bits| + 0.5): integer addition is
+      exact and commutative, so the sum is identical under any shuffle
+      fetch order and any engine — the float-accumulation order-
+      dependence that makes naive distributed k-means nondeterministic
+      never arises. The mean s / (2^quant_bits * count) is then a single
+      IEEE double division on both sides. Empty lists keep their
+      previous centroid.
+
+    Returns the (cid, vec, norm) list ivf_topk takes via ``centroids=``.
+    """
+    from .curate import hash_bucket
+
+    seeds = (corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+             .withColumn("_r", hash_bucket(F.col("_id"), seed=seed,
+                                           denom=2**32))
+             .orderBy("_r", "_id")
+             .limit(n_centroids)
+             .collect())
+    cents = [(cid, [float(x) for x in r["_v"]], _fold_norm([float(x) for x in r["_v"]]))
+             for cid, r in enumerate(seeds)]
+    dim = len(cents[0][1])
+    scale = float(1 << quant_bits)
+
+    def _q(d: int) -> Column:
+        x = F.element_at(F.col("_v"), d + 1).cast("double") * F.lit(scale)
+        return F.when(x < 0, -F.floor(-x + F.lit(0.5))) \
+                .otherwise(F.floor(x + F.lit(0.5))).cast("long")
+
+    for _ in range(n_iter):
+        if assign == "arrow":
+            assigned = ivf_assign_arrow(corpus, cents, id_col=id_col,
+                                        vec_col=vec_col) \
+                .select(F.col("cvec").alias("_v"), "list_id")
+        else:
+            scores = _centroid_scores(F.col(vec_col), cents)
+            assigned = corpus.select(
+                F.col(vec_col).alias("_v"),
+                F.array_position(scores, F.array_max(scores)).alias("list_id"),
+            )
+        sums = assigned.groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(_q(d)).alias(f"s{d}") for d in range(dim)],
+        ).collect()
+        by_list = {int(r["list_id"]): r for r in sums}
+        nxt = []
+        for cid, vec, nrm in cents:
+            r = by_list.get(cid + 1)
+            if r is None:            # empty list: keep the previous centroid
+                nxt.append((cid, vec, nrm))
+                continue
+            denom = scale * float(r["cnt"])
+            nv = [r[f"s{d}"] / denom for d in range(dim)]
+            nxt.append((cid, nv, _fold_norm(nv)))
+        cents = nxt
+    return cents
+
+
 def ivf_centroids(
     corpus: DataFrame,
     *,
@@ -243,16 +340,12 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float], float]]:
-    """IVF 'training': deterministic centroid set = the embeddings of the
-    ``n_centroids`` lowest ids, collected driver-side with their norms.
-
-    IVF splits into a train phase (tiny: centroids live on the driver, like
-    faiss's index.train) and an add/search phase that is pure distributed
-    expression code. The deterministic seed-sample stands in for k-means —
-    the PLAN shape (zero-shuffle assignment, list-pruned search) is the
-    production structure; a better codebook only changes these literals.
-    The norm uses the same left-fold double accumulation as _norm so SQL
-    mirrors bit-match.
+    """Untrained IVF codebook: the embeddings of the ``n_centroids``
+    lowest ids, collected driver-side with their norms — the cheap
+    fallback when no training pass is wanted (ivf_train_centroids is the
+    production k-means trainer; pytest shows it beats this codebook on
+    recall@k for out-of-codebook queries). The norm uses the same
+    left-fold double accumulation as _norm so SQL mirrors bit-match.
     """
     rows = (corpus.filter(F.col(id_col) < n_centroids)
             .select(id_col, vec_col).collect())

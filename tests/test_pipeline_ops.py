@@ -566,6 +566,45 @@ class TestIVFArrow:
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+class TestIVFTraining:
+    def test_trained_codebook_deterministic_and_assign_parity(self, emb):
+        """Same codebook bit-for-bit on repeat runs AND between the
+        expression and Arrow assignment paths (the fixed-point Lloyd sums
+        are order-independent integers; the mean is one IEEE division)."""
+        a = similarity.ivf_train_centroids(emb, n_centroids=8, n_iter=2,
+                                           seed=11)
+        b = similarity.ivf_train_centroids(emb, n_centroids=8, n_iter=2,
+                                           seed=11)
+        c = similarity.ivf_train_centroids(emb, n_centroids=8, n_iter=2,
+                                           seed=11, assign="arrow")
+        assert a == b == c
+
+    def test_recall_improves_over_lowest_id_codebook(self, emb):
+        """k-means training must beat the lowest-id seed codebook on
+        recall@5 for queries OUTSIDE both codebooks (in-codebook queries
+        probe their own list and inflate the baseline — the round-3
+        honesty caveat this trainer replaces). Deterministic data +
+        deterministic training -> exact comparison, not a flaky bound."""
+        q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 140))
+
+        def pairs(df):
+            return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+        exact = pairs(similarity.brute_force_topk(emb, q, k=5))
+        base = pairs(similarity.ivf_topk(emb, q, k=5, n_centroids=16,
+                                         nprobe=4))
+        cents = similarity.ivf_train_centroids(emb, n_centroids=16,
+                                               n_iter=3, seed=11)
+        trained = pairs(similarity.ivf_topk(emb, q, k=5, n_centroids=16,
+                                            nprobe=4, centroids=cents))
+        r_base = len(base & exact) / len(exact)
+        r_trained = len(trained & exact) / len(exact)
+        assert r_trained > r_base
+        # measured 0.57 vs 0.47 on the template corpus — pin loosely so a
+        # genuine regression trips but data regeneration doesn't
+        assert r_trained >= 0.5
+
+
 class TestMinhashVerified:
     def test_verified_subset_of_exact(self, docs, spark):
         """Verified pairs = exact-jaccard pairs restricted to LSH
