@@ -2002,6 +2002,102 @@ def _q_stream_window_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_window_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch watermarked windows with REAL cross-batch late drops,
+    gate-hashed. Token rows are split into 4 files by event-time quartile
+    — EXCEPT a planted subset (event_id % 97 == 0) which is deferred to
+    the LAST file, arriving after the watermark has passed far beyond its
+    windows. maxFilesPerTrigger=1 forces one file per micro-batch (file
+    order pinned by explicit ascending mtimes), so the watermark ratchets
+    up between batches and the deferred early-time rows are genuinely
+    DROPPED (their windows were already emitted and evicted), while
+    deferred rows near the previous batch's horizon are out-of-order but
+    still live. The committed set is a pure function of the fixed file
+    contents + order; the oracle replays the same watermark sequence and
+    states the same final emission cut. Late-filter semantics (Spark 3.4+,
+    SPARK-40925): batch f filters with eventTimeWatermarkForLateEvents =
+    the PREVIOUS batch's metadata watermark = max event time through batch
+    f-2 minus the delay; eviction uses the watermark through f-1. A row
+    landing in the gap (W(f-2), W(f-1)] merges into state and is emitted
+    in the SAME batch — counted once, no duplicate window rows. Anchor:
+    north_rule 'matches output rows for the same input stream + watermark'.
+    """
+    import glob
+    import os
+
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming import pipeline as sp
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamwinmb_")
+    meta = _astro_df(spark, sf_dir).filter(F.col("event_id") < 20000) \
+        .select("event_id", "usec")
+    bounds = meta.agg(F.min("usec"), F.max("usec")).collect()[0]
+    tmin, tmax = int(bounds[0]), int(bounds[1])
+    width = (tmax - tmin) // 4 + 1
+    tok = _astro_token_df(spark, sf_dir).withColumn(
+        "_eid", F.col("doc_id").cast("long"))
+    routed = tok.join(meta, tok["_eid"] == meta["event_id"]).withColumn(
+        "_f",
+        F.when(F.col("_eid") % 97 == 0, F.lit(3)).otherwise(
+            F.least(F.lit(3), F.expr(f"(usec - {tmin}) div {width}"))),
+    )
+    written: set[str] = set()
+    for i in range(4):
+        routed.filter(F.col("_f") == i) \
+            .select("doc_id", "tokens", "n_tok", "source") \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+        new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+        for p in new:  # pin arrival order: FileStreamSource sorts by mtime
+            os.utime(p, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+        written.update(new)
+    stream = tokens.read_token_stream(spark, in_dir, max_files_per_trigger=1)
+    win = sp.hourly_window_counts(
+        sp.decoded_stream(stream, watermark="1 hour"))
+    q = exactly_once_parquet_sink(win, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    committed = spark.read.parquet(out_dir)
+    return committed.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        "n_rows",
+        F.round("min_lat", 5).alias("min_lat"),
+        F.round("max_lat", 5).alias("max_lat"),
+    )
+
+
+_STREAM_WINDOW_MULTIBATCH_ORACLE = """
+WITH b AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS usec,
+         round(round(((event_id * 37) % 14400) / 100.0 - 72.0, 5), 5) AS lat
+  FROM events WHERE event_id < 20000),
+bounds AS (SELECT min(usec) AS tmin, max(usec) AS tmax FROM b),
+r AS (
+  SELECT b.*,
+         CASE WHEN event_id % 97 = 0 THEN 3
+              ELSE least(3, (usec - tmin) // ((tmax - tmin) // 4 + 1))
+         END AS f
+  FROM b, bounds),
+fmax AS (SELECT f, max(usec) AS fm FROM r GROUP BY f),
+-- late-event filter watermark: Spark 3.4+ passes the PREVIOUS batch's
+-- metadata watermark to the filter (eventTimeWatermarkForLateEvents),
+-- i.e. the max event time through batch f-2; eviction uses through f-1.
+wmb AS (
+  SELECT f.f, (SELECT max(fm) FROM fmax p WHERE p.f < f.f - 1) AS prevmax
+  FROM fmax f),
+kept AS (
+  SELECT r.* FROM r JOIN wmb ON wmb.f = r.f
+  WHERE wmb.prevmax IS NULL
+     OR (usec // 3600) * 3600 + 3600 > wmb.prevmax - 3600),
+w AS (
+  SELECT (usec // 3600) * 3600 AS ws, count(*) AS n_rows,
+         min(lat) AS min_lat, max(lat) AS max_lat
+  FROM kept GROUP BY ws)
+SELECT ws, n_rows, min_lat, max_lat
+FROM w
+WHERE ws + 3600 <= (SELECT max(usec) FROM b) - 3600
+"""
+
+
 def _q_stream_join_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful stream-stream join, gate-hashed: position rows join their
     same-record sunrise rows on (doc_id, seq_index) with an event-time
@@ -2255,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_committed": _q_stream_dedup_committed,
         "stream_curate_committed": _q_stream_curate_committed,
         "stream_window_committed": _q_stream_window_committed,
+        "stream_window_multibatch": _q_stream_window_multibatch,
         "stream_join_committed": _q_stream_join_committed,
     }
 
@@ -2427,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_committed": _STREAM_DEDUP_ORACLE,
         "stream_curate_committed": _STREAM_CURATE_ORACLE,
         "stream_window_committed": _STREAM_WINDOW_ORACLE,
+        "stream_window_multibatch": _STREAM_WINDOW_MULTIBATCH_ORACLE,
         "stream_join_committed": _stream_join_oracle(),
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
