@@ -47,15 +47,31 @@ def main() -> None:
     position_rows = 0
     position_secs = 0.0
 
+    loads: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+
     def run(name, fn, *, count_positions=False, reps=2):
+        """Min-of-reps with noise instrumentation (VERDICT r3 #5): the host
+        is shared, and a tenant spike during the driver's single run made
+        r3 walls read 4-5x quiet-host values. Sub-10 s queries get 4 reps
+        (one spike can't poison min-of-4); every query records the 1-min
+        load average at start and the max/min rep spread so a contaminated
+        run is self-evident in BENCH_r{N}.json."""
         nonlocal position_rows, position_secs
-        best, n = None, 0
-        for _ in range(reps):  # min-of-reps: shared noisy host
+        loads[name] = round(os.getloadavg()[0], 2)
+        best, worst, n = None, None, 0
+        done = 0
+        while done < reps:
             t0 = time.perf_counter()
             n = force_count(fn())
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            worst = dt if worst is None else max(worst, dt)
+            done += 1
+            if done == 1 and dt < 10.0:
+                reps = max(reps, 4)
         timings[name] = round(best, 3)
+        spreads[name] = round(worst / best, 2) if best else 1.0
         if count_positions:
             position_rows += n
             position_secs += best
@@ -176,6 +192,9 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "position_rows": position_rows,
         "cpus": cpus,
+        "load_avg_at_start": loads,
+        "rep_spread": spreads,
+        "load_avg_end": round(os.getloadavg()[0], 2),
     }))
     spark.stop()
 
