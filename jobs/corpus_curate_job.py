@@ -78,11 +78,18 @@ def main() -> None:
         # the rest of the corpus
         survivors = stratified_sample(survivors, rates, default_rate=10000)
 
-    # 3. deterministic split + packing layout, one output
-    layout = sequence_pack(survivors, capacity=args.capacity)
-    final = (split_assign(survivors)
-             .join(layout.select("doc_id", "n_tokens", "offset", "pack_id",
-                                 "pack_pos", "spans_boundary"), "doc_id"))
+    # 3. deterministic split, THEN the packing layout per (split, source):
+    # packing before split assignment would cut windows across splits — a
+    # reader consuming one split partition would see pack_id/offset values
+    # counting tokens of docs in OTHER splits, leaving holes in every pack.
+    # Per-(split, source) layouts are self-contained: each split's packs
+    # reconstruct from that split's partition alone.
+    assigned = split_assign(survivors)
+    layout = sequence_pack(assigned, capacity=args.capacity,
+                           shard_col=("split", "source"))
+    final = assigned.join(
+        layout.select("doc_id", "n_tokens", "offset", "pack_id",
+                      "pack_pos", "spans_boundary"), "doc_id")
 
     (final.write.mode("overwrite").partitionBy("split")
      .parquet(args.output))

@@ -183,7 +183,7 @@ def sequence_pack(
     df: DataFrame,
     *,
     capacity: int = 256,
-    shard_col: str = "source",
+    shard_col: str | tuple[str, ...] = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -197,23 +197,36 @@ def sequence_pack(
     would serialize the shuffle into one reducer at corpus scale; per-shard
     it parallelizes across shards and stays deterministic).
 
-    Output per doc: (doc_id, shard, n_tokens, offset, pack_id, pack_pos,
-    spans_boundary) where offset is the running token start within the
-    shard, pack_id = offset // capacity, pack_pos = offset % capacity, and
-    spans_boundary flags docs crossing a window cut (the ones an
-    attention-masking loader treats specially).
+    ``shard_col`` may be a tuple of columns — then the layout unit is the
+    combination (the columns are emitted under their own names instead of
+    ``shard``). The train/val/test composition packs per (split, source):
+    packing must run AFTER split assignment so every pack lives inside one
+    split — a layout computed over the union has windows whose token
+    accounting spans docs a split-pruned reader never sees.
+
+    Output per doc: (doc_id, <shard cols>, n_tokens, offset, pack_id,
+    pack_pos, spans_boundary) where offset is the running token start
+    within the shard, pack_id = offset // capacity, pack_pos = offset %
+    capacity, and spans_boundary flags docs crossing a window cut (the
+    ones an attention-masking loader treats specially).
     """
     from .text import subword_token_count, words_col
 
     words = words_col(F.col(text_col))
     n_punct = (F.length(F.col(text_col))
                - F.length(F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")))
+    if isinstance(shard_col, str):
+        shard_out = [F.col(shard_col).alias("shard")]
+        shard_names = ["shard"]
+    else:
+        shard_out = [F.col(c) for c in shard_col]
+        shard_names = list(shard_col)
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.col(shard_col).alias("shard"),
+        *shard_out,
         subword_token_count(words, n_punct).alias("n_tokens"),
     )
-    w = (Window.partitionBy("shard").orderBy("doc_id")
+    w = (Window.partitionBy(*shard_names).orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     placed = base.withColumn(
         "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))
@@ -222,7 +235,7 @@ def sequence_pack(
     # where Spark's truncates, so float division would diverge)
     cap = int(capacity)
     return placed.select(
-        "doc_id", "shard", "n_tokens", "offset",
+        "doc_id", *shard_names, "n_tokens", "offset",
         F.expr(f"`offset` div {cap}").alias("pack_id"),
         F.pmod(F.col("offset"), F.lit(cap)).cast("long").alias("pack_pos"),
         F.expr(f"`offset` div {cap} != (`offset` + n_tokens - 1) div {cap}")

@@ -540,6 +540,31 @@ class TestSequencePack:
                     run // 64 != (run + r["n_tokens"] - 1) // 64)
                 run += r["n_tokens"]
 
+    def test_multi_shard_split_self_contained(self, spark):
+        """Packing per (split, source) after split_assign: every split's
+        layout must reconstruct from that split's docs alone (ADVICE r3 —
+        a pre-split layout leaves holes in every pack)."""
+        from solarpos_spark.operators.curate import (sequence_pack,
+                                                     split_assign)
+
+        rows = [(i, "s0" if i % 2 == 0 else "s1",
+                 "word " * (20 + i)) for i in range(400)]
+        df = split_assign(spark.createDataFrame(
+            rows, "doc_id long, source string, text string"))
+        out = sequence_pack(df, capacity=64,
+                            shard_col=("split", "source")).collect()
+        assert {r["split"] for r in out} >= {"train"}
+        by_unit = {}
+        for r in sorted(out, key=lambda r: r["doc_id"]):
+            by_unit.setdefault((r["split"], r["source"]), []).append(r)
+        assert len(by_unit) > 2
+        for docs in by_unit.values():
+            run = 0
+            for r in docs:  # offsets contiguous WITHIN the (split, source)
+                assert r["offset"] == run
+                assert r["pack_id"] == run // 64
+                run += r["n_tokens"]
+
 
 class TestContaminationScreen:
     def test_probe_hits(self, spark):
