@@ -825,9 +825,13 @@ w AS (
   SELECT tf.doc_id, tf.term,
          tf.tf * ln((1.0 + nd.n) / (1.0 + dfreq.df)) AS w
   FROM tf JOIN dfreq USING (term), nd),
-norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+-- term-sorted sequential folds: bit-match Spark's F.aggregate left fold
+-- over array_sort(collect_list(...)) (ADVICE r3 accumulation-order fix)
+norms AS (SELECT doc_id, sqrt(list_sum(list(w * w ORDER BY term))) AS nrm
+          FROM w GROUP BY 1),
 dots AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         list_sum(list(a.w * b.w ORDER BY a.term)) AS dot
   FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,

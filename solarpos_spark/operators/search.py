@@ -79,13 +79,21 @@ def bm25_topk(
         .crossJoin(F.broadcast(scalars))
         .select(
             "doc_id",
+            "term",
             (idf * F.col("tf") * (k1 + 1.0)
              / (F.col("tf")
                 + k1 * (1.0 - b + b * F.col("dl") / avgdl))).alias("c"),
         )
     )
+    # deterministic left fold over the term-sorted contributions (ADVICE
+    # r3): a plain SUM(double) accumulates in shuffle fetch order, and the
+    # gate hashes exact values — pin the order on both sides (oracle:
+    # list_sum(list(c ORDER BY term))). Terms are unique per doc and the
+    # list is bounded by |query_terms|.
     scored = contrib.groupBy("doc_id").agg(
-        F.round(F.sum("c"), 6).alias("score"))
+        F.round(F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0), lambda acc, x: acc + x["c"]), 6).alias("score"))
     win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(win))
@@ -114,12 +122,14 @@ tf AS (
   WHERE term IN ({in_list}) GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 contrib AS (
-  SELECT tf.doc_id,
+  SELECT tf.doc_id, tf.term,
          ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
            * tf.tf * ({k1} + 1.0)
            / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) AS c
   FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), scalars s),
-scored AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY 1),
+-- term-sorted sequential fold: bit-matches Spark's F.aggregate left fold
+scored AS (SELECT doc_id, round(list_sum(list(c ORDER BY term)), 6) AS score
+           FROM contrib GROUP BY 1),
 ranked AS (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank

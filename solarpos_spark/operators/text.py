@@ -299,6 +299,15 @@ def tfidf_cosine_pairs(
     the aggregated pairs. ``max_term_df`` drops ubiquitous terms before
     pairing (the same hot-key shuffle guard as the shingle df cap).
     Output: (doc_a, doc_b, cosine) with doc_a < doc_b, rounded to 6.
+
+    Both float sums (per-doc norm, per-pair dot) accumulate via a
+    DETERMINISTIC left fold over the term-sorted contribution list instead
+    of a plain SUM whose accumulation order follows shuffle fetch order
+    (ADVICE r3): round(..., 6) usually absorbs the ulp drift, but the gate
+    hashes exact values, so the fold order is pinned on both sides — the
+    oracle mirrors with list_sum(list(x ORDER BY term)), the same
+    engine-portable trick as similarity.py's list_dot_product parity.
+    Terms are unique per group, so the sort is a total order.
     """
     from .dedup import spread_input
 
@@ -319,15 +328,26 @@ def tfidf_cosine_pairs(
          .select("doc_id", "term",
                  (F.col("tf") * F.log((1.0 + F.col("n"))
                                       / (1.0 + F.col("df")))).alias("w")))
+    def _sorted_fold(entries):
+        # fold arg is a collect_list output (aggregate boundary): the
+        # CollapseProject/CSE lambda trap does not apply, and the lambda
+        # touches only its element
+        return F.aggregate(F.array_sort(entries), F.lit(0.0),
+                           lambda acc, x: acc + x["v"])
+
     norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        F.sqrt(_sorted_fold(F.collect_list(F.struct(
+            F.col("term"), (F.col("w") * F.col("w")).alias("v"))))
+        ).alias("nrm"))
     a, b = w.alias("a"), w.alias("b")
     dots = (
         a.join(b, (F.col("a.term") == F.col("b.term"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+        .agg(_sorted_fold(F.collect_list(F.struct(
+            F.col("a.term").alias("term"),
+            (F.col("a.w") * F.col("b.w")).alias("v")))).alias("dot"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
