@@ -778,8 +778,8 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (multimodal.sample_frames): the exploding
     1->N Arrow shape; every 4th 32-byte frame of the payload with a
-    checksum decode stub. ASCII payloads => the oracle recomputes spans
-    with substr + ascii sums."""
+    checksum decode stub. The oracle recomputes byte spans from hex(text)
+    nibble pairs — exact for ANY utf-8 doc, not just ASCII."""
     from solarpos_spark.operators.multimodal import sample_frames
 
     docs = _docs(spark, sf_dir).select(
@@ -787,19 +787,27 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs, frame_bytes=32, stride=4)
 
 
+# byte-exact (ADVICE r3): the operator works on utf-8 BYTES; substr/ascii
+# are CHARACTER-based and only agree on pure-ASCII corpora. Bytes are
+# extracted from hex(text) nibble pairs instead — strlen is already
+# byte-based, so every index below is a true byte offset.
 _FRAME_SAMPLE_ORACLE = """
 WITH f AS (
-  SELECT doc_id, text, strlen(text) // 32 AS n_frames
+  SELECT doc_id, hex(text) AS h, strlen(text) // 32 AS n_frames
   FROM documents),
 s AS (
-  SELECT doc_id, text,
+  SELECT doc_id, h,
          unnest(range(0, CAST((n_frames + 3) // 4 AS BIGINT))) AS j
   FROM f WHERE n_frames > 0)
 SELECT doc_id, CAST(j * 4 AS INT) AS frame_idx,
        CAST(j * 4 * 32 AS BIGINT) AS frame_off,
        CAST(list_sum(list_transform(
-              range(1, 33),
-              i -> CAST(ascii(substr(text, CAST(j * 4 * 32 AS INT) + i, 1))
+              range(0, 32),
+              i -> CAST((strpos('0123456789ABCDEF',
+                          substr(h, CAST((j*128 + i)*2 + 1 AS INT), 1)) - 1)
+                        * 16
+                      + (strpos('0123456789ABCDEF',
+                          substr(h, CAST((j*128 + i)*2 + 2 AS INT), 1)) - 1)
                    AS BIGINT)))
          AS BIGINT) AS frame_checksum
 FROM s
@@ -856,16 +864,22 @@ def _q_resize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bytes_in", "n_bytes_out", "thumb_checksum")
 
 
+# byte-exact via hex nibbles (see _FRAME_SAMPLE_ORACLE note); empty docs
+# coalesce to checksum 0, matching the operator's empty-thumb row
 _RESIZE_ORACLE = """
+WITH f AS (SELECT doc_id, hex(text) AS h, strlen(text) AS nb FROM documents)
 SELECT doc_id,
-       CAST(strlen(text) AS BIGINT) AS n_bytes_in,
-       CAST((strlen(text) + 7) // 8 AS BIGINT) AS n_bytes_out,
-       CAST(list_sum(list_transform(
-              range(0, CAST((strlen(text) + 7) // 8 AS BIGINT)),
-              i -> CAST(ascii(substr(text, CAST(i * 8 + 1 AS INT), 1))
-                   AS BIGINT)))
+       CAST(nb AS BIGINT) AS n_bytes_in,
+       CAST((nb + 7) // 8 AS BIGINT) AS n_bytes_out,
+       CAST(coalesce(list_sum(list_transform(
+              range(0, CAST((nb + 7) // 8 AS BIGINT)),
+              i -> CAST((strpos('0123456789ABCDEF',
+                          substr(h, CAST(i*16 + 1 AS INT), 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF',
+                          substr(h, CAST(i*16 + 2 AS INT), 1)) - 1)
+                   AS BIGINT))), 0)
          AS BIGINT) AS thumb_checksum
-FROM documents
+FROM f
 """
 
 
@@ -1600,14 +1614,24 @@ SELECT doc_id, en_hits, de_hits, fr_hits,
 FROM h
 """
 
+# byte-exact via hex nibbles (ADVICE r3 — the operator reads utf-8 BYTES;
+# ascii/substr are char-based and diverge on any non-ASCII doc)
 _MULTIMODAL_ORACLE = """
-WITH b AS (
+WITH f AS (SELECT doc_id, hex(text) AS h, strlen(text) AS nb FROM documents),
+b AS (
   SELECT doc_id,
-         strlen(text) AS n_bytes,
-         ascii(substr(text, 1, 1)) AS first_byte,
-         list_sum(list_transform(range(1, strlen(text) + 1),
-                                 i -> ascii(substr(text, i, 1)))) AS checksum
-  FROM documents
+         nb AS n_bytes,
+         CASE WHEN nb = 0 THEN 0 ELSE
+           (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+           + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) END
+           AS first_byte,
+         coalesce(list_sum(list_transform(range(0, CAST(nb AS BIGINT)),
+             i -> CAST((strpos('0123456789ABCDEF',
+                         substr(h, CAST(i*2 + 1 AS INT), 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF',
+                         substr(h, CAST(i*2 + 2 AS INT), 1)) - 1)
+                  AS BIGINT))), 0) AS checksum
+  FROM f
 )
 SELECT doc_id, n_bytes, first_byte, CAST(checksum AS BIGINT) AS checksum,
        CAST(n_bytes % 64 + 16 AS INT) AS fake_width,
@@ -1655,11 +1679,15 @@ sh AS (
   FROM w
 ),
 ex AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+-- length() = CHAR count: Spark's split(col,'') iterates chars and both
+-- engines' ascii() return codepoints, so the polynomial matches for
+-- non-ASCII too (strlen counts BYTES and would over-run substr with
+-- ascii('')=0 tail terms)
 hashed AS (
   SELECT doc_id,
     list_reduce(
       list_prepend(CAST(0 AS BIGINT),
-        list_transform(range(1, strlen(sg) + 1),
+        list_transform(range(1, length(sg) + 1),
                        i -> CAST(ascii(substr(sg, i, 1)) AS BIGINT))),
       (acc, c) -> (acc * 31 + c) % {P}) AS h
   FROM ex
@@ -1680,7 +1708,7 @@ def _simhash_oracle() -> str:
 
     def poly(base: int) -> str:
         return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-                f"list_transform(range(1, strlen(w) + 1), "
+                f"list_transform(range(1, length(w) + 1), "
                 f"i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), "
                 f"(acc, c) -> (acc * {base} + c) % {P})")
 

@@ -7,6 +7,11 @@ a deterministic stub (`_fake_decode`): the container ships no image/audio
 libraries (SURVEY.md environment note), so the stub derives stable pseudo
 dimensions from the payload bytes. Swapping `_fake_decode` for a real
 PIL/ffmpeg call changes nothing upstream or downstream.
+
+Null payloads PROPAGATE (ADVICE r3): a null is not an empty payload — the
+metadata and resize rows carry null stats/thumbs for null inputs (Arrow
+validity bitmap honored on both sides), and the frame sampler emits zero
+frames for them (an exploding shape has no row to null out).
 """
 
 from __future__ import annotations
@@ -32,6 +37,15 @@ def _fake_decode(n_bytes: np.ndarray, first_byte: np.ndarray,
     width = (n_bytes % 64 + 16).astype(np.int32)
     height = ((checksum % 48) + 16).astype(np.int32)
     return width, height
+
+
+def _null_mask(payload: pa.Array) -> np.ndarray | None:
+    """Boolean numpy mask (True = null) from the validity bitmap, or None
+    when the batch has no nulls — Arrow gives null slots zero-length spans,
+    so without this mask a null payload is silently read as empty."""
+    if payload.null_count == 0:
+        return None
+    return payload.is_null().to_numpy(zero_copy_only=False)
 
 
 def extract_binary_metadata(df: DataFrame, *, payload_col: str = "payload",
@@ -76,14 +90,15 @@ def extract_binary_metadata(df: DataFrame, *, payload_col: str = "payload",
                 csum = cs[offsets[1:]] - cs[offsets[:-1]]
             width, height = _fake_decode(lens, first, csum)
             ids = batch.column(names.index(id_col))
+            nulls = _null_mask(payload)
             yield pa.RecordBatch.from_arrays(
                 [
                     ids.cast(pa.int64()),
-                    pa.array(lens),
-                    pa.array(first),
-                    pa.array(csum),
-                    pa.array(width),
-                    pa.array(height),
+                    pa.array(lens, mask=nulls),
+                    pa.array(first, mask=nulls),
+                    pa.array(csum, mask=nulls),
+                    pa.array(width, mask=nulls),
+                    pa.array(height, mask=nulls),
                 ],
                 names=["doc_id", "n_bytes", "first_byte", "checksum",
                        "fake_width", "fake_height"],
@@ -126,6 +141,9 @@ def sample_frames(df: DataFrame, *, frame_bytes: int = 32, stride: int = 4,
                       if bufs[2] is not None else np.zeros(0, np.uint8))
             lens = np.diff(offsets)
             n_frames = lens // frame_bytes
+            nulls = _null_mask(payload)
+            if nulls is not None:
+                n_frames = np.where(nulls, 0, n_frames)  # null -> no frames
             n_sampled = (n_frames + stride - 1) // stride
             total = int(n_sampled.sum())
             if total == 0:
@@ -189,20 +207,24 @@ def resize_payload(df: DataFrame, *, factor: int = 8,
             sliced = values[offsets[0]:offsets[-1]]
             thumb_vals = sliced[keep]
             out_lens = (lens + factor - 1) // factor
+            nulls = _null_mask(payload)
             out_offsets = np.concatenate(
                 ([0], np.cumsum(out_lens))).astype(np.int32)
+            validity = (None if nulls is None else pa.py_buffer(
+                np.packbits(~nulls, bitorder="little").tobytes()))
             thumb = pa.BinaryArray.from_buffers(
                 pa.binary(), len(lens),
-                [None, pa.py_buffer(out_offsets.tobytes()),
-                 pa.py_buffer(thumb_vals.tobytes())])
+                [validity, pa.py_buffer(out_offsets.tobytes()),
+                 pa.py_buffer(thumb_vals.tobytes())],
+                null_count=0 if nulls is None else int(nulls.sum()))
             cs = np.concatenate(
                 ([0], np.cumsum(thumb_vals, dtype=np.int64)))
             checksum = cs[out_offsets[1:]] - cs[out_offsets[:-1]]
             ids = batch.column(names.index(id_col))
             yield pa.RecordBatch.from_arrays(
-                [ids.cast(pa.int64()), pa.array(lens),
-                 pa.array(out_lens.astype(np.int64)), thumb,
-                 pa.array(checksum)],
+                [ids.cast(pa.int64()), pa.array(lens, mask=nulls),
+                 pa.array(out_lens.astype(np.int64), mask=nulls), thumb,
+                 pa.array(checksum, mask=nulls)],
                 names=["doc_id", "n_bytes_in", "n_bytes_out", "thumb",
                        "thumb_checksum"],
             )

@@ -265,6 +265,99 @@ class TestMultimodal:
         mism = joined.filter(F.col("n_bytes") != F.col("n_chars")).count()
         assert mism == 0  # ascii corpus: bytes == chars
 
+    def test_null_payload_propagates(self, spark):
+        """ADVICE r3: a null payload is NOT an empty one — metadata and
+        resize rows carry nulls, the frame sampler emits zero frames."""
+        from solarpos_spark.operators.multimodal import (resize_payload,
+                                                         sample_frames)
+
+        rows = [(1, b"abcd" * 40), (2, None), (3, b"")]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        meta = {r["doc_id"]: r for r in extract_binary_metadata(df).collect()}
+        assert meta[2]["n_bytes"] is None
+        assert meta[2]["checksum"] is None and meta[2]["fake_width"] is None
+        assert meta[3]["n_bytes"] == 0 and meta[3]["checksum"] == 0
+        assert meta[1]["n_bytes"] == 160
+
+        rz = {r["doc_id"]: r for r in resize_payload(df, factor=8).collect()}
+        assert rz[2]["thumb"] is None and rz[2]["thumb_checksum"] is None
+        assert rz[2]["n_bytes_in"] is None and rz[2]["n_bytes_out"] is None
+        assert bytes(rz[3]["thumb"]) == b"" and rz[3]["thumb_checksum"] == 0
+        assert bytes(rz[1]["thumb"]) == bytes(
+            (b"abcd" * 40)[i] for i in range(0, 160, 8))
+
+        fr = sample_frames(df, frame_bytes=32, stride=2).collect()
+        assert {r["doc_id"] for r in fr} == {1}  # null AND empty: no frames
+
+
+class TestNonAsciiOracleParity:
+    """ADVICE r3: the multimodal oracles used char-based substr/ascii and
+    were bit-equal only because the testdata happens to be pure ASCII.
+    Locks the hex-nibble (byte-exact) and length() (char-exact) rewrites
+    against a deliberately non-ASCII corpus."""
+
+    ROWS = [(1, "héllo wörld ü " * 20), (2, "中文文本流水线 " * 30),
+            (3, "plain ascii text only " * 25), (4, ""),
+            (5, "mixed ascii + ünïcode çontent " * 15)]
+
+    def _con(self):
+        import duckdb
+        import pandas as pd
+        con = duckdb.connect()
+        con.register("documents",
+                     pd.DataFrame(self.ROWS, columns=["doc_id", "text"]))
+        return con
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id long, text string")
+
+    def test_multimodal_byte_oracles(self, spark):
+        import __spark_entry__ as entry
+        from solarpos_spark.operators.multimodal import (
+            extract_binary_metadata, resize_payload, sample_frames)
+
+        con = self._con()
+        payload = self._docs(spark).select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+        got = sorted(tuple(r) for r in extract_binary_metadata(
+            payload).collect())
+        want = sorted(tuple(r) for r in con.execute(
+            entry._MULTIMODAL_ORACLE).fetchall())
+        assert got == want
+
+        got = sorted(tuple(r) for r in sample_frames(
+            payload, frame_bytes=32, stride=4).collect())
+        want = sorted(tuple(r) for r in con.execute(
+            entry._FRAME_SAMPLE_ORACLE).fetchall())
+        assert got and got == want
+
+        got = sorted(tuple(r) for r in resize_payload(payload, factor=8)
+                     .select("doc_id", "n_bytes_in", "n_bytes_out",
+                             "thumb_checksum").collect())
+        want = sorted(tuple(r) for r in con.execute(
+            entry._RESIZE_ORACLE).fetchall())
+        assert got == want
+
+    def test_poly31_char_oracles(self, spark):
+        import __spark_entry__ as entry
+        from solarpos_spark.operators import dedup
+
+        con = self._con()
+        got = sorted(tuple(r) for r in dedup.simhash(
+            self._docs(spark), hash_fn="poly31").collect())
+        want = sorted(tuple(r) for r in con.execute(
+            entry._simhash_oracle()).fetchall())
+        assert got == want
+
+        sigs = dedup.minhash_signatures(self._docs(spark), num_hashes=32,
+                                        n=3, hash_fn="poly31")
+        got = sorted(tuple(r) for r in dedup.lsh_candidate_pairs(
+            sigs, bands=8, rows_per_band=4, hash_fn="poly31").collect())
+        want = sorted(tuple(r) for r in con.execute(
+            entry._minhash_oracle()).fetchall())
+        assert got == want
+
 
 class TestSplitAssign:
     def test_fractions_and_repartition_stability(self, spark):
