@@ -445,6 +445,17 @@ def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(fps, max_hamming=3, n_bits=62)
 
 
+def _q_simhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding join with the max_piece_df hot-bucket guard (VERDICT r3
+    #7): piece buckets holding > 40 docs — short docs' all-zero pieces,
+    verbatim template pieces — are excluded before pairing, bounding the
+    equi-join at O(cap * docs) instead of O(|hot bucket|^2). Oracle mirrors
+    the cap with a HAVING on the bucket df."""
+    fps = dedup.simhash(_docs(spark, sf_dir), hash_fn="poly31")
+    return dedup.simhash_near_dup_pairs(fps, max_hamming=3, n_bits=62,
+                                        max_piece_df=40)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (pointer-jumping min-label
     propagation, O(log n) rounds) over the n-gram Jaccard pair graph;
@@ -1735,10 +1746,13 @@ SELECT doc_id, ({fingerprint}) AS simhash FROM summed
 """
 
 
-def _simhash_near_dup_oracle(max_hamming: int = 3, n_bits: int = 62) -> str:
+def _simhash_near_dup_oracle(max_hamming: int = 3, n_bits: int = 62,
+                             max_piece_df: int | None = None) -> str:
     """Mirror of dedup.simhash_near_dup_pairs over the poly31 fingerprints:
     same pigeonhole pieces, same popcount-on-xor verify (fingerprints are
-    nonnegative 62-bit, so >> matches Spark's shiftrightunsigned)."""
+    nonnegative 62-bit, so >> matches Spark's shiftrightunsigned); with
+    ``max_piece_df``, the same hot-bucket exclusion as a HAVING on the
+    per-(piece, val) doc count."""
     pieces = max_hamming + 1
     width = -(-n_bits // pieces)
     mask = (1 << width) - 1
@@ -1747,12 +1761,20 @@ def _simhash_near_dup_oracle(max_hamming: int = 3, n_bits: int = 62) -> str:
         f"(simhash >> {j * width}) & {mask} AS val FROM fp"
         for j in range(pieces)
     )
+    guard = ""
+    src = "stacked0"
+    if max_piece_df is not None:
+        guard = f""",
+ok AS (SELECT piece, val FROM stacked0 GROUP BY piece, val
+       HAVING count(*) <= {max_piece_df}),
+stacked AS (SELECT s.* FROM stacked0 s JOIN ok USING (piece, val))"""
+        src = "stacked"
     return f"""
 WITH fp AS ({_simhash_oracle()}),
-stacked AS ({stacked})
+stacked0 AS ({stacked}){guard}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM stacked a JOIN stacked b
+FROM {src} a JOIN {src} b
   ON a.piece = b.piece AND a.val = b.val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
@@ -2338,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified": _q_minhash_verified,
         "dedup_pipeline": _q_dedup_pipeline,
         "simhash_near_dup": _q_simhash_near_dup,
+        "simhash_near_dup_capped": _q_simhash_near_dup_capped,
         "dup_clusters": _q_dup_clusters,
         "dedup_canonical": _q_dedup_canonical,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2515,6 +2538,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified": _minhash_verified_oracle(),
         "dedup_pipeline": _dedup_pipeline_oracle(),
         "simhash_near_dup": _simhash_near_dup_oracle(),
+        "simhash_near_dup_capped": _simhash_near_dup_oracle(max_piece_df=40),
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "dedup_canonical": _DEDUP_CANONICAL_ORACLE,
         "embedding_near_dup": _NEAR_DUP_ORACLE,

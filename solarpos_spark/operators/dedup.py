@@ -265,6 +265,7 @@ def simhash_near_dup_pairs(
     n_bits: int = 62,
     fp_col: str = "simhash",
     id_col: str = "doc_id",
+    max_piece_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
 
@@ -277,9 +278,18 @@ def simhash_near_dup_pairs(
 
     Scale shape: one explode (pieces per doc), one keyed shuffle on the
     piece value, distinct on the surviving pairs. Identical topology to
-    lsh_candidate_pairs; piece skew (a common piece value — e.g. the
-    all-zero piece from short docs) is bounded because each piece carries
-    ~n_bits/(k+1) >= 15 bits of fingerprint.
+    lsh_candidate_pairs. Piece skew is usually bounded because each piece
+    carries ~n_bits/(k+1) >= 15 bits of fingerprint — but degenerate
+    corpora concentrate: short docs all land on the all-zero piece, and a
+    template corpus shares pieces verbatim, making the equi-join's hot
+    bucket O(|bucket|^2). ``max_piece_df`` is the skew guard (the same
+    hot-key cap as ngram's max_shingle_df, co-partitioned with the join so
+    the count reuses the exchange): buckets with more than that many docs
+    are excluded from candidate generation. Recall caveat: a pair within
+    Hamming k is found iff it agrees on at least one UNCAPPED piece —
+    capped-only pairs are the price of bounding the hot bucket, the
+    standard production trade (Manku §4's batch splitting bounds the same
+    blow-up).
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
@@ -298,6 +308,12 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("doc_id"), fp.alias("_fp"),
         F.explode(F.array(*piece_structs)).alias("pp"),
     ).select("doc_id", "_fp", "pp.piece", "pp.val")
+    if max_piece_df is not None:
+        ok = (stacked.groupBy("piece", "val")
+              .agg(F.count(F.lit(1)).alias("_df"))
+              .filter(F.col("_df") <= max_piece_df)
+              .select("piece", "val"))
+        stacked = stacked.join(ok, ["piece", "val"])
     a, b = stacked.alias("a"), stacked.alias("b")
     ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
     return (

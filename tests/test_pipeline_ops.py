@@ -443,6 +443,30 @@ class TestSimhashNearDup:
                     want[(a, b)] = h
         assert got == want  # banding loses nothing within the radius
 
+    def test_max_piece_df_skips_hot_bucket_only(self, spark):
+        """VERDICT r3 #7: short docs share the all-zero piece — one hot
+        bucket. The cap must drop candidates that agree ONLY on capped
+        pieces while keeping pairs that still share an uncapped piece."""
+        # 30 one-word docs: near-zero fingerprints -> every piece bucket
+        # they share is hot. Two long near-dup docs pair via many pieces.
+        base = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+                "sed do eiusmod tempor incididunt ut labore et dolore ") * 3
+        rows = [(i, "tiny") for i in range(30)]
+        rows += [(100, base), (101, base.replace("dolor", "tenor"))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = dedup.simhash(df, hash_fn="poly31")
+        uncapped = {(r["doc_a"], r["doc_b"]) for r in
+                    dedup.simhash_near_dup_pairs(
+                        fps, max_hamming=8, n_bits=62).collect()}
+        capped = {(r["doc_a"], r["doc_b"]) for r in
+                  dedup.simhash_near_dup_pairs(
+                      fps, max_hamming=8, n_bits=62,
+                      max_piece_df=10).collect()}
+        tiny_pairs = {p for p in uncapped if p[0] < 30 and p[1] < 30}
+        assert len(tiny_pairs) == 30 * 29 // 2   # identical docs all pair
+        assert not any(p[0] < 30 for p in capped)  # hot bucket excluded
+        assert (100, 101) in capped              # uncapped pieces survive
+
 
 class TestConnectedComponents:
     def test_chain_and_islands(self, spark):
