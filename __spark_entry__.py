@@ -743,11 +743,28 @@ def _q_lang_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id_trigram(_docs(spark, sf_dir))
 
 
-def _lang_id_v2_oracle() -> str:
+def _q_lang_id_v2_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7-language profile scorer with the abstention margin (VERDICT
+    r3 #8): best-vs-runner-up score gap < 25 -> 'unknown' instead of a
+    coin-flip label. Oracle mirrors via a rank-2 join on the same
+    window."""
+    return text.language_id_trigram(_docs(spark, sf_dir), min_margin=25)
+
+
+def _lang_id_v2_oracle(min_margin: int = 0) -> str:
     vals = ",".join(
         f"('{lang}','{tri}',{len(tris) - i})"
         for lang, tris in text.LANG_TRIGRAM_PROFILES.items()
         for i, tri in enumerate(tris))
+    if min_margin > 0:
+        pred = (f"CASE WHEN b.lang IS NULL THEN 'unknown' "
+                f"WHEN b.score - coalesce(b2.s2, 0) >= {int(min_margin)} "
+                f"THEN b.lang ELSE 'unknown' END")
+        margin_join = ("LEFT JOIN (SELECT doc_id, score AS s2 FROM best "
+                       "WHERE rn = 2) b2 USING (doc_id)")
+    else:
+        pred = "coalesce(b.lang, 'unknown')"
+        margin_join = ""
     return f"""
 WITH prof(lang, tri, w) AS (SELECT * FROM (VALUES {vals})),
 norm AS (
@@ -768,10 +785,11 @@ best AS (
                             ORDER BY score DESC, lang ASC) AS rn
   FROM sc)
 SELECT d.doc_id,
-       coalesce(b.lang, 'unknown') AS pred_lang,
+       {pred} AS pred_lang,
        CAST(coalesce(b.score, 0) AS BIGINT) AS score
 FROM documents d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+{margin_join}
 """
 
 
@@ -2372,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_multiprobe": _q_ann_topk_multiprobe,
         "lang_id": _q_lang_id,
         "lang_id_v2": _q_lang_id_v2,
+        "lang_id_v2_margin": _q_lang_id_v2_margin,
         "multimodal_meta": _q_multimodal_meta,
         "frame_sample": _q_frame_sample,
         "resize_payload": _q_resize_payload,
@@ -2548,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_multiprobe": _ann_multiprobe_oracle(),
         "lang_id": _LANG_ID_ORACLE,
         "lang_id_v2": _lang_id_v2_oracle(),
+        "lang_id_v2_margin": _lang_id_v2_oracle(min_margin=25),
         "multimodal_meta": _MULTIMODAL_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "resize_payload": _RESIZE_ORACLE,

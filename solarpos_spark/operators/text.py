@@ -18,7 +18,7 @@ STOPWORDS_FR = ("le", "la", "de", "et", "un", "est", "les")
 
 #: Characters kept by trigram normalization (everything else -> space).
 #: Explicit class so the Java (Spark) and RE2 (DuckDB) regex engines agree.
-TRIGRAM_KEEP = "a-zäöüßéèêëàâîïôûùçñíóúì"
+TRIGRAM_KEEP = "a-zäöüßéèêëàâîïôûùçñíóúìãõò"
 
 #: Top character trigrams per language, most-frequent first (Cavnar-Trenkle
 #: style n-gram profiles; trigram rank lists are standard public knowledge).
@@ -42,6 +42,18 @@ LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
            " en", "nte", "do ", " co", "ado", "est", " es", "as ", "que",
            " qu", "ue ", "ión", "ció", "aci", " se", "nto", "con", "res",
            "sta", "ara", "por"),
+    "it": (" di", "di ", "to ", "ell", "lla", "la ", " la", "one", "ion",
+           "zio", "azi", "che", " ch", "he ", "re ", "ent", "nte", "on ",
+           " co", "del", " de", "per", " pe", "ta ", "no ", "ato", "e d",
+           "i d", "gli", " so"),
+    "pt": (" de", "de ", "os ", "as ", "ão ", "ção", "açã", "do ", " do",
+           "da ", " da", "em ", " em", "que", " qu", "ue ", " co", "o d",
+           "e d", "ent", "nte", " se", "res", "ara", " pa", "por", " po",
+           "is ", "ado", "çõe"),
+    "nl": ("en ", " de", "de ", "et ", " he", "het", "an ", "van", " va",
+           "er ", " ee", "een", "n d", " en", "aar", "oor", " vo", "ing",
+           "ng ", " ge", "te ", " te", "den", "ter", "sch", "ijk", "ver",
+           " ve", "ede", "ijn"),
 }
 
 
@@ -119,8 +131,16 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id_trigram(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id_trigram(df: DataFrame, text_col: str = "text",
+                        *, min_margin: int = 0) -> DataFrame:
     """Character-trigram profile language ID (Cavnar-Trenkle style).
+
+    ``min_margin`` > 0 adds an ambiguity gate: if the best language's
+    score beats the runner-up by less than the margin (ties included),
+    the prediction is 'unknown' — the abstention a curation pipeline
+    wants instead of a coin-flip label. The reported score stays the
+    best language's score. With the default 0 the plan is unchanged
+    (no second-rank join is built).
 
     Construction (all JVM, one keyed shuffle):
     1. normalize: lowercase, every non-letter run -> one space, pad with
@@ -170,9 +190,20 @@ def language_id_trigram(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("lang").asc())
-    best = (scores.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("doc_id", "lang", "score"))
+    ranked = scores.withColumn("_rn", F.row_number().over(w))
+    best = ranked.filter(F.col("_rn") == 1).select("doc_id", "lang", "score")
+    if min_margin > 0:
+        # one extra self-free pass over the tiny (doc, lang<=n_langs)
+        # relation: rank-2 score per doc, margin vs rank-1
+        second = (ranked.filter(F.col("_rn") == 2)
+                  .select("doc_id", F.col("score").alias("_s2")))
+        best = (best.join(second, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.when(F.col("score") - F.coalesce(F.col("_s2"), F.lit(0))
+                           >= F.lit(int(min_margin)), F.col("lang"))
+                     .otherwise(F.lit("unknown")).alias("lang"),
+                    "score"))
     return (
         docs.select("doc_id").join(best, "doc_id", "left")
         .select(

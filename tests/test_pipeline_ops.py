@@ -225,6 +225,44 @@ class TestText:
                for r in text.language_id_trigram(df).collect()}
         assert out[1] == ("unknown", 0) and out[2] == ("unknown", 0)
 
+    def test_language_id_trigram_it_pt_nl(self, spark):
+        """VERDICT r3 #8: profiles beyond en/de/fr/es."""
+        df = spark.createDataFrame(
+            [(1, "il governo della regione ha annunciato che le nuove "
+                 "stazioni della metropolitana saranno aperte per tutti"),
+             (2, "o governo anunciou que as novas estações do metro serão "
+                 "abertas para toda a população da cidade depois"),
+             (3, "de regering heeft aangekondigd dat het nieuwe station "
+                 "van de metro voor een groot aantal mensen open gaat"),
+             (4, "the government announced that the new underground "
+                 "stations will be opened for the whole population")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["pred_lang"]
+               for r in text.language_id_trigram(df).collect()}
+        assert out == {1: "it", 2: "pt", 3: "nl", 4: "en"}
+
+    def test_language_id_margin_abstains(self, spark):
+        """min_margin: ambiguous short text -> unknown; clear text keeps
+        its label; the reported score stays the best language's."""
+        df = spark.createDataFrame(
+            [(1, "de la"),          # fr/es/pt share these trigrams
+             (2, "the quick brown fox jumps over the lazy dog and then "
+                 "the other animals in the morning light of the day")],
+            "doc_id long, text string")
+        plain = {r["doc_id"]: r for r in
+                 text.language_id_trigram(df).collect()}
+        margin = {r["doc_id"]: r for r in
+                  text.language_id_trigram(df, min_margin=25).collect()}
+        assert plain[1]["pred_lang"] != "unknown"   # coin-flip label
+        assert margin[1]["pred_lang"] == "unknown"  # abstains
+        assert margin[2]["pred_lang"] == "en"
+        assert margin[2]["score"] == plain[2]["score"]
+
+    def test_profile_entries_are_trigrams(self):
+        for lang, tris in text.LANG_TRIGRAM_PROFILES.items():
+            assert len(tris) == len(set(tris)), lang   # no dup entries
+            assert all(len(t) == 3 for t in tris), lang
+
     def test_subword_token_count_per_word(self, spark):
         # "The cat, and the dog!" -> words pieces 1+1+1+1+1 = 5, punct 2
         df = spark.createDataFrame(
