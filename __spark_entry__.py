@@ -743,6 +743,101 @@ def _q_lang_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id_trigram(_docs(spark, sf_dir))
 
 
+#: both engines derive the SAME multi-line view: a newline after every 8th
+#: word (verified bit-identical Java-regex vs RE2), turning the one-line
+#: template docs into line-structured pages whose shared 8-word chunks are
+#: exactly the corpus-boilerplate a line-dedup pass removes
+_LINE_SPLIT_RE = r"((\S+\s+){7}\S+)\s+"
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-line removal (dedup.line_dedup — the CCNet /
+    RefinedWeb boilerplate filter): lines occurring > 2 times across the
+    corpus are dropped from every doc, order preserved, rebuilt text +
+    audit counts returned."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _LINE_SPLIT_RE, "$1\n").alias("text"))
+    return dedup.line_dedup(docs, max_line_count=2, min_line_chars=8)
+
+
+_LINE_DEDUP_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\S+\s+){7}\S+)\s+', '\1' || chr(10), 'g')
+           AS text
+  FROM documents),
+l AS (
+  SELECT doc_id, i - 1 AS pos, string_split(text, chr(10))[i] AS line
+  FROM d, LATERAL (SELECT unnest(range(1,
+       len(string_split(text, chr(10))) + 1)) AS i)),
+hot AS (
+  SELECT trim(line) AS key FROM l
+  WHERE length(trim(line)) >= 8
+  GROUP BY 1 HAVING count(*) > 2),
+m AS (SELECT l.*, hot.key FROM l LEFT JOIN hot ON trim(l.line) = hot.key)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN key IS NULL THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
+       count(*) AS n_lines_in,
+       CAST(sum(CASE WHEN key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_removed
+FROM m GROUP BY doc_id
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (text.pii_scrub): emails / bare IPv4s / international
+    phone numbers -> typed placeholders + per-type audit counts. The gate
+    input plants deterministic PII spans (same integer-derived literals on
+    both sides) since the synthetic corpus contains none."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" node 10."),
+                            (F.col("doc_id") % 200).cast("string"),
+                            F.lit(".3.14 up"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" call +4930"),
+                            (F.lit(1000) + F.col("doc_id") % 900)
+                            .cast("string"))).otherwise(F.lit("")),
+        ).alias("text"))
+    return text.pii_scrub(d)
+
+
+def _pii_scrub_oracle() -> str:
+    derived = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+              || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' node 10.'
+              || CAST(doc_id % 200 AS VARCHAR) || '.3.14 up' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call +4930'
+              || CAST(1000 + doc_id % 900 AS VARCHAR) ELSE '' END AS t
+  FROM documents"""
+    prev, stages, cols = "d", [f"d AS ({derived})"], []
+    for i, (name, pat) in enumerate(text.PII_PATTERNS):
+        carried = ", ".join(cols)
+        carried = carried + ", " if carried else ""
+        stages.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '<{name}>', 'g') AS t "
+            f"FROM {prev})")
+        cols.append(f"n_{name}")
+        prev = f"s{i}"
+    sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return (f"WITH {', '.join(stages)}\n"
+            f"SELECT doc_id, t AS text, {sel} FROM {prev}")
+
+
 def _q_lang_id_v2_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 7-language profile scorer with the abstention margin (VERDICT
     r3 #8): best-vs-runner-up score gap < 25 -> 'unknown' instead of a
@@ -2391,6 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "lang_id_v2": _q_lang_id_v2,
         "lang_id_v2_margin": _q_lang_id_v2_margin,
+        "line_dedup": _q_line_dedup,
+        "pii_scrub": _q_pii_scrub,
         "multimodal_meta": _q_multimodal_meta,
         "frame_sample": _q_frame_sample,
         "resize_payload": _q_resize_payload,
@@ -2568,6 +2665,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_ORACLE,
         "lang_id_v2": _lang_id_v2_oracle(),
         "lang_id_v2_margin": _lang_id_v2_oracle(min_margin=25),
+        "line_dedup": _LINE_DEDUP_ORACLE,
+        "pii_scrub": _pii_scrub_oracle(),
         "multimodal_meta": _MULTIMODAL_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "resize_payload": _RESIZE_ORACLE,

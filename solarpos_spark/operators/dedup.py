@@ -547,3 +547,63 @@ def minhash_verified_pairs(
                  .alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    *,
+    max_line_count: int = 2,
+    min_line_chars: int = 8,
+    sep: str = "\n",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level duplicated-line removal — the CCNet / RefinedWeb
+    boilerplate filter: a line occurring more than ``max_line_count``
+    times ACROSS THE CORPUS (headers, navigation chrome, cookie banners,
+    license boilerplate) is removed from every document; line order is
+    preserved for the survivors.
+
+    Lines shorter than ``min_line_chars`` after trimming are never
+    counted nor removed (empty separators and stub lines stay put).
+
+    Scale shape: posexplode (map-side), one hash-aggregate keyed by the
+    trimmed line to get corpus counts, a left join of the lines against
+    the (small by construction — only lines repeated > max_line_count
+    survive the HAVING) hot-line set on the SAME key so AQE reuses the
+    exchange, and one per-doc aggregate that rebuilds the text with an
+    order-pinned fold (array_sort(collect_list(struct(pos, line)))) —
+    deterministic under any shuffle order. No all-pairs anything: cost is
+    O(total lines) + one join against the hot set.
+
+    Output: (doc_id, text, n_lines_in, n_lines_removed) — ``text`` is the
+    rebuilt document.
+    """
+    import re
+
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), re.escape(sep)))
+         .alias("pos", "line"),
+    )
+    key = F.trim(F.col("line"))
+    hot = (lines.filter(F.length(key) >= min_line_chars)
+           .groupBy(key.alias("key"))
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > max_line_count)
+           .select("key"))
+    marked = lines.join(hot, key == F.col("key"), "left")
+    kept_struct = F.when(F.col("key").isNull(),
+                         F.struct(F.col("pos"), F.col("line")))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept_struct)),
+                            lambda x: x["line"]),
+                sep).alias("text"),
+            F.count(F.lit(1)).alias("n_lines_in"),
+            F.sum(F.when(F.col("key").isNotNull(), 1).otherwise(0))
+             .cast("long").alias("n_lines_removed"),
+        )
+        .select("doc_id", "text", "n_lines_in", "n_lines_removed")
+    )

@@ -389,3 +389,47 @@ def tfidf_cosine_pairs(
                  .alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+#: (name, regex) PII patterns — conservative, engine-portable subset (the
+#: same expression must compile identically under Java regex (Spark) and
+#: RE2 (DuckDB): no backrefs, no lookaround). Order matters: emails are
+#: scrubbed before IPs so an address inside a hostname-ish local part is
+#: consumed by the email rule first; counting runs on the progressively
+#: scrubbed text with the same order on both sides.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+\d{7,15}"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """PII redaction — the C4-style scrub pass every released corpus runs:
+    emails, bare IPv4 addresses and international phone numbers are
+    replaced by typed placeholder tokens (``<email>`` etc.), with per-type
+    match counts for audit metrics.
+
+    Pure JVM projection (regexp_count + regexp_replace chained per
+    pattern): zero shuffle, pushes alongside other scan-level projections,
+    scales linearly in bytes. Each pattern counts matches in the text AS
+    ALREADY SCRUBBED by the preceding patterns, then replaces them — a
+    deterministic pipeline order mirrored verbatim in the SQL oracle.
+
+    Output: (doc_id, text, n_<name> per pattern).
+    """
+    from .dedup import spread_input
+
+    df = spread_input(df.select("doc_id", text_col))
+    cur = F.col(text_col)
+    counts = []
+    for name, pat in patterns:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long")
+                      .alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, f"<{name}>")
+    return df.select(F.col("doc_id"), cur.alias("text"), *counts)

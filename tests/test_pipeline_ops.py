@@ -922,3 +922,72 @@ class TestAnsiMode:
             assert fps.count() == 1000
         finally:
             spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+class TestLineDedup:
+    def test_boilerplate_removed_order_preserved(self, spark):
+        from solarpos_spark.operators.dedup import line_dedup
+
+        banner = "subscribe to our newsletter today"
+        rows = [(i, f"unique opening line {i}\n{banner}\n"
+                    f"real content body number {i}\nshort\n{banner}")
+                for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               line_dedup(df, max_line_count=2, min_line_chars=8).collect()}
+        for i in range(5):
+            # banner occurs 10x corpus-wide -> removed everywhere, twice
+            assert out[i]["text"] == (f"unique opening line {i}\n"
+                                      f"real content body number {i}\nshort")
+            assert out[i]["n_lines_in"] == 5
+            assert out[i]["n_lines_removed"] == 2
+
+    def test_short_lines_never_removed(self, spark):
+        from solarpos_spark.operators.dedup import line_dedup
+
+        rows = [(i, "ok\n\nok") for i in range(10)]  # all < 8 chars
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = line_dedup(df, max_line_count=2, min_line_chars=8).collect()
+        assert all(r["text"] == "ok\n\nok" and r["n_lines_removed"] == 0
+                   for r in out)
+
+    def test_all_lines_removed_yields_empty(self, spark):
+        from solarpos_spark.operators.dedup import line_dedup
+
+        rows = [(i, "the same boilerplate line") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = line_dedup(df, max_line_count=2, min_line_chars=8).collect()
+        assert all(r["text"] == "" and r["n_lines_removed"] == 1
+                   for r in out)
+
+
+class TestPiiScrub:
+    def test_patterns_redacted_and_counted(self, spark):
+        from solarpos_spark.operators.text import pii_scrub
+
+        rows = [(1, "mail a.b-c%d@sub.example.org or x@y.io thanks"),
+                (2, "server 192.168.0.1 and 10.0.300.7 up"),
+                (3, "call +4915112345678 not 12345"),
+                (4, "clean text, no pii at all")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert out[1]["n_email"] == 2
+        assert out[1]["text"] == "mail <email> or <email> thanks"
+        assert out[2]["n_ipv4"] == 2  # conservative: 10.0.300.7 matches too
+        assert out[2]["text"] == "server <ipv4> and <ipv4> up"
+        assert out[3]["n_phone"] == 1
+        assert out[3]["text"] == "call <phone> not 12345"
+        assert out[4]["text"] == rows[3][1]
+        assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) \
+            == (0, 0, 0)
+
+    def test_email_scrubbed_before_ip(self, spark):
+        from solarpos_spark.operators.text import pii_scrub
+
+        # the host part contains an ipv4; the email rule consumes it first,
+        # so the ip counter (which runs on the scrubbed text) sees nothing
+        df = spark.createDataFrame([(1, "x ab@1.2.3.4.io z")],
+                                   "doc_id long, text string")
+        r = pii_scrub(df).collect()[0]
+        assert r["n_email"] == 1 and r["n_ipv4"] == 0
+        assert r["text"] == "x <email> z"
