@@ -616,8 +616,12 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. The oracle re-derives the full training in SQL."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
+    # train with the Arrow assignment (bit-identical to the expr path —
+    # pytest locks training parity; 64-dim interpreted HOF scoring per
+    # Lloyd round is the expr path's cost, not its semantics). The entry
+    # still exercises the EXPRESSION search path.
     cents = similarity.ivf_train_centroids(emb, n_centroids=16, n_iter=3,
-                                           seed=11)
+                                           seed=11, assign="arrow")
     return similarity.ivf_topk(emb, q, k=3, n_centroids=16, nprobe=4,
                                centroids=cents)
 

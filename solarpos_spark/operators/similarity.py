@@ -288,6 +288,10 @@ def ivf_train_centroids(
     """
     from .curate import hash_bucket
 
+    # iterative reuse: n_iter+1 full passes hit the same relation — persist
+    # once, release on exit (the standard Lloyd's shape; at corpus scale
+    # the caller passes a training SAMPLE, faiss-style, so this is bounded)
+    corpus = corpus.select(id_col, vec_col).persist()
     seeds = (corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
              .withColumn("_r", hash_bucket(F.col("_id"), seed=seed,
                                            denom=2**32))
@@ -306,20 +310,31 @@ def ivf_train_centroids(
 
     for _ in range(n_iter):
         if assign == "arrow":
-            assigned = ivf_assign_arrow(corpus, cents, id_col=id_col,
-                                        vec_col=vec_col) \
-                .select(F.col("cvec").alias("_v"), "list_id")
+            # fused assignment + partial fixed-point sums in one Arrow
+            # stage; the tiny (list, dim) shuffle replaces a full-vector
+            # Arrow roundtrip and a 64-aggregate codegen plan per round
+            part = ivf_update_sums_arrow(corpus, cents,
+                                         quant_bits=quant_bits,
+                                         id_col=id_col, vec_col=vec_col)
+            rows = (part.groupBy("list_id", "d")
+                    .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+                    .collect())
+            by_list = {}
+            for r in rows:
+                ent = by_list.setdefault(int(r["list_id"]),
+                                         {"cnt": int(r["c"])})
+                ent[f"s{int(r['d'])}"] = int(r["s"])
         else:
             scores = _centroid_scores(F.col(vec_col), cents)
             assigned = corpus.select(
                 F.col(vec_col).alias("_v"),
                 F.array_position(scores, F.array_max(scores)).alias("list_id"),
             )
-        sums = assigned.groupBy("list_id").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            *[F.sum(_q(d)).alias(f"s{d}") for d in range(dim)],
-        ).collect()
-        by_list = {int(r["list_id"]): r for r in sums}
+            sums = assigned.groupBy("list_id").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(_q(d)).alias(f"s{d}") for d in range(dim)],
+            ).collect()
+            by_list = {int(r["list_id"]): r for r in sums}
         nxt = []
         for cid, vec, nrm in cents:
             r = by_list.get(cid + 1)
@@ -330,6 +345,7 @@ def ivf_train_centroids(
             nv = [r[f"s{d}"] / denom for d in range(dim)]
             nxt.append((cid, nv, _fold_norm(nv)))
         cents = nxt
+    corpus.unpersist()
     return cents
 
 
@@ -509,3 +525,78 @@ def ivf_assign_arrow(
     return corpus.select(id_col, vec_col).mapInArrow(
         run,
         schema=f"neighbor_id long, cvec {vt}, _cn double, list_id long")
+
+
+def ivf_update_sums_arrow(
+    corpus: DataFrame,
+    centroids,
+    *,
+    quant_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused Lloyd-round update: assignment + per-list FIXED-POINT sums in
+    ONE Arrow stage.
+
+    The separate-stage form (ivf_assign_arrow -> 64 JVM `sum(_q(d))`
+    aggregates) ships every vector back through Arrow and compiles a
+    64-aggregate codegen plan per round — ~1.3 s/round of pure overhead at
+    toy scale. Here each batch emits only its partial (list_id, d, s, c)
+    table (<= lists x dim rows per batch): scores use the SAME ascending-j
+    += fold as ivf_assign_arrow (bit-identical argmax), quantization is
+    the same sign*floor(|x*2^q| + 0.5) as the expression path's `_q`
+    (identical float64 op sequence), and int64 partial sums are EXACT, so
+    the final groupBy sum equals the expression path's result under any
+    batching or shuffle order — locked by the expr/arrow training-parity
+    pytest.
+
+    Output: (list_id, d, s, c) — c repeats the batch's per-list count on
+    every dim row, so the summed count can be read at any d.
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    cmat = np.array([c for _, c, _ in centroids], dtype=np.float64)
+    cnorm = np.array([cn for _, _, cn in centroids], dtype=np.float64)
+    n_cent, dim = cmat.shape
+    scale = float(1 << quant_bits)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            vec = batch.column(names.index(vec_col))
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            flat = vec.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = vec.offsets.to_numpy(zero_copy_only=False)
+            if not ((offs[1:] - offs[:-1]) == dim).all():
+                raise ValueError("ragged embedding lengths")
+            v = flat[offs[0]:offs[-1]].reshape(-1, dim)
+            scores = np.zeros((v.shape[0], n_cent))
+            for j in range(dim):       # fold order: ascending j, += per step
+                scores += v[:, j:j + 1] * cmat[:, j]
+            scores /= cnorm
+            list_id = np.argmax(scores, axis=1) + 1   # first-max, 1-based
+            xs = v * scale
+            q = np.where(xs < 0, -np.floor(-xs + 0.5),
+                         np.floor(xs + 0.5)).astype(np.int64)
+            lids, ds, ss, cs = [], [], [], []
+            for lid in np.unique(list_id):
+                mask = list_id == lid
+                s = q[mask].sum(axis=0, dtype=np.int64)
+                c = int(mask.sum())
+                lids.extend([int(lid)] * dim)
+                ds.extend(range(dim))
+                ss.extend(int(x) for x in s)
+                cs.extend([c] * dim)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(lids, pa.int64()), pa.array(ds, pa.int32()),
+                 pa.array(ss, pa.int64()), pa.array(cs, pa.int64())],
+                names=["list_id", "d", "s", "c"],
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(
+        run, schema="list_id long, d int, s long, c long")
