@@ -842,6 +842,40 @@ def _pii_scrub_oracle() -> str:
             f"SELECT doc_id, t AS text, {sel} FROM {prev}")
 
 
+def _q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP funnel primitive (relational.sequence_pattern): first 'purchase'
+    by the same user strictly after each 'error' and within 10 minutes —
+    computed as ONE per-key window pass (running min(struct(us, id)) over
+    the FOLLOWING frame), no A x B join. The oracle states the same
+    first-match fixpoint via join + two-step min (schedule-independent)."""
+    from solarpos_spark.operators import relational
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return relational.sequence_pattern(
+        ev, first_type="error", then_type="purchase", within_seconds=600)
+
+
+_SEQUENCE_PATTERN_ORACLE = """
+WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+           FROM events WHERE event_type = 'error'),
+b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT a.user_id, a.a_id, a.a_us, b.b_id, b.b_us
+  FROM a JOIN b ON a.user_id = b.user_id
+  WHERE (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+    AND b.b_us <= a.a_us + 600 * 1000000),
+m1 AS (SELECT user_id, a_id, a_us, min(b_us) AS mbus FROM j GROUP BY 1, 2, 3),
+m2 AS (SELECT m1.user_id, m1.a_id, m1.a_us, m1.mbus, min(j.b_id) AS b_id
+       FROM m1 JOIN j ON j.user_id = m1.user_id AND j.a_id = m1.a_id
+                     AND j.b_us = m1.mbus
+       GROUP BY 1, 2, 3, 4)
+SELECT user_id, a_id AS a_event_id, b_id AS b_event_id,
+       CAST(mbus - a_us AS BIGINT) AS gap_usec
+FROM m2
+"""
+
+
 def _q_lang_id_v2_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 7-language profile scorer with the abstention margin (VERDICT
     r3 #8): best-vs-runner-up score gap < 25 -> 'unknown' instead of a
@@ -2492,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_v2_margin": _q_lang_id_v2_margin,
         "line_dedup": _q_line_dedup,
         "pii_scrub": _q_pii_scrub,
+        "sequence_pattern": _q_sequence_pattern,
         "multimodal_meta": _q_multimodal_meta,
         "frame_sample": _q_frame_sample,
         "resize_payload": _q_resize_payload,
@@ -2671,6 +2706,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_v2_margin": _lang_id_v2_oracle(min_margin=25),
         "line_dedup": _LINE_DEDUP_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
+        "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
         "multimodal_meta": _MULTIMODAL_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "resize_payload": _RESIZE_ORACLE,

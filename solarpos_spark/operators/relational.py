@@ -211,3 +211,58 @@ def interval_match_ids(
         (F.col("_p_us") >= F.col("_s_us")) & (F.col("_p_us") < F.col("_e_us"))
     )
     return cand.select(*by, *id_cols).distinct()
+
+
+def sequence_pattern(
+    events: DataFrame,
+    *,
+    first_type: str,
+    then_type: str,
+    within_seconds: int,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CEP sequence-pattern detection: for every ``first_type`` event, the
+    FIRST ``then_type`` event by the same key strictly after it and within
+    ``within_seconds`` — the A-followed-by-B funnel primitive
+    (MATCH_RECOGNIZE's simplest pattern, which Spark SQL lacks).
+
+    One shuffle, no pair blow-up: instead of joining A-rows to B-rows
+    (O(|A|x|B|) per key for bursty keys), take a per-key window ordered by
+    (event time, id) and a running ``min(struct(us, id))`` over the
+    FOLLOWING frame restricted to B rows — every row learns its next B in
+    a single whole-stage-codegen window pass, then A rows filter on the
+    time bound. "After" means (ts, id) lexicographically greater, so
+    simultaneous events resolve deterministically.
+
+    Output: (``by``, a_event_id, b_event_id, gap_usec) with gap_usec the
+    exact microsecond distance (integer — engine-portable, no float).
+    """
+    # cast covers TIMESTAMP_NTZ sources (UTC session => identity wall
+    # clock); only differences and ordering are used, so any constant
+    # zone offset cancels
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = events.select(
+        F.col(by), F.col(id_col), F.col(type_col), us.alias("_us"))
+    w = (Window.partitionBy(by)
+         .orderBy(F.col("_us").asc(), F.col(id_col).asc())
+         .rowsBetween(1, Window.unboundedFollowing))
+    nxt = F.min(
+        F.when(F.col(type_col) == then_type,
+               F.struct(F.col("_us").alias("us"),
+                        F.col(id_col).alias("id")))).over(w)
+    return (
+        e.withColumn("_nb", nxt)
+        .filter((F.col(type_col) == first_type)
+                & F.col("_nb").isNotNull()
+                & (F.col("_nb.us")
+                   <= F.col("_us") + F.lit(int(within_seconds) * 1_000_000)))
+        .select(
+            F.col(by),
+            F.col(id_col).alias("a_event_id"),
+            F.col("_nb.id").alias("b_event_id"),
+            (F.col("_nb.us") - F.col("_us")).alias("gap_usec"),
+        )
+    )

@@ -248,3 +248,52 @@ class TestSkewGuards:
         got_p = sorted(r["event_id"] for r in plain.collect())
         got_s = sorted(r["event_id"] for r in salted.collect())
         assert got_p == got_s and len(got_p) > 0
+
+
+class TestSequencePattern:
+    def test_first_match_within_window(self, spark):
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.operators.relational import sequence_pattern
+
+        t0 = datetime(2024, 3, 1, 12, 0, 0)
+        s = timedelta(seconds=1)
+        rows = [
+            # user 1: error -> first purchase at +300s (second at +400s
+            # must NOT be reported); a later error whose only purchase is
+            # beyond the 600 s window
+            (1, 10, "error", t0),
+            (1, 11, "view", t0 + 10 * s),
+            (1, 12, "purchase", t0 + 300 * s),
+            (1, 13, "purchase", t0 + 400 * s),
+            (1, 14, "error", t0 + 1000 * s),
+            (1, 15, "purchase", t0 + 1700 * s),
+            # user 2: purchase BEFORE the error only -> no match
+            (2, 20, "purchase", t0),
+            (2, 21, "error", t0 + 5 * s),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, ts timestamp")
+        out = {(r["user_id"], r["a_event_id"]): r for r in sequence_pattern(
+            df, first_type="error", then_type="purchase",
+            within_seconds=600).collect()}
+        assert set(out) == {(1, 10)}
+        assert out[(1, 10)]["b_event_id"] == 12
+        assert out[(1, 10)]["gap_usec"] == 300 * 1_000_000
+
+    def test_simultaneous_tiebreak_by_id(self, spark):
+        from datetime import datetime
+
+        from solarpos_spark.operators.relational import sequence_pattern
+
+        t0 = datetime(2024, 3, 1, 12, 0, 0)
+        rows = [(1, 5, "error", t0),
+                (1, 3, "purchase", t0),    # same ts, LOWER id: before A
+                (1, 8, "purchase", t0),    # same ts, higher id: after A
+                (1, 9, "purchase", t0)]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, ts timestamp")
+        out = sequence_pattern(df, first_type="error", then_type="purchase",
+                               within_seconds=60).collect()
+        assert len(out) == 1
+        assert out[0]["b_event_id"] == 8 and out[0]["gap_usec"] == 0
