@@ -244,7 +244,9 @@ def sequence_pattern(
     # clock); only differences and ordering are used, so any constant
     # zone offset cancels
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    e = events.select(
+    # only A/B rows influence the result — the restriction pushes into the
+    # parquet scan and shrinks the one shuffle to the two event types
+    e = events.filter(F.col(type_col).isin(first_type, then_type)).select(
         F.col(by), F.col(id_col), F.col(type_col), us.alias("_us"))
     w = (Window.partitionBy(by)
          .orderBy(F.col("_us").asc(), F.col(id_col).asc())
