@@ -2340,6 +2340,49 @@ def _q_stream_join_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_funnel_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP funnel, gate-hashed: error and purchase events arrive
+    as two unbounded streams; a watermarked stateful stream-stream join
+    (streaming/pipeline.py funnel_stream) emits every same-user pair with
+    the purchase strictly after the error and within 10 minutes, through
+    the exactly-once sink. All files ingest in one availableNow batch
+    (watermark still 0 => no state eviction can precede any match), so
+    the committed set equals the batch fixpoint the SQL oracle states —
+    batch-boundary-independent by construction."""
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming import pipeline as sp
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamfunnel_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_id") < 10000) \
+        .select("event_id", "ts", "user_id", "event_type")
+    for t in ("error", "purchase"):
+        ev.filter(F.col("event_type") == t).repartition(4) \
+            .write.mode("overwrite").parquet(f"{in_dir}/{t}")
+    schema = ev.schema
+    a = spark.readStream.schema(schema).parquet(f"{in_dir}/error")
+    b = spark.readStream.schema(schema).parquet(f"{in_dir}/purchase")
+    pairs = sp.funnel_stream(a, b, within_seconds=600, watermark="1 hour")
+    q = exactly_once_parquet_sink(pairs, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir) \
+        .select("user_id", "a_event_id", "b_event_id", "gap_usec")
+
+
+_STREAM_FUNNEL_ORACLE = """
+WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+           FROM events WHERE event_type = 'error' AND event_id < 10000),
+b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+      FROM events WHERE event_type = 'purchase' AND event_id < 10000)
+SELECT a.user_id, a.a_id AS a_event_id, b.b_id AS b_event_id,
+       CAST(b.b_us - a.a_us AS BIGINT) AS gap_usec
+FROM a JOIN b ON a.user_id = b.user_id
+WHERE (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+  AND b.b_us <= a.a_us + 600 * 1000000
+"""
+
+
 _STREAM_CURATE_RATES = {"en": 5000, "de": 10000, "fr": 10000,
                         "es": 10000, "zh": 10000}
 
@@ -2563,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_committed": _q_stream_window_committed,
         "stream_window_multibatch": _q_stream_window_multibatch,
         "stream_join_committed": _q_stream_join_committed,
+        "stream_funnel_committed": _q_stream_funnel_committed,
     }
 
 
@@ -2741,6 +2785,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_committed": _STREAM_WINDOW_ORACLE,
         "stream_window_multibatch": _STREAM_WINDOW_MULTIBATCH_ORACLE,
         "stream_join_committed": _stream_join_oracle(),
+        "stream_funnel_committed": _STREAM_FUNNEL_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """

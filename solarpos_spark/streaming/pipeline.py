@@ -212,3 +212,53 @@ def curated_doc_stream(
         kept = kept.filter(hash_bucket(F.col("doc_id"), seed=7) < thr)
     return kept.select("doc_id", "lang", "n_chars", "n_words",
                        "stopword_ratio", "est_bpe_tokens")
+
+
+def funnel_stream(
+    a_stream: DataFrame,
+    b_stream: DataFrame,
+    *,
+    within_seconds: int,
+    watermark: str = "1 hour",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming CEP funnel: stateful stream-stream join emitting every
+    (A, B) pair by the same key with B strictly after A (lexicographic
+    (ts, id)) and within ``within_seconds`` — the unbounded-stream
+    counterpart of relational.sequence_pattern (which keeps only the FIRST
+    B; a stream can't know "first" until the watermark closes the window,
+    so the streaming form emits the pairs and leaves the rank-1 cut to the
+    consumer or a downstream batch pass).
+
+    Both sides carry event-time watermarks and the join condition bounds
+    B's time to [A, A + within], so Spark evicts join state once the
+    watermark passes the bound — state is O(watermark + within), not
+    O(stream). Output: (by, a_event_id, b_event_id, gap_usec).
+    """
+    bound = F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+    a = (a_stream.select(
+            F.col(by).alias("a_key"),
+            F.col(id_col).alias("a_id"),
+            F.col(ts_col).cast("timestamp").alias("a_ts"))
+         .withWatermark("a_ts", watermark).alias("a"))
+    b = (b_stream.select(
+            F.col(by).alias("b_key"),
+            F.col(id_col).alias("b_id"),
+            F.col(ts_col).cast("timestamp").alias("b_ts"))
+         .withWatermark("b_ts", watermark).alias("b"))
+    after = (F.col("b_ts") > F.col("a_ts")) | (
+        (F.col("b_ts") == F.col("a_ts")) & (F.col("b_id") > F.col("a_id")))
+    cond = (
+        (F.col("a_key") == F.col("b_key"))
+        & (F.col("b_ts") >= F.col("a_ts"))          # state-eviction bound
+        & (F.col("b_ts") <= F.col("a_ts") + bound)  # state-eviction bound
+        & after
+    )
+    return a.join(b, cond, "inner").select(
+        F.col("a_key").alias(by),
+        F.col("a_id").alias("a_event_id"),
+        F.col("b_id").alias("b_event_id"),
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_usec"),
+    )

@@ -453,3 +453,52 @@ class TestStreamingCurate:
         batch = {tuple(r) for r in
                  pipeline.curated_doc_stream(docs, rates).collect()}
         assert outs[0] == batch
+
+
+class TestFunnelStream:
+    def test_pairs_and_first_match_parity(self, spark, tmp_path):
+        """funnel_stream commits every (A, B) pair; cut to rank-1 it must
+        reproduce relational.sequence_pattern's batch first-match."""
+        from datetime import datetime, timedelta
+
+        from pyspark.sql import Window
+
+        from solarpos_spark.operators.relational import sequence_pattern
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming.pipeline import funnel_stream
+
+        t0 = datetime(2024, 5, 1, 9, 0, 0)
+        s = timedelta(seconds=1)
+        rows = []
+        for u in range(6):
+            rows.append((u * 100 + 1, u, "error", t0 + u * 7 * s))
+            rows.append((u * 100 + 2, u, "purchase", t0 + (u * 7 + 30) * s))
+            rows.append((u * 100 + 3, u, "purchase", t0 + (u * 7 + 90) * s))
+            if u % 2 == 0:  # a purchase beyond the window
+                rows.append((u * 100 + 4, u, "error", t0 + (u * 7 + 200) * s))
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp")
+        for t in ("error", "purchase"):
+            ev.filter(F.col("event_type") == t).coalesce(1) \
+                .write.mode("overwrite").parquet(str(tmp_path / t))
+        a = spark.readStream.schema(ev.schema).parquet(str(tmp_path / "error"))
+        b = spark.readStream.schema(ev.schema).parquet(
+            str(tmp_path / "purchase"))
+        pairs = funnel_stream(a, b, within_seconds=120, watermark="1 hour")
+        q = exactly_once_parquet_sink(pairs, str(tmp_path / "out"),
+                                      str(tmp_path / "ckpt"),
+                                      trigger_available_now=True)
+        q.awaitTermination()
+        got = spark.read.parquet(str(tmp_path / "out"))
+        # every user has BOTH purchases within 120 s of the first error
+        assert got.count() == 6 * 2
+        # rank-1 cut == batch first-match operator
+        w = Window.partitionBy("user_id", "a_event_id") \
+            .orderBy("gap_usec", "b_event_id")
+        first = got.withColumn("_rn", F.row_number().over(w)) \
+            .filter(F.col("_rn") == 1) \
+            .select("user_id", "a_event_id", "b_event_id", "gap_usec")
+        batch = sequence_pattern(ev, first_type="error",
+                                 then_type="purchase", within_seconds=120)
+        assert first.exceptAll(batch).count() == 0
+        assert batch.exceptAll(first).count() == 0
