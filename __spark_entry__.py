@@ -842,6 +842,43 @@ def _pii_scrub_oracle() -> str:
             f"SELECT doc_id, t AS text, {sel} FROM {prev}")
 
 
+def _q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles per event type (SQL-standard
+    percentile_disc == DuckDB quantile_disc: the returned value is a
+    MEMBER of the group, so no interpolation float chain exists to
+    diverge). The money total accumulates fixed-point cents (int64,
+    order-independent) — the engine-portable alternative to a float SUM.
+    Spark plan: single partial+final sort-based aggregate per type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+         .alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")
+         .alias("p90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)")
+         .alias("p99"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.sum(cents).alias("total_cents"),
+    ))
+
+
+_EVENT_QUANTILES_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99,
+       min(value) AS vmin,
+       max(value) AS vmax,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY event_type
+"""
+
+
 def _q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP funnel primitive (relational.sequence_pattern): first 'purchase'
     by the same user strictly after each 'error' and within 10 minutes —
@@ -2570,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
+        "event_quantiles": _q_event_quantiles,
         "multimodal_meta": _q_multimodal_meta,
         "frame_sample": _q_frame_sample,
         "resize_payload": _q_resize_payload,
@@ -2751,6 +2789,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
+        "event_quantiles": _EVENT_QUANTILES_ORACLE,
         "multimodal_meta": _MULTIMODAL_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "resize_payload": _RESIZE_ORACLE,
