@@ -580,6 +580,12 @@ def line_dedup(
     """
     import re
 
+    # the scan+explode is consumed twice (hot-count branch + join probe).
+    # Deliberately NOT pre-repartitioned on the line key (the ngram trick):
+    # the hot side is small by construction, so AQE broadcast-joins it and
+    # the probe side never needs hashpartitioning(key) — a forced exchange
+    # would shuffle EVERY line to save one column-pruned re-scan, a bad
+    # trade at any scale.
     lines = df.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), re.escape(sep)))
