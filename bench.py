@@ -136,8 +136,10 @@ def main() -> None:
         n = spark.read.parquet(outp).count()
         return dt, n
 
+    loads["stream_pipeline_spa"] = round(os.getloadavg()[0], 2)
     s_dt, s_n = stream_pipeline()
     timings["stream_pipeline_spa"] = round(s_dt, 3)
+    spreads["stream_pipeline_spa"] = 1.0  # single full streaming run
     position_rows += s_n
     position_secs += s_dt
 
