@@ -51,6 +51,12 @@ def main() -> None:
                     metavar="LANG=PER10K",
                     help="per-language keep rate (default: keep all)")
     ap.add_argument("--repartition", type=int, default=None)
+    ap.add_argument("--line-dedup", type=int, default=None,
+                    metavar="MAX_COUNT",
+                    help="remove lines occurring > MAX_COUNT times "
+                         "corpus-wide before any other stage")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/IPv4s/phones to typed placeholders")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -64,6 +70,19 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     if args.repartition:
         docs = docs.repartition(args.repartition)
+
+    # 0. optional text-cleaning stages, BEFORE dedup/quality so their
+    # signals see the cleaned text (boilerplate lines otherwise dominate
+    # shingles; PII placeholders tokenize stably)
+    if args.line_dedup is not None:
+        from solarpos_spark.operators.dedup import line_dedup
+        cleaned = line_dedup(docs, max_line_count=args.line_dedup) \
+            .select("doc_id", "text")
+        docs = docs.drop("text").join(cleaned, "doc_id")
+    if args.scrub_pii:
+        from solarpos_spark.operators.text import pii_scrub
+        scrubbed = pii_scrub(docs).select("doc_id", "text")
+        docs = docs.drop("text").join(scrubbed, "doc_id")
 
     # 1. dedup + quality gate -> surviving doc ids with token accounting
     kept = curate(docs, jaccard_threshold=args.jaccard,
