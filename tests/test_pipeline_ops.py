@@ -951,6 +951,24 @@ class TestLineDedup:
         assert all(r["text"] == "ok\n\nok" and r["n_lines_removed"] == 0
                    for r in out)
 
+    def test_rebuild_is_exact_roundtrip(self, spark):
+        """With no hot lines, split -> rebuild must be the identity for
+        ANY text: empty docs, leading/trailing/repeated separators,
+        whitespace-only lines, unicode — the adversarial shapes that
+        break naive string_agg reconstructions."""
+        from solarpos_spark.operators.dedup import line_dedup
+
+        texts = ["", "\n", "a\nb", "\n\nx\n", "word  spaces \n\ttab\t",
+                 "   ", "a\n\n\nb", "ünï\n中文\n", "x" * 500,
+                 "trailing\n", "\nleading", "mid\n \nblank"]
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               line_dedup(df, max_line_count=10**9).collect()}
+        for i, t in enumerate(texts):
+            assert out[i]["text"] == t, (i, repr(t), repr(out[i]["text"]))
+            assert out[i]["n_lines_removed"] == 0
+
     def test_all_lines_removed_yields_empty(self, spark):
         from solarpos_spark.operators.dedup import line_dedup
 
