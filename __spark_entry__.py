@@ -2420,6 +2420,82 @@ WHERE (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
 """
 
 
+def _q_stream_funnel_first_committed(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """TRUE first-match streaming funnel via applyInPandasWithState
+    (streaming/stateful.py funnel_first_match), gate-hashed: error and
+    purchase events arrive in 4 time-quartile files (pinned order,
+    maxFilesPerTrigger=1), per-user custom state tracks pending windows,
+    and each match is emitted exactly when the event-time watermark
+    closes its window (EventTimeTimeout). In-order quartile files mean no
+    row is ever late-dropped (quartiles span days, the watermark lags 1
+    hour), so the committed set is the batch first-match fixpoint CUT at
+    the final watermark: only windows whose deadline the watermark passed
+    have emitted. The oracle states the same cut (Spark tracks event
+    times in ms, hence the //1000 truncations)."""
+    import glob
+    import os
+
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming.stateful import funnel_first_match
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamfunnel1_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter((F.col("event_id") < 10000)
+                & F.col("event_type").isin("error", "purchase")) \
+        .select("event_id",
+                F.col("ts").cast("timestamp").alias("ts"),  # NTZ -> TS,
+                "user_id", "event_type") \
+        .withColumn("_us", F.unix_micros(F.col("ts")))
+    bounds = ev.agg(F.min("_us"), F.max("_us")).collect()[0]
+    tmin, tmax = int(bounds[0]), int(bounds[1])
+    width = (tmax - tmin) // 4 + 1
+    written: set[str] = set()
+    for i in range(4):
+        ev.filter((F.col("_us") - tmin) / width >= i) \
+          .filter((F.col("_us") - tmin) / width < i + 1) \
+          .drop("_us").coalesce(1).write.mode("append").parquet(in_dir)
+        new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+        for p in new:
+            os.utime(p, (1_500_000_000 + 10 * i, 1_500_000_000 + 10 * i))
+        written.update(new)
+    schema = ev.drop("_us").schema
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+        .withWatermark("ts", "1 hour")
+    out = funnel_first_match(stream, first_type="error",
+                             then_type="purchase", within_seconds=600)
+    q = exactly_once_parquet_sink(out, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir) \
+        .select("user_id", "a_event_id", "b_event_id", "gap_usec")
+
+
+_STREAM_FUNNEL_FIRST_ORACLE = """
+WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+           FROM events WHERE event_type = 'error' AND event_id < 10000),
+b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+      FROM events WHERE event_type = 'purchase' AND event_id < 10000),
+j AS (
+  SELECT a.user_id, a.a_id, a.a_us, b.b_id, b.b_us
+  FROM a JOIN b ON a.user_id = b.user_id
+  WHERE (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+    AND b.b_us <= a.a_us + 600 * 1000000),
+m1 AS (SELECT user_id, a_id, a_us, min(b_us) AS mbus FROM j GROUP BY 1, 2, 3),
+m2 AS (SELECT m1.user_id, m1.a_id, m1.a_us, m1.mbus, min(j.b_id) AS b_id
+       FROM m1 JOIN j ON j.user_id = m1.user_id AND j.a_id = m1.a_id
+                     AND j.b_us = m1.mbus
+       GROUP BY 1, 2, 3, 4),
+wm AS (SELECT max(us) AS mx FROM (
+         SELECT a_us AS us FROM a UNION ALL SELECT b_us FROM b))
+SELECT user_id, a_id AS a_event_id, b_id AS b_event_id,
+       CAST(mbus - a_us AS BIGINT) AS gap_usec
+FROM m2, wm
+WHERE (a_us + 600 * 1000000) // 1000 < mx // 1000 - 3600 * 1000
+"""
+
+
 _STREAM_CURATE_RATES = {"en": 5000, "de": 10000, "fr": 10000,
                         "es": 10000, "zh": 10000}
 
@@ -2645,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_multibatch": _q_stream_window_multibatch,
         "stream_join_committed": _q_stream_join_committed,
         "stream_funnel_committed": _q_stream_funnel_committed,
+        "stream_funnel_first_committed": _q_stream_funnel_first_committed,
     }
 
 
@@ -2825,6 +2902,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_multibatch": _STREAM_WINDOW_MULTIBATCH_ORACLE,
         "stream_join_committed": _stream_join_oracle(),
         "stream_funnel_committed": _STREAM_FUNNEL_ORACLE,
+        "stream_funnel_first_committed": _STREAM_FUNNEL_FIRST_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -98,4 +99,153 @@ def sweep_progress(decoded: DataFrame, *, expected: int = 8,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
+    )
+
+
+FUNNEL_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("a_event_id", LongType()),
+    StructField("b_event_id", LongType()),
+    StructField("gap_usec", LongType()),
+])
+
+#: parallel arrays: pending A's (id, us, best-B id or -1, best-B us) and
+#: retained B's (id, us) — a GroupState struct cannot hold rows, so the
+#: per-key collections are column-encoded
+FUNNEL_STATE_SCHEMA = StructType([
+    StructField("a_ids", ArrayType(LongType())),
+    StructField("a_uss", ArrayType(LongType())),
+    StructField("ab_ids", ArrayType(LongType())),
+    StructField("ab_uss", ArrayType(LongType())),
+    StructField("b_ids", ArrayType(LongType())),
+    StructField("b_uss", ArrayType(LongType())),
+])
+
+
+def _make_funnel(first_type: str, then_type: str, within_us: int):
+    def better(cur_id, cur_us, b_id, b_us, a_id, a_us):
+        """Is (b_us, b_id) a valid, lexicographically-smaller match?"""
+        if not (b_us > a_us or (b_us == a_us and b_id > a_id)):
+            return False
+        if b_us > a_us + within_us:
+            return False
+        if cur_id < 0:
+            return True
+        return (b_us, b_id) < (cur_us, cur_id)
+
+    def run(key: tuple, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            a_ids, a_uss, ab_ids, ab_uss, b_ids, b_uss = \
+                [list(x) for x in state.get]
+        else:
+            a_ids, a_uss, ab_ids, ab_uss, b_ids, b_uss = \
+                [], [], [], [], [], []
+
+        new_a, new_b = [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            for eid, etype, eus in zip(pdf["event_id"], pdf["event_type"], us):
+                if etype == then_type:
+                    new_b.append((int(eid), int(eus)))
+                elif etype == first_type:
+                    new_a.append((int(eid), int(eus)))
+
+        # fold new B's into every pending A, then retain them
+        for b_id, b_us in new_b:
+            for i in range(len(a_ids)):
+                if better(ab_ids[i], ab_uss[i], b_id, b_us,
+                          a_ids[i], a_uss[i]):
+                    ab_ids[i], ab_uss[i] = b_id, b_us
+            b_ids.append(b_id)
+            b_uss.append(b_us)
+        # new A's scan the full retained-B set (includes this batch's B's)
+        for a_id, a_us in new_a:
+            best_id, best_us = -1, -1
+            for b_id, b_us in zip(b_ids, b_uss):
+                if better(best_id, best_us, b_id, b_us, a_id, a_us):
+                    best_id, best_us = b_id, b_us
+            a_ids.append(a_id)
+            a_uss.append(a_us)
+            ab_ids.append(best_id)
+            ab_uss.append(best_us)
+
+        # watermark-driven eviction: an A's window closes when the
+        # watermark passes a_us + within (no in-window B can still arrive
+        # — later rows are late-filtered); emit its first match, if any
+        wm_ms = state.getCurrentWatermarkMs()
+        out, keep = [], []
+        for i in range(len(a_ids)):
+            if wm_ms > (a_uss[i] + within_us) // 1000:
+                if ab_ids[i] >= 0:
+                    out.append({"user_id": user_id,
+                                "a_event_id": a_ids[i],
+                                "b_event_id": ab_ids[i],
+                                "gap_usec": ab_uss[i] - a_uss[i]})
+            else:
+                keep.append(i)
+        a_ids = [a_ids[i] for i in keep]
+        a_uss = [a_uss[i] for i in keep]
+        ab_ids = [ab_ids[i] for i in keep]
+        ab_uss = [ab_uss[i] for i in keep]
+        # a retained B is dead once the watermark passes it: any future A
+        # that could match (a_us < b_us) would itself be late-filtered
+        kept_b = [(bi, bu) for bi, bu in zip(b_ids, b_uss)
+                  if bu // 1000 >= wm_ms]
+        b_ids = [b for b, _ in kept_b]
+        b_uss = [u for _, u in kept_b]
+
+        if a_ids or b_ids:
+            state.update((a_ids, a_uss, ab_ids, ab_uss, b_ids, b_uss))
+            if a_ids:  # wake when the earliest A-window closes
+                ts = min(u + within_us for u in a_uss) // 1000 + 1
+                state.setTimeoutTimestamp(max(ts, wm_ms + 1))
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def funnel_first_match(
+    events: DataFrame,
+    *,
+    first_type: str,
+    then_type: str,
+    within_seconds: int,
+) -> DataFrame:
+    """TRUE first-match streaming funnel: one row per A event — its FIRST
+    B (lexicographic (ts, id)) within the window — emitted exactly when
+    the event-time watermark closes the window, so cross-batch
+    out-of-order arrival cannot change the answer. This is the stateful
+    complement to funnel_stream (which emits all pairs and defers the
+    rank-1 cut): custom per-key state = pending A's with their
+    best-so-far B plus the retained B's that future in-watermark A's
+    could still match, evicted as the watermark passes them. Pytest
+    proves batch parity: committed rows == relational.sequence_pattern
+    for the same input under multi-batch shuffled delivery.
+
+    ``events`` must already carry an event-time watermark on ``ts``.
+    State per key is O(in-flight windows); EventTimeTimeout wakes idle
+    keys exactly when their earliest window closes.
+
+    Watermark caveat: Catalyst pushes the A/B type restriction BELOW the
+    EventTimeWatermark node (into the scan), so rows of OTHER event types
+    do not advance the watermark through this operator — only A/B event
+    times drive window closing. If the caller needs foreign types to
+    advance time (e.g. heartbeats), project them to a passthrough type
+    before this operator.
+    """
+    filtered = events.filter(
+        events["event_type"].isin(first_type, then_type))
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        _make_funnel(first_type, then_type, int(within_seconds) * 1_000_000),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

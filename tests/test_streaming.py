@@ -502,3 +502,80 @@ class TestFunnelStream:
                                  then_type="purchase", within_seconds=120)
         assert first.exceptAll(batch).count() == 0
         assert batch.exceptAll(first).count() == 0
+
+
+class TestFunnelFirstMatch:
+    def test_stateful_first_match_equals_batch(self, spark, tmp_path):
+        """funnel_first_match (applyInPandasWithState, EventTimeTimeout)
+        must commit EXACTLY relational.sequence_pattern's rows for the
+        same input, even with multi-batch out-of-order delivery — windows
+        close only when the watermark passes, so arrival order cannot
+        change the answer. A far-future sentinel event drives the final
+        watermark past every deadline."""
+        import glob
+        import os
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.operators.relational import sequence_pattern
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming.stateful import funnel_first_match
+
+        t0 = datetime(2024, 7, 1, 8, 0, 0)
+        s = timedelta(seconds=1)
+        rows, eid = [], 0
+
+        def add(u, typ, dt):
+            nonlocal eid
+            rows.append((eid, u, typ, t0 + dt))
+            eid += 1
+
+        for u in range(4):
+            base = u * 600
+            add(u, "error", base * s)
+            add(u, "purchase", (base + 30 + u) * s)   # first match
+            add(u, "purchase", (base + 90) * s)       # later, not reported
+            add(u, "error", (base + 200) * s)
+            if u % 2 == 0:                            # in-window for evens
+                add(u, "purchase", (base + 260) * s)
+            add(u, "error", (base + 3000) * s)        # never matched
+        # simultaneous-ts tiebreak: purchase id > error id at the same ts
+        add(5, "error", 50 * s)
+        rows.append((eid, 5, "purchase", t0 + 50 * s)); eid += 1
+        # sentinel: a far-future B for an unused user advances the final
+        # watermark past every deadline. It must be a FILTER-SURVIVING
+        # type — Catalyst pushes the A/B restriction below the
+        # EventTimeWatermark node, so other event types never reach it.
+        sentinel_id = eid
+        add(9, "purchase", timedelta(hours=10))
+
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp")
+        in_dir = str(tmp_path / "in")
+        written: set = set()
+        for f in range(3):  # shuffled delivery: route by id mod 3; the
+            # sentinel rides the LAST file (mtimes pin true write order)
+            part = ev.filter(
+                ((F.col("event_id") % 3 == f)
+                 & (F.col("event_id") != sentinel_id))
+                | (F.lit(f == 2) & (F.col("event_id") == sentinel_id)))
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+            for p in new:
+                os.utime(p, (2_000_000_000 + 10 * f, 2_000_000_000 + 10 * f))
+            written.update(new)
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+            .withWatermark("ts", "2 hours")
+        out = funnel_first_match(stream, first_type="error",
+                                 then_type="purchase", within_seconds=120)
+        q = exactly_once_parquet_sink(out, str(tmp_path / "out"),
+                                      str(tmp_path / "ckpt"),
+                                      trigger_available_now=True)
+        q.awaitTermination()
+        got = spark.read.parquet(str(tmp_path / "out")) \
+            .select("user_id", "a_event_id", "b_event_id", "gap_usec")
+        want = sequence_pattern(ev, first_type="error",
+                                then_type="purchase", within_seconds=120)
+        assert got.count() > 0
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
