@@ -181,8 +181,10 @@ def main() -> None:
     run("repetition_stats", lambda: qs["repetition_stats"](spark, sf_dir))
     run("sequence_pack", lambda: qs["sequence_pack"](spark, sf_dir))
     run("minhash_verified", lambda: qs["minhash_verified"](spark, sf_dir))
-    # round-4 additions: corpus line-dedup (hash-agg + hot-set join)
+    # round-4 additions: corpus line-dedup (hash-agg + hot-set join),
+    # CEP funnel (per-key window pass)
     run("line_dedup", lambda: qs["line_dedup"](spark, sf_dir))
+    run("sequence_pattern", lambda: qs["sequence_pattern"](spark, sf_dir))
     run("frame_sample", lambda: qs["frame_sample"](spark, sf_dir))
     run("ivf_topk_arrow", lambda: qs["ivf_topk_arrow"](spark, sf_dir))
     run("tfidf_pairs", lambda: qs["tfidf_pairs"](spark, sf_dir))
