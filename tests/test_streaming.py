@@ -579,3 +579,82 @@ class TestFunnelFirstMatch:
         assert got.count() > 0
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+    def test_resume_from_checkpoint_preserves_state(self, spark, tmp_path):
+        """Kill the stateful funnel mid-stream and resume from the same
+        checkpoint: pending-window state (array-encoded in the state
+        store) must survive the restart — the final committed rows still
+        equal the batch first-match, with no duplicates."""
+        import glob
+        import os
+        import time
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.operators.relational import sequence_pattern
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming.stateful import funnel_first_match
+
+        t0 = datetime(2024, 7, 2, 8, 0, 0)
+        s = timedelta(seconds=1)
+        rows, eid = [], 0
+        for u in range(6):
+            base = u * 400
+            rows.append((eid, u, "error", t0 + base * s)); eid += 1
+            # the match arrives in a LATER file than the error
+            rows.append((eid, u, "purchase", t0 + (base + 60) * s)); eid += 1
+        sentinel_id = eid
+        rows.append((eid, 9, "purchase", t0 + timedelta(hours=10))); eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp")
+        in_dir = str(tmp_path / "in")
+        written: set = set()
+        # file 0: all errors; file 1: all purchases; file 2: sentinel —
+        # every pending-A state must cross the file-0/1 boundary
+        parts = [ev.filter((F.col("event_type") == "error")),
+                 ev.filter((F.col("event_type") == "purchase")
+                           & (F.col("event_id") != sentinel_id)),
+                 ev.filter(F.col("event_id") == sentinel_id)]
+        for f, part in enumerate(parts):
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+            for p in new:
+                os.utime(p, (2_100_000_000 + 10 * f, 2_100_000_000 + 10 * f))
+            written.update(new)
+
+        def build_stream():
+            return spark.readStream.schema(ev.schema) \
+                .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+                .withWatermark("ts", "2 hours")
+
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        # phase 1: let >= 2 micro-batches commit (errors + purchases in
+        # state), then kill before the sentinel closes the windows
+        q = exactly_once_parquet_sink(
+            funnel_first_match(build_stream(), first_type="error",
+                               then_type="purchase", within_seconds=120),
+            out_dir, ckpt)
+        deadline = time.monotonic() + 120
+        commits = os.path.join(ckpt, "commits")
+        seen = 0
+        while seen < 2 and time.monotonic() < deadline:
+            time.sleep(1.0)
+            seen = len([f for f in os.listdir(commits)
+                        if not f.startswith(".")]) \
+                if os.path.isdir(commits) else 0
+        assert seen >= 2, "no micro-batch committed before kill"
+        q.stop()
+        q.awaitTermination(60)
+
+        # phase 2: resume from the checkpoint and drain
+        q2 = exactly_once_parquet_sink(
+            funnel_first_match(build_stream(), first_type="error",
+                               then_type="purchase", within_seconds=120),
+            out_dir, ckpt, trigger_available_now=True)
+        q2.awaitTermination()
+        got = spark.read.parquet(out_dir) \
+            .select("user_id", "a_event_id", "b_event_id", "gap_usec")
+        want = sequence_pattern(ev, first_type="error",
+                                then_type="purchase", within_seconds=120)
+        assert got.count() == 6  # one funnel per user, exactly once
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
