@@ -790,6 +790,41 @@ FROM m GROUP BY doc_id
 """
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans (dedup.dup_span_windows — the
+    window-hash approximation of Lee et al. 2022 suffix-array dedup):
+    every 8-word window occurring >= 2 times corpus-wide is a duplicate
+    window; overlapping windows merge into maximal per-doc spans."""
+    return dedup.dup_span_windows(_docs(spark, sf_dir), k=8, min_count=2)
+
+
+_DUP_SPANS_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) t),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dp AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM dp),
+i AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_words_dup,
+       count(*) AS n_windows
+FROM i GROUP BY doc_id, isl
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (text.pii_scrub): emails / bare IPv4s / international
     phone numbers -> typed placeholders + per-type audit counts. The gate
@@ -2681,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_v2": _q_lang_id_v2,
         "lang_id_v2_margin": _q_lang_id_v2_margin,
         "line_dedup": _q_line_dedup,
+        "dup_spans": _q_dup_spans,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
         "event_quantiles": _q_event_quantiles,
@@ -2864,6 +2900,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_v2": _lang_id_v2_oracle(),
         "lang_id_v2_margin": _lang_id_v2_oracle(min_margin=25),
         "line_dedup": _LINE_DEDUP_ORACLE,
+        "dup_spans": _DUP_SPANS_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
         "event_quantiles": _EVENT_QUANTILES_ORACLE,

@@ -549,6 +549,91 @@ def minhash_verified_pairs(
     )
 
 
+def dup_span_windows(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    key_fn: str = "text",
+) -> DataFrame:
+    """Substring-level duplicate spans — the window-hash approximation of
+    suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": remove any substring
+    occurring verbatim more than once in the corpus). Every k-word window
+    is hashed corpus-wide; a window occurring >= ``min_count`` times
+    ANYWHERE (across docs or repeated within one doc) is a duplicate
+    window, and overlapping/adjacent duplicate windows merge into maximal
+    word spans per document — the units a downstream pass cuts out.
+
+    Relational construction (the shingle_rows pattern — never a
+    higher-order lambda over the text, see that docstring for the
+    CollapseProject/CSE trap):
+    1. posexplode the words array once; k-grams with positions via
+       ``lead()`` windows (full grams only);
+    2. one hash-aggregate on the gram key for corpus counts (a hot gram is
+       ONE counter), filtered to >= min_count — the dup-gram set;
+    3. semi-join the positions back on the SAME key (the explicit
+       repartition materializes the gram exchange once, reused by the
+       count branch and the probe branch);
+    4. gaps-and-islands span merge per doc: windows at p1 < p2 chain into
+       one span iff p2 - p1 <= k (their word ranges [p, p+k-1] overlap or
+       touch), so an island break is ``pos - lag(pos) > k``; cumulative
+       sum of breaks numbers the islands, one agg emits the span.
+
+    Scale shape: O(total words) explode, the only wide exchanges are the
+    gram-keyed agg/join (co-partitioned) and the per-doc window sort —
+    never any pairwise doc join. ``key_fn='xxhash64'`` shuffles an 8-byte
+    hash instead of the gram string (the 100 TB default; collisions only
+    over-mark at ~2^-64 per pair — pytest pins hash/text parity), while
+    the default ``'text'`` keys on the exact gram (what the SQL oracle
+    mirrors, collision-free by construction).
+
+    Output: (doc_id, span_start, span_end, n_words_dup, n_windows) with
+    word positions 0-based inclusive.
+    """
+    wd = spread_input(df.select("doc_id", text_col)).select(
+        "doc_id", words_col(F.col(text_col)).alias("_w"))
+    pos = wd.selectExpr("doc_id", "posexplode(_w) AS (_p, _word)")
+    win = Window.partitionBy("doc_id").orderBy("_p")
+    parts = [F.col("_word")] + [F.lead("_word", j).over(win)
+                                for j in range(1, k)]
+    grams = (
+        pos.select(
+            "doc_id", F.col("_p").alias("pos"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("_word", k - 1).over(win).isNotNull().alias("_full"))
+        .filter(F.col("_full"))
+    )
+    key = F.xxhash64("gram") if key_fn == "xxhash64" else F.col("gram")
+    keyed = grams.select("doc_id", "pos", key.alias("gkey")) \
+                 .repartition("gkey")
+    dup = (keyed.groupBy("gkey")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") >= min_count)
+           .select("gkey"))
+    dpos = keyed.join(dup, "gkey").select("doc_id", "pos")
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w2) > k, 1).otherwise(0)
+    isl = (dpos.select("doc_id", "pos", brk.alias("_brk"))
+           .select("doc_id", "pos",
+                   F.sum("_brk").over(
+                       w2.rowsBetween(Window.unboundedPreceding, 0))
+                   .alias("_isl")))
+    return (
+        isl.groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"),
+             F.count(F.lit(1)).alias("_nw"))
+        .select(
+            "doc_id",
+            F.col("_s").cast("long").alias("span_start"),
+            (F.col("_e") + (k - 1)).cast("long").alias("span_end"),
+            (F.col("_e") + k - F.col("_s")).cast("long").alias("n_words_dup"),
+            F.col("_nw").cast("long").alias("n_windows"),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     *,

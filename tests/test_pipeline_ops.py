@@ -1009,3 +1009,61 @@ class TestPiiScrub:
         r = pii_scrub(df).collect()[0]
         assert r["n_email"] == 1 and r["n_ipv4"] == 0
         assert r["text"] == "x <email> z"
+
+
+class TestDupSpans:
+    def _spans(self, df, **kw):
+        from solarpos_spark.operators.dedup import dup_span_windows
+
+        return {(r["doc_id"], r["span_start"]): r
+                for r in dup_span_windows(df, **kw).collect()}
+
+    def test_cross_doc_shared_chunk(self, spark):
+        shared = " ".join(f"d{i}" for i in range(8))
+        rows = [(0, f"u1 u2 u3 {shared} u4"),
+                (1, f"v1 v2 {shared} v3 v4"),
+                (2, "all unique words here nothing repeats at all ever")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = self._spans(df, k=8, min_count=2)
+        assert set(out) == {(0, 3), (1, 2)}
+        a = out[(0, 3)]
+        assert (a["span_end"], a["n_words_dup"], a["n_windows"]) == (10, 8, 1)
+        b = out[(1, 2)]
+        assert (b["span_end"], b["n_words_dup"], b["n_windows"]) == (9, 8, 1)
+
+    def test_within_doc_repeat_merges_to_one_span(self, spark):
+        # the 8-word phrase repeats back-to-back: dup windows at pos 0 and
+        # pos 8 touch (gap == k) and merge into one 16-word span
+        phrase = " ".join(f"x{i}" for i in range(8))
+        df = spark.createDataFrame([(7, f"{phrase} {phrase}")],
+                                   "doc_id long, text string")
+        out = self._spans(df, k=8, min_count=2)
+        assert set(out) == {(7, 0)}
+        r = out[(7, 0)]
+        assert (r["span_end"], r["n_words_dup"], r["n_windows"]) == (15, 16, 2)
+
+    def test_distant_repeats_stay_separate_spans(self, spark):
+        phrase = " ".join(f"w{i}" for i in range(8))
+        gap = " ".join(f"g{i}" for i in range(9))
+        df = spark.createDataFrame([(3, f"{phrase} {gap} {phrase}")],
+                                   "doc_id long, text string")
+        out = self._spans(df, k=8, min_count=2)
+        # dup windows at pos 0 and 17; 17 - 0 > 8 -> two islands
+        assert set(out) == {(3, 0), (3, 17)}
+        assert out[(3, 0)]["span_end"] == 7
+        assert out[(3, 17)]["span_end"] == 24
+
+    def test_short_docs_have_no_windows(self, spark):
+        df = spark.createDataFrame(
+            [(i, "only seven words live in this doc") for i in range(5)],
+            "doc_id long, text string")
+        assert self._spans(df, k=8, min_count=2) == {}
+
+    def test_xxhash_key_matches_text_key(self, spark, docs):
+        from solarpos_spark.operators.dedup import dup_span_windows
+
+        a = sorted(map(tuple, dup_span_windows(
+            docs, k=8, key_fn="text").collect()))
+        b = sorted(map(tuple, dup_span_windows(
+            docs, k=8, key_fn="xxhash64").collect()))
+        assert a == b and len(a) > 0
