@@ -790,6 +790,38 @@ FROM m GROUP BY doc_id
 """
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (text.quality_classifier —
+    fastText-shaped: poly31 word hash -> broadcast weight relation ->
+    int64 score sum -> softsign keep-probability)."""
+    return text.quality_classifier(_docs(spark, sf_dir))
+
+
+_QUALITY_CLASSIFIER_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(word) + 1),
+                          i -> CAST(ascii(substr(word, i, 1)) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) % 4096 AS bucket
+  FROM t),
+s AS (
+  SELECT doc_id, count(*) AS n_words,
+         sum(((bucket * 2654435761 + 97) % 2147483647) % 2001 - 1000)
+           AS score
+  FROM h GROUP BY doc_id)
+SELECT doc_id, n_words, CAST(score AS BIGINT) AS score,
+       round(0.5 + (score / (n_words * 1000.0))
+             / (2.0 * (1.0 + abs(score / (n_words * 1000.0)))), 6) AS prob,
+       CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM s
+"""
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate spans (dedup.dup_span_windows — the
     window-hash approximation of Lee et al. 2022 suffix-array dedup):
@@ -2717,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_v2_margin": _q_lang_id_v2_margin,
         "line_dedup": _q_line_dedup,
         "dup_spans": _q_dup_spans,
+        "quality_classifier": _q_quality_classifier,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
         "event_quantiles": _q_event_quantiles,
@@ -2901,6 +2934,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_v2_margin": _lang_id_v2_oracle(min_margin=25),
         "line_dedup": _LINE_DEDUP_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
+        "quality_classifier": _QUALITY_CLASSIFIER_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
         "event_quantiles": _EVENT_QUANTILES_ORACLE,

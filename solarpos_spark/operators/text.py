@@ -391,6 +391,72 @@ def tfidf_cosine_pairs(
     )
 
 
+def quality_classifier(
+    df: DataFrame,
+    *,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier — the model shape
+    behind CCNet / LLaMA-pipeline quality filtering (a linear classifier
+    over hashed bag-of-words features; Joulin et al. 2016): each word
+    hashes to one of ``n_buckets`` feature buckets, the document score is
+    the sum of the bucket weights (bag semantics — repeats count), and a
+    squash maps the mean weight to a keep-probability.
+
+    The weight table is a RELATION, exactly how a trained model ships at
+    scale: (bucket, wt) broadcast-joined onto the hashed words — swap in
+    real trained weights by passing ``weights``. The default table is a
+    deterministic stand-in derived from the bucket id (no labeled data or
+    training libs exist in this sandbox — documented stand-in, same
+    plumbing): wt(b) = ((b * 2654435761 + 97) mod P) mod 2001 - 1000,
+    an int in [-1000, 1000].
+
+    Bit-stability: the score is an INT64 sum (order-independent under any
+    shuffle); the only float chain is the final squash
+    p = 0.5 + t / (2 (1 + |t|)) with t = score / (1000 n_words) — softsign,
+    pure IEEE +,*,/,abs (no exp/ln), identical in any engine. The label
+    thresholds the integer score directly.
+
+    Scale shape: one posexplode (map-side), per-word hash + broadcast
+    equi-join on bucket, one partial-agg shuffle keyed by doc_id.
+    Output: (doc_id, n_words, score, prob, label).
+    """
+    from .dedup import POLY_P, poly31_hash, spread_input
+
+    spark = df.sparkSession
+    if weights is None:
+        weights = spark.range(n_buckets).select(
+            F.col("id").alias("bucket"),
+            (((F.col("id") * F.lit(2654435761) + F.lit(97)) % F.lit(POLY_P))
+             % F.lit(2001) - F.lit(1000)).alias("wt"),
+        )
+    docs = spread_input(df.select("doc_id", text_col))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+         .alias("word"))
+    hashed = tok.select(
+        "doc_id", (poly31_hash(F.col("word")) % n_buckets).alias("bucket"))
+    scored = (
+        hashed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.sum("wt").alias("score"))
+    )
+    t = F.col("score") / (F.col("n_words") * F.lit(1000.0))
+    return scored.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("score").cast("long").alias("score"),
+        F.round(F.lit(0.5) + t / (F.lit(2.0) * (F.lit(1.0) + F.abs(t))), 6)
+         .alias("prob"),
+        F.when(F.col("score") >= 0, F.lit("keep")).otherwise(F.lit("drop"))
+         .alias("label"),
+    )
+
+
 #: (name, regex) PII patterns — conservative, engine-portable subset (the
 #: same expression must compile identically under Java regex (Spark) and
 #: RE2 (DuckDB): no backrefs, no lookaround). Order matters: emails are

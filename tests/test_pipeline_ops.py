@@ -1067,3 +1067,42 @@ class TestDupSpans:
         b = sorted(map(tuple, dup_span_windows(
             docs, k=8, key_fn="xxhash64").collect()))
         assert a == b and len(a) > 0
+
+
+class TestQualityClassifier:
+    def test_bag_semantics_and_label_sign(self, spark):
+        from solarpos_spark.operators.text import quality_classifier
+
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, "alpha alpha"), (3, "alpha alpha alpha")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+        w = out[1]["score"]
+        assert out[2]["score"] == 2 * w and out[3]["score"] == 3 * w
+        for r in out.values():
+            assert 0.0 <= r["prob"] <= 1.0
+            assert r["label"] == ("keep" if r["score"] >= 0 else "drop")
+
+    def test_custom_weight_table_swaps_in(self, spark):
+        from solarpos_spark.operators.dedup import POLY_P
+        from solarpos_spark.operators.text import quality_classifier
+
+        # the default table reproduced explicitly must give identical output
+        explicit = spark.range(4096).select(
+            F.col("id").alias("bucket"),
+            (((F.col("id") * F.lit(2654435761) + F.lit(97)) % F.lit(POLY_P))
+             % F.lit(2001) - F.lit(1000)).alias("wt"))
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = sorted(map(tuple, quality_classifier(docs).collect()))
+        b = sorted(map(tuple,
+                       quality_classifier(docs, weights=explicit).collect()))
+        assert a == b and len(a) > 0
+
+    def test_prob_is_softsign_of_mean_weight(self, spark):
+        from solarpos_spark.operators.text import quality_classifier
+
+        df = spark.createDataFrame([(9, "some words for the squash check")],
+                                   "doc_id long, text string")
+        r = quality_classifier(df).collect()[0]
+        t = r["score"] / (r["n_words"] * 1000.0)
+        assert r["prob"] == round(0.5 + t / (2.0 * (1.0 + abs(t))), 6)
