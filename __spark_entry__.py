@@ -736,6 +736,40 @@ def _q_ivf_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                                centroids=cents, assign="arrow")
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semdedup — Abbas et al. 2023): k-means-cluster
+    the embeddings with the SAME deterministic trained codebook as the IVF
+    entries, drop every vector cosine-dominated (>= eps) by a lower id
+    within its cluster. The oracle re-derives training + assignment +
+    within-cluster pruning end-to-end."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_train_centroids(emb, n_centroids=16, n_iter=3,
+                                           seed=11, assign="arrow")
+    return similarity.semdedup(emb, eps=0.3, centroids=cents)
+
+
+def _semdedup_oracle(eps: float = 0.3) -> str:
+    return f"""
+WITH {_ivf_trained_cents_cte()},
+clist AS (SELECT list(c ORDER BY cid) AS cl, list(cn ORDER BY cid) AS cnl
+          FROM cents),
+assigned AS (
+  SELECT vec_id, v, vn, list_indexof(sc, list_max(sc)) AS list_id
+  FROM (SELECT vec_id, v, vn,
+               list_transform(range(1, 17),
+                              j -> list_dot_product(v, cl[j]) / cnl[j]) AS sc
+        FROM corpus, clist)),
+rm AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= {eps})
+SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+       rm.vec_id IS NULL AS kept
+FROM assigned a LEFT JOIN rm ON rm.vec_id = a.vec_id
+"""
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_docs(spark, sf_dir))
 
@@ -2743,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_arrow": _q_ivf_topk_arrow,
+        "semdedup": _q_semdedup,
         "ann_topk_multiprobe": _q_ann_topk_multiprobe,
         "lang_id": _q_lang_id,
         "lang_id_v2": _q_lang_id_v2,
@@ -2951,6 +2986,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": search.bm25_sql_oracle(_BM25_QUERY, k=15),
         "ivf_topk": _ivf_topk_oracle(),
         "ivf_topk_arrow": _ivf_topk_oracle(),
+        "semdedup": _semdedup_oracle(),
         "repetition_stats": _REPETITION_STATS_ORACLE,
         "sequence_pack": _SEQUENCE_PACK_ORACLE,
         "contamination_screen": _CONTAMINATION_ORACLE,

@@ -462,6 +462,74 @@ def ivf_topk(
             .select("query_id", "rank", "neighbor_id", "score"))
 
 
+def semdedup(
+    corpus: DataFrame,
+    *,
+    eps: float = 0.95,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    assign: str = "expr",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then deduplicate WITHIN clusters only — a vector is
+    dropped iff a lower-id vector in the SAME cluster has cosine >= eps
+    (keep-lowest-id is this engine's deterministic stand-in for the
+    paper's keep-one-per-epsilon-group rule; the paper's alternative
+    representative choices are one ORDER BY away).
+
+    The clustering is the point at scale: pairwise cosine runs per list,
+    so the quadratic term is Σ|list|² not |corpus|² — n_centroids is the
+    knob that bounds it (the paper uses 50k clusters for 100M+ vectors;
+    at 10^9 embeddings size lists to ~corpus/n_centroids ≈ 10^4-10^5).
+    Reuses the deterministic trained codebook (ivf_train_centroids — same
+    seed/rounds as the IVF gate entries, so the SQL oracle re-derives the
+    identical clustering), the zero-shuffle literal-codebook assignment
+    (``assign='arrow'`` for the vectorized bit-identical path), and the
+    norms are computed below the join so each pair pays one fold.
+    The self-join's explicit repartition on list_id materializes the
+    assignment exchange once for both sides.
+
+    Output: (vec_id, list_id, kept) — kept=false marks removed near-dups.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, n_centroids=n_centroids, n_iter=n_iter, seed=seed,
+            id_col=id_col, vec_col=vec_col, assign=assign)
+    if assign == "arrow":
+        assigned = ivf_assign_arrow(corpus, centroids,
+                                    id_col=id_col, vec_col=vec_col)
+    else:
+        scores = _centroid_scores(F.col(vec_col), centroids)
+        assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+            _norm(F.col(vec_col)).alias("_cn"),
+            F.array_position(scores, F.array_max(scores)).alias("list_id"),
+        )
+    rel = assigned.repartition("list_id")
+    a, b = rel.alias("a"), rel.alias("b")
+    cos = F.round(_dot(F.col("a.cvec"), F.col("b.cvec"))
+                  / (F.col("a._cn") * F.col("b._cn")), 6)
+    removed = (
+        a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
+               & (F.col("a.neighbor_id") < F.col("b.neighbor_id")))
+        .filter(cos >= eps)
+        .select(F.col("b.neighbor_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return (
+        assigned.select(F.col("neighbor_id").alias("vec_id"),
+                        F.col("list_id").cast("long").alias("list_id"))
+        .join(removed, "vec_id", "left")
+        .select("vec_id", "list_id", F.col("_rm").isNull().alias("kept"))
+    )
+
+
 def ivf_assign_arrow(
     corpus: DataFrame,
     centroids,

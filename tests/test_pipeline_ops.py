@@ -1106,3 +1106,50 @@ class TestQualityClassifier:
         r = quality_classifier(df).collect()[0]
         t = r["score"] / (r["n_words"] * 1000.0)
         assert r["prob"] == round(0.5 + t / (2.0 * (1.0 + abs(t))), 6)
+
+
+class TestSemDeDup:
+    CENTS = [(0, [1.0, 0.0, 0.0, 0.0], 1.0), (1, [0.0, 1.0, 0.0, 0.0], 1.0)]
+
+    def _run(self, spark, rows, eps):
+        from solarpos_spark.operators.similarity import semdedup
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<double>")
+        return {r["vec_id"]: r
+                for r in semdedup(df, eps=eps, centroids=self.CENTS).collect()}
+
+    def test_keep_lowest_id_within_cluster(self, spark):
+        rows = [(1, [1.0, 0.01, 0.0, 0.0]),
+                (2, [0.99, 0.012, 0.0, 0.0]),
+                (5, [0.98, 0.0, 0.01, 0.0]),
+                (7, [0.0, 1.0, 0.0, 0.0]),
+                (9, [0.01, 0.99, 0.0, 0.0])]
+        out = self._run(spark, rows, 0.95)
+        assert out[1]["kept"] and out[7]["kept"]
+        assert not out[2]["kept"] and not out[5]["kept"] and not out[9]["kept"]
+        assert out[1]["list_id"] == out[2]["list_id"] == out[5]["list_id"]
+        assert out[7]["list_id"] == out[9]["list_id"] != out[1]["list_id"]
+
+    def test_cross_cluster_near_dups_survive(self, spark):
+        # cosine ~1.0 but straddling the cluster boundary: SemDeDup only
+        # compares within a cluster, so both are kept (the documented
+        # recall trade the paper accepts)
+        rows = [(3, [0.708, 0.707, 0.0, 0.0]),
+                (4, [0.707, 0.708, 0.0, 0.0])]
+        out = self._run(spark, rows, 0.95)
+        assert out[3]["kept"] and out[4]["kept"]
+        assert out[3]["list_id"] != out[4]["list_id"]
+
+    def test_arrow_matches_expr(self, spark, emb):
+        from solarpos_spark.operators.similarity import (ivf_train_centroids,
+                                                         semdedup)
+
+        cents = ivf_train_centroids(emb, n_centroids=8, n_iter=2, seed=11)
+        a = sorted(map(tuple,
+                       semdedup(emb, eps=0.3, centroids=cents).collect()))
+        b = sorted(map(tuple, semdedup(emb, eps=0.3, centroids=cents,
+                                       assign="arrow").collect()))
+        assert a == b and len(a) > 0
+        assert any(not r[2] for r in a)  # the planted near-dups are removed
