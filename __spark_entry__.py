@@ -824,6 +824,46 @@ FROM m GROUP BY doc_id
 """
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (text.dsir_scores — Xie et al. 2023):
+    hashed-unigram log-likelihood ratio of the lang='de' target model vs
+    the full raw corpus, bucket-sorted deterministic float fold."""
+    return text.dsir_scores(_docs(spark, sf_dir), F.col("lang") == "de")
+
+
+_DSIR_SELECT_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, lang = 'de' AS tgt,
+         string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+t AS (SELECT doc_id, tgt, unnest(ws) AS word FROM w),
+b AS (
+  SELECT doc_id, tgt,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(word) + 1),
+                          i -> CAST(ascii(substr(word, i, 1)) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) % 1024 AS bucket
+  FROM t),
+lam AS (
+  SELECT bucket,
+         ln(sum(CASE WHEN tgt THEN 1 ELSE 0 END) + 1.0)
+         - ln(count(*) + 1.0) AS lam
+  FROM b GROUP BY bucket),
+tot AS (
+  SELECT count(*) AS R, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS T FROM b),
+pc AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
+d AS (
+  SELECT doc_id, sum(c) AS n_words,
+         list_sum(list(c * lam ORDER BY bucket)) AS s
+  FROM pc JOIN lam USING (bucket) GROUP BY doc_id)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(s + n_words * (ln(R + 1024.0) - ln(T + 1024.0)), 6) AS logw,
+       round(s + n_words * (ln(R + 1024.0) - ln(T + 1024.0)), 6) >= 0
+         AS selected
+FROM d, tot
+"""
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (text.quality_classifier —
     fastText-shaped: poly31 word hash -> broadcast weight relation ->
@@ -2785,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "dup_spans": _q_dup_spans,
         "quality_classifier": _q_quality_classifier,
+        "dsir_select": _q_dsir_select,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
         "event_quantiles": _q_event_quantiles,
@@ -2970,6 +3011,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
         "quality_classifier": _QUALITY_CLASSIFIER_ORACLE,
+        "dsir_select": _DSIR_SELECT_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
         "event_quantiles": _EVENT_QUANTILES_ORACLE,

@@ -457,6 +457,86 @@ def quality_classifier(
     )
 
 
+def dsir_scores(
+    df: DataFrame,
+    target: Column,
+    *,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by the log-likelihood ratio of two hashed-unigram bag-of-words models
+    — one fit on the ``target`` subset (the domain you want more of), one
+    on the full raw corpus. logw > 0 means "more target-like than
+    raw-average"; resampling keeps the high-logw tail.
+
+    logw(d) = Σ_b c_{d,b} (ln(t_b+α) − ln(r_b+α))
+              + |d| (ln(R+αB) − ln(T+αB))
+    with c_{d,b} the doc's count in bucket b = poly31(word) mod B, t/r the
+    target/raw corpus bucket counts, T/R their totals, α add-α smoothing.
+
+    Scale shape: ONE explode over the corpus feeds both n-gram models (the
+    target counts are a conditional aggregate of the same relation — no
+    second scan), the λ_b table is B rows broadcast back, the per-doc pass
+    is a (doc_id, bucket) two-level hash agg. Bit-stability: every count
+    is integral; the only float reduction — Σ_b c·λ per doc — folds over
+    the bucket-sorted contribution list (the tfidf_cosine_pairs trick), so
+    accumulation order is pinned under any shuffle, and the SQL oracle
+    mirrors with list_sum(list(x ORDER BY bucket)).
+
+    ``target`` is a Column predicate over ``df``'s rows (e.g.
+    F.col("lang") == "de"). Output: (doc_id, n_words, logw, selected)
+    with selected = logw >= 0 (the resampling step's deterministic
+    stand-in; the paper's Gumbel-noise sampling is one seeded hash away).
+    """
+    from .dedup import poly31_hash, spread_input
+
+    docs = spread_input(df.select("doc_id", text_col, target.alias("_tgt")))
+    tok = docs.select(
+        "doc_id", "_tgt",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+         .alias("word"))
+    bc = tok.select(
+        "doc_id", "_tgt",
+        (poly31_hash(F.col("word")) % n_buckets).alias("bucket"))
+    is_t = F.when(F.col("_tgt"), 1).otherwise(0)
+    lam = (bc.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("_r"), F.sum(is_t).alias("_t"))
+           .select("bucket",
+                   (F.log(F.col("_t") + F.lit(alpha))
+                    - F.log(F.col("_r") + F.lit(alpha))).alias("lam")))
+    tot = bc.agg(F.count(F.lit(1)).alias("_R"), F.sum(is_t).alias("_T"))
+    percd = (bc.groupBy("doc_id", "bucket")
+             .agg(F.count(F.lit(1)).alias("c")))
+    folded = (
+        percd.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("bucket"), (F.col("c") * F.col("lam")).alias("v")))),
+                F.lit(0.0), lambda acc, x: acc + x["v"]).alias("_s"),
+        )
+    )
+    ab = alpha * n_buckets
+    logw = F.round(
+        F.col("_s") + F.col("n_words")
+        * (F.log(F.col("_R") + F.lit(ab)) - F.log(F.col("_T") + F.lit(ab))),
+        6)
+    return (
+        folded.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            logw.alias("logw"),
+            (logw >= 0).alias("selected"),
+        )
+    )
+
+
 #: (name, regex) PII patterns — conservative, engine-portable subset (the
 #: same expression must compile identically under Java regex (Spark) and
 #: RE2 (DuckDB): no backrefs, no lookaround). Order matters: emails are

@@ -1153,3 +1153,41 @@ class TestSemDeDup:
                                        assign="arrow").collect()))
         assert a == b and len(a) > 0
         assert any(not r[2] for r in a)  # the planted near-dups are removed
+
+
+class TestDsirScores:
+    def test_target_docs_score_higher(self, spark):
+        from solarpos_spark.operators.text import dsir_scores
+
+        # target vocabulary is disjoint from raw filler: target-like docs
+        # must get logw > 0, filler-like docs logw < 0
+        rows = ([(i, "klingon warp core dilithium matrix", "tgt")
+                 for i in range(5)]
+                + [(10 + i, "plain boring generic filler words", "raw")
+                   for i in range(20)])
+        df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+        out = {r["doc_id"]: r
+               for r in dsir_scores(df, F.col("src") == "tgt").collect()}
+        assert all(out[i]["logw"] > 0 and out[i]["selected"]
+                   for i in range(5))
+        assert all(out[10 + i]["logw"] < 0 and not out[10 + i]["selected"]
+                   for i in range(20))
+
+    def test_uniform_corpus_scores_zero(self, spark):
+        from solarpos_spark.operators.text import dsir_scores
+
+        # if the target IS the whole corpus, t_b == r_b and T == R for
+        # every bucket -> logw identically 0 (and selected)
+        rows = [(i, f"some words number {i} here") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dsir_scores(df, F.lit(True)).collect()
+        assert all(r["logw"] == 0.0 and r["selected"] for r in out)
+
+    def test_n_words_matches_token_count(self, spark):
+        from solarpos_spark.operators.text import dsir_scores
+
+        df = spark.createDataFrame([(1, "a b c d e"), (2, "x y")],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r
+               for r in dsir_scores(df, F.col("doc_id") == 1).collect()}
+        assert out[1]["n_words"] == 5 and out[2]["n_words"] == 2
