@@ -522,9 +522,12 @@ def semdedup(
         .distinct()
         .withColumn("_rm", F.lit(1))
     )
+    # project the output from the repartitioned relation, not `assigned`:
+    # the third consumer then reads the SAME materialized exchange as the
+    # join sides instead of re-running the O(K*dim) assignment per vector
     return (
-        assigned.select(F.col("neighbor_id").alias("vec_id"),
-                        F.col("list_id").cast("long").alias("list_id"))
+        rel.select(F.col("neighbor_id").alias("vec_id"),
+                   F.col("list_id").cast("long").alias("list_id"))
         .join(removed, "vec_id", "left")
         .select("vec_id", "list_id", F.col("_rm").isNull().alias("kept"))
     )

@@ -457,10 +457,55 @@ def quality_classifier(
     )
 
 
-def dsir_scores(
+def _dsir_buckets(df: DataFrame, target: Column, *, n_buckets: int,
+                  text_col: str) -> DataFrame:
+    """(doc_id, _tgt, bucket) token rows — shared fit/score derivation."""
+    from .dedup import poly31_hash, spread_input
+
+    docs = spread_input(df.select("doc_id", text_col, target.alias("_tgt")))
+    tok = docs.select(
+        "doc_id", "_tgt",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+         .alias("word"))
+    return tok.select(
+        "doc_id", "_tgt",
+        (poly31_hash(F.col("word")) % n_buckets).alias("bucket"))
+
+
+def dsir_fit(
     df: DataFrame,
     target: Column,
     *,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> tuple[list[tuple[int, int, int]], int, int]:
+    """Fit the two DSIR hashed-unigram count models in ONE corpus pass:
+    per-bucket (raw count, target count) from a single conditional
+    aggregate, collected driver-side — the model is B <= a few thousand
+    integer triples, the same league as the IVF codebook collect, and at
+    100 TB this pass runs on a SAMPLE exactly as the paper fits its
+    n-gram models. Totals reduce driver-side from the collected ints
+    (exact integer arithmetic — no float leaves the engine).
+
+    Returns (rows, R, T) with rows = [(bucket, r_b, t_b), ...].
+    """
+    bc = _dsir_buckets(df, target, n_buckets=n_buckets, text_col=text_col)
+    rows = (bc.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("r"),
+                 F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("t"))
+            .collect())
+    model = sorted((int(x["bucket"]), int(x["r"]), int(x["t"]))
+                   for x in rows)
+    R = sum(r for _, r, _ in model)
+    T = sum(t for _, _, t in model)
+    return model, R, T
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: Column | None = None,
+    *,
+    model: tuple[list[tuple[int, int, int]], int, int] | None = None,
     n_buckets: int = 1024,
     alpha: float = 1.0,
     text_col: str = "text",
@@ -477,63 +522,65 @@ def dsir_scores(
     with c_{d,b} the doc's count in bucket b = poly31(word) mod B, t/r the
     target/raw corpus bucket counts, T/R their totals, α add-α smoothing.
 
-    Scale shape: ONE explode over the corpus feeds both n-gram models (the
-    target counts are a conditional aggregate of the same relation — no
-    second scan), the λ_b table is B rows broadcast back, the per-doc pass
-    is a (doc_id, bucket) two-level hash agg. Bit-stability: every count
-    is integral; the only float reduction — Σ_b c·λ per doc — folds over
-    the bucket-sorted contribution list (the tfidf_cosine_pairs trick), so
-    accumulation order is pinned under any shuffle, and the SQL oracle
-    mirrors with list_sum(list(x ORDER BY bucket)).
+    fit-then-score, the paper's own split and the reason the plan has NO
+    multi-consumer re-scan: ``dsir_fit`` makes one token pass (optionally
+    over a sample) and ships B integer triples to the driver; scoring is
+    then a SINGLE distributed token pass — explode, hash, one
+    (doc_id, bucket) two-level hash agg, broadcast-join the B-row λ
+    relation, fold. (A fused all-relational form was tried first: three
+    consumers of the token relation prune different columns, so Catalyst
+    cannot reuse one exchange and the corpus is scanned three times —
+    the fit/score split is both the production semantics and the better
+    plan.) λ stays an ENGINE expression over the collected ints, so no
+    driver-side libm enters the value chain.
+
+    Bit-stability: every count is integral; the only float reduction —
+    Σ_b c·λ per doc — folds over the bucket-sorted contribution list
+    (the tfidf_cosine_pairs trick), pinned under any shuffle; the SQL
+    oracle mirrors with list_sum(list(x ORDER BY bucket)).
 
     ``target`` is a Column predicate over ``df``'s rows (e.g.
     F.col("lang") == "de"). Output: (doc_id, n_words, logw, selected)
     with selected = logw >= 0 (the resampling step's deterministic
     stand-in; the paper's Gumbel-noise sampling is one seeded hash away).
     """
-    from .dedup import poly31_hash, spread_input
-
-    docs = spread_input(df.select("doc_id", text_col, target.alias("_tgt")))
-    tok = docs.select(
-        "doc_id", "_tgt",
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-         .alias("word"))
-    bc = tok.select(
-        "doc_id", "_tgt",
-        (poly31_hash(F.col("word")) % n_buckets).alias("bucket"))
-    is_t = F.when(F.col("_tgt"), 1).otherwise(0)
-    lam = (bc.groupBy("bucket")
-           .agg(F.count(F.lit(1)).alias("_r"), F.sum(is_t).alias("_t"))
-           .select("bucket",
-                   (F.log(F.col("_t") + F.lit(alpha))
-                    - F.log(F.col("_r") + F.lit(alpha))).alias("lam")))
-    tot = bc.agg(F.count(F.lit(1)).alias("_R"), F.sum(is_t).alias("_T"))
-    percd = (bc.groupBy("doc_id", "bucket")
-             .agg(F.count(F.lit(1)).alias("c")))
+    if model is None:
+        if target is None:
+            raise ValueError("dsir_scores needs target or a fitted model")
+        model = dsir_fit(df, target, n_buckets=n_buckets, text_col=text_col)
+    rows, R, T = model
+    spark = df.sparkSession
+    lam = spark.createDataFrame(rows, "bucket long, r long, t long").select(
+        "bucket",
+        (F.log(F.col("t") + F.lit(alpha))
+         - F.log(F.col("r") + F.lit(alpha))).alias("lam"))
+    bc = _dsir_buckets(df, target if target is not None else F.lit(False),
+                       n_buckets=n_buckets, text_col=text_col)
+    percd = bc.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # LEFT join: a bucket unseen by a sample-fitted model has r=t=0, so
+    # its λ = ln(α) − ln(α) = 0 — coalesce, never drop the tokens
     folded = (
-        percd.join(F.broadcast(lam), "bucket")
+        percd.join(F.broadcast(lam), "bucket", "left")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_words"),
             F.aggregate(
                 F.array_sort(F.collect_list(F.struct(
-                    F.col("bucket"), (F.col("c") * F.col("lam")).alias("v")))),
+                    F.col("bucket"),
+                    (F.col("c") * F.coalesce(F.col("lam"), F.lit(0.0)))
+                    .alias("v")))),
                 F.lit(0.0), lambda acc, x: acc + x["v"]).alias("_s"),
         )
     )
     ab = alpha * n_buckets
     logw = F.round(
         F.col("_s") + F.col("n_words")
-        * (F.log(F.col("_R") + F.lit(ab)) - F.log(F.col("_T") + F.lit(ab))),
-        6)
-    return (
-        folded.crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            logw.alias("logw"),
-            (logw >= 0).alias("selected"),
-        )
+        * (F.log(F.lit(R) + F.lit(ab)) - F.log(F.lit(T) + F.lit(ab))), 6)
+    return folded.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        logw.alias("logw"),
+        (logw >= 0).alias("selected"),
     )
 
 

@@ -1191,3 +1191,19 @@ class TestDsirScores:
         out = {r["doc_id"]: r
                for r in dsir_scores(df, F.col("doc_id") == 1).collect()}
         assert out[1]["n_words"] == 5 and out[2]["n_words"] == 2
+
+    def test_sample_fitted_model_scores_unseen_words(self, spark):
+        from solarpos_spark.operators.text import dsir_fit, dsir_scores
+
+        fit_rows = [(0, "alpha beta gamma", "tgt"), (1, "delta epsilon", "raw")]
+        fit_df = spark.createDataFrame(fit_rows,
+                                       "doc_id long, text string, src string")
+        model = dsir_fit(fit_df, F.col("src") == "tgt")
+        # the scored corpus contains words the model never saw: their
+        # buckets carry lambda = 0 and the tokens still count
+        score_df = spark.createDataFrame(
+            [(7, "zzz_never_seen qqq_also_new alpha")],
+            "doc_id long, text string")
+        r = dsir_scores(score_df, model=model).collect()[0]
+        assert r["n_words"] == 3
+        assert r["logw"] is not None
