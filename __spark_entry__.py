@@ -864,6 +864,44 @@ FROM d, tot
 """
 
 
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (text.perplexity_buckets — Wenzek et
+    al. 2020): hashed-unigram LM scores split into equal-count
+    head/middle/tail thirds via one deterministic ntile."""
+    return text.perplexity_buckets(_docs(spark, sf_dir))
+
+
+_PERPLEXITY_BUCKETS_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+b AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(word) + 1),
+                          i -> CAST(ascii(substr(word, i, 1)) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) % 1024 AS bucket
+  FROM t),
+cnt AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+tot AS (SELECT count(*) AS R FROM b),
+pc AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
+d AS (
+  SELECT doc_id, sum(pc.c) AS n_words,
+         list_sum(list(pc.c * ln(cnt.c + 1.0) ORDER BY pc.bucket)) AS s
+  FROM pc JOIN cnt USING (bucket) GROUP BY doc_id),
+sc AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         round(s / n_words - ln(R + 1024.0), 6) AS avg_logp
+  FROM d, tot)
+SELECT doc_id, n_words, avg_logp,
+       CASE ntile(3) OVER (ORDER BY avg_logp ASC, doc_id ASC)
+            WHEN 1 THEN 'tail' WHEN 2 THEN 'middle' ELSE 'head' END
+         AS ppl_bucket
+FROM sc
+"""
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (text.quality_classifier —
     fastText-shaped: poly31 word hash -> broadcast weight relation ->
@@ -2826,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "quality_classifier": _q_quality_classifier,
         "dsir_select": _q_dsir_select,
+        "perplexity_buckets": _q_perplexity_buckets,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
         "event_quantiles": _q_event_quantiles,
@@ -3012,6 +3051,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_ORACLE,
         "quality_classifier": _QUALITY_CLASSIFIER_ORACLE,
         "dsir_select": _DSIR_SELECT_ORACLE,
+        "perplexity_buckets": _PERPLEXITY_BUCKETS_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
         "event_quantiles": _EVENT_QUANTILES_ORACLE,

@@ -188,6 +188,13 @@ def main() -> None:
     run("frame_sample", lambda: qs["frame_sample"](spark, sf_dir))
     run("ivf_topk_arrow", lambda: qs["ivf_topk_arrow"](spark, sf_dir))
     run("tfidf_pairs", lambda: qs["tfidf_pairs"](spark, sf_dir))
+    # round-4 session-3 additions: window-hash substring dedup, hashed
+    # linear quality scoring, DSIR selection, SemDeDup clustering
+    run("dup_spans", lambda: qs["dup_spans"](spark, sf_dir))
+    run("quality_classifier",
+        lambda: qs["quality_classifier"](spark, sf_dir))
+    run("dsir_select", lambda: qs["dsir_select"](spark, sf_dir))
+    run("semdedup", lambda: qs["semdedup"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({

@@ -584,6 +584,90 @@ def dsir_scores(
     )
 
 
+def unigram_fit(
+    df: DataFrame,
+    *,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> tuple[list[tuple[int, int]], int]:
+    """Fit a hashed-unigram language model in one corpus pass: per-bucket
+    counts collected driver-side (B integer pairs — the dsir_fit /
+    IVF-codebook collect pattern; fit on a SAMPLE at corpus scale).
+    Returns (rows, R) with rows = [(bucket, c_b), ...], R = Σ c_b."""
+    bc = _dsir_buckets(df, F.lit(False), n_buckets=n_buckets,
+                       text_col=text_col)
+    rows = (bc.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+            .collect())
+    model = sorted((int(x["bucket"]), int(x["c"])) for x in rows)
+    return model, sum(c for _, c in model)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    *,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    model: tuple[list[tuple[int, int]], int] | None = None,
+) -> DataFrame:
+    """CCNet-style language-model perplexity bucketing (Wenzek et al.
+    2020: score every document under a LM fit on a reference corpus, then
+    split the corpus into equal-count head / middle / tail thirds —
+    head = most fluent, the quality signal CCNet filters and samples by).
+    The LM here is the hashed-unigram model (KenLM stand-in with the same
+    pipeline shape): avg_logp(d) = (Σ_w ln(c_{b(w)}+α))/|d| − ln(R+αB),
+    higher = more corpus-typical.
+
+    fit-then-score like dsir_scores (one token pass each, B-int-pair
+    model driver-side, λ/logp stays an engine expression — no driver
+    libm in the value chain). Bucketing is a single ntile(3) over
+    (avg_logp, doc_id) — equal-count thirds without a second pass over
+    the scored relation (a threshold-based variant would re-run the
+    token-pass lineage to aggregate its own quantiles); the global sort
+    is range-partitioned, |docs| rows not tokens, and ties are broken by
+    doc_id so the cut is deterministic in any engine.
+
+    Output: (doc_id, n_words, avg_logp, ppl_bucket in head|middle|tail).
+    """
+    if model is None:
+        model = unigram_fit(df, n_buckets=n_buckets, text_col=text_col)
+    rows, R = model
+    spark = df.sparkSession
+    lm = spark.createDataFrame(rows, "bucket long, c long").select(
+        "bucket", F.log(F.col("c") + F.lit(alpha)).alias("logp"))
+    bc = _dsir_buckets(df, F.lit(False), n_buckets=n_buckets,
+                       text_col=text_col)
+    percd = bc.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    folded = (
+        percd.join(F.broadcast(lm), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("bucket"),
+                    (F.col("c") * F.coalesce(F.col("logp"),
+                                             F.log(F.lit(alpha))))
+                    .alias("v")))),
+                F.lit(0.0), lambda acc, x: acc + x["v"]).alias("_s"),
+        )
+    )
+    ab = alpha * n_buckets
+    scored = folded.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.col("_s") / F.col("n_words")
+                - F.log(F.lit(R) + F.lit(ab)), 6).alias("avg_logp"),
+    )
+    nt = F.ntile(3).over(
+        Window.orderBy(F.col("avg_logp").asc(), F.col("doc_id").asc()))
+    return scored.select(
+        "doc_id", "n_words", "avg_logp",
+        F.when(nt == 1, F.lit("tail")).when(nt == 2, F.lit("middle"))
+         .otherwise(F.lit("head")).alias("ppl_bucket"),
+    )
+
+
 #: (name, regex) PII patterns — conservative, engine-portable subset (the
 #: same expression must compile identically under Java regex (Spark) and
 #: RE2 (DuckDB): no backrefs, no lookaround). Order matters: emails are

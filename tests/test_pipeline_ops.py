@@ -1207,3 +1207,45 @@ class TestDsirScores:
         r = dsir_scores(score_df, model=model).collect()[0]
         assert r["n_words"] == 3
         assert r["logw"] is not None
+
+
+class TestPerplexityBuckets:
+    def test_fluent_docs_land_in_head(self, spark):
+        from solarpos_spark.operators.text import perplexity_buckets
+
+        # 6 docs drawn from a tiny common vocabulary + 3 docs of rare
+        # one-off words (9 total -> exact thirds): the rare docs must
+        # score lowest and fill the tail bucket exactly
+        common = [(i, "the cat sat on the mat again today") for i in range(6)]
+        rare = [(100 + i, f"zxqv{i} wkjy{i} bbnm{i} qqrr{i}")
+                for i in range(3)]
+        df = spark.createDataFrame(common + rare,
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r for r in perplexity_buckets(df).collect()}
+        for i in range(3):
+            assert out[100 + i]["ppl_bucket"] == "tail", out[100 + i]
+        assert all(out[i]["ppl_bucket"] in ("middle", "head")
+                   for i in range(6))
+
+    def test_equal_count_thirds(self, spark):
+        from collections import Counter
+
+        from solarpos_spark.operators.text import perplexity_buckets
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = perplexity_buckets(docs).collect()
+        c = Counter(r["ppl_bucket"] for r in out)
+        n = len(out)
+        assert set(c) == {"head", "middle", "tail"}
+        assert max(c.values()) - min(c.values()) <= 1 and sum(c.values()) == n
+
+    def test_prefit_model_reused(self, spark):
+        from solarpos_spark.operators.text import (perplexity_buckets,
+                                                   unigram_fit)
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        model = unigram_fit(docs)
+        a = sorted(map(tuple, perplexity_buckets(docs).collect()))
+        b = sorted(map(tuple,
+                       perplexity_buckets(docs, model=model).collect()))
+        assert a == b and len(a) > 0
