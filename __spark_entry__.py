@@ -864,6 +864,29 @@ FROM d, tot
 """
 
 
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter bigrams (text.top_ngrams): exact corpus-wide top-20
+    by occurrence count with doc frequency, deterministic
+    (cnt desc, gram asc) cut — planned as TakeOrderedAndProject."""
+    return text.top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+
+_TOP_NGRAMS_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS ngram
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+c AS (
+  SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+  FROM g GROUP BY ngram)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, ngram ASC) AS INT) AS rank,
+       ngram, cnt, n_docs
+FROM c ORDER BY cnt DESC, ngram ASC LIMIT 20
+"""
+
+
 def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity bucketing (text.perplexity_buckets — Wenzek et
     al. 2020): hashed-unigram LM scores split into equal-count
@@ -2865,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "dsir_select": _q_dsir_select,
         "perplexity_buckets": _q_perplexity_buckets,
+        "top_ngrams": _q_top_ngrams,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
         "event_quantiles": _q_event_quantiles,
@@ -3052,6 +3076,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _QUALITY_CLASSIFIER_ORACLE,
         "dsir_select": _DSIR_SELECT_ORACLE,
         "perplexity_buckets": _PERPLEXITY_BUCKETS_ORACLE,
+        "top_ngrams": _TOP_NGRAMS_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
         "event_quantiles": _EVENT_QUANTILES_ORACLE,

@@ -668,6 +668,56 @@ def perplexity_buckets(
     )
 
 
+def top_ngrams(
+    df: DataFrame,
+    *,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide heavy-hitter word n-grams: the exact top-k by total
+    occurrence count with document frequency — the boilerplate /
+    template-phrase detector a curation run eyeballs before setting
+    line-dedup and shingle-df caps.
+
+    Relational n-grams (posexplode + lead windows, the repetition_stats
+    construction — occurrences, NOT the distinct shingle sets), one hash
+    aggregate keyed by the gram (a hot gram is one counter + one distinct
+    doc_id sub-agg), then a DETERMINISTIC global top-k: orderBy
+    (cnt desc, gram asc) + limit plans as TakeOrderedAndProject —
+    per-partition top-k heaps merged at the driver, never a global sort
+    of the full gram relation — and the total order makes the cut
+    engine-portable (rank ties cannot exist: the gram is unique).
+    The rank projection windows over the k returned rows only.
+
+    Output: (rank, ngram, cnt, n_docs).
+    """
+    from .dedup import spread_input
+
+    docs = spread_input(df.select("doc_id", text_col))
+    wd = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"))
+    pos = wd.selectExpr("doc_id", "posexplode(_w) AS (_p, _word)")
+    win = Window.partitionBy("doc_id").orderBy("_p")
+    parts = [F.col("_word")] + [F.lead("_word", j).over(win)
+                                for j in range(1, n)]
+    grams = (pos.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("ngram"),
+        F.lead("_word", n - 1).over(win).isNotNull().alias("_full"))
+        .filter(F.col("_full")))
+    counts = (grams.groupBy("ngram")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.countDistinct("doc_id").alias("n_docs")))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("ngram").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"), "ngram",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("n_docs").cast("long").alias("n_docs"))
+
+
 #: (name, regex) PII patterns — conservative, engine-portable subset (the
 #: same expression must compile identically under Java regex (Spark) and
 #: RE2 (DuckDB): no backrefs, no lookaround). Order matters: emails are

@@ -1249,3 +1249,32 @@ class TestPerplexityBuckets:
         b = sorted(map(tuple,
                        perplexity_buckets(docs, model=model).collect()))
         assert a == b and len(a) > 0
+
+
+class TestTopNgrams:
+    def test_planted_heavy_hitter_ranks_first(self, spark):
+        from solarpos_spark.operators.text import top_ngrams
+
+        rows = ([(i, "hot phrase filler words vary " + f"u{i} v{i}")
+                 for i in range(10)]
+                + [(100, "one off doc entirely")])
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = top_ngrams(df, n=2, k=3).collect()
+        # four bigrams tie at cnt=10; the deterministic lexical tie-break
+        # fixes the cut and the order
+        assert [(r["rank"], r["ngram"], r["cnt"], r["n_docs"])
+                for r in out] == [(1, "filler words", 10, 10),
+                                  (2, "hot phrase", 10, 10),
+                                  (3, "phrase filler", 10, 10)]
+
+    def test_trigram_mode_and_short_docs(self, spark):
+        from solarpos_spark.operators.text import top_ngrams
+
+        df = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "a b"), (3, "x")],
+            "doc_id long, text string")
+        out = {r["ngram"]: r for r in top_ngrams(df, n=3, k=10).collect()}
+        # doc 1 contributes 4 trigram occurrences over 3 distinct grams
+        # ('a b c' twice); docs 2,3 are too short and contribute none
+        assert out["a b c"]["cnt"] == 2 and out["a b c"]["n_docs"] == 1
+        assert len(out) == 3
