@@ -57,6 +57,15 @@ def main() -> None:
                          "corpus-wide before any other stage")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact emails/IPv4s/phones to typed placeholders")
+    ap.add_argument("--quality-model", action="store_true",
+                    help="also gate survivors through the hashed linear "
+                         "quality classifier (label == keep)")
+    ap.add_argument("--ppl-keep", default=None, metavar="BUCKETS",
+                    help="comma list of perplexity buckets to keep "
+                         "(head,middle,tail); default: no ppl filter")
+    ap.add_argument("--dsir-target", default=None, metavar="COL=VALUE",
+                    help="keep only docs the DSIR importance weight "
+                         "(target model fit on COL=VALUE) selects")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -88,6 +97,28 @@ def main() -> None:
     kept = curate(docs, jaccard_threshold=args.jaccard,
                   near_dup=args.near_dup)
     survivors = docs.join(kept.select("doc_id", "est_bpe_tokens"), "doc_id")
+
+    # 1b. optional model-based quality gates, each a gate-checked operator
+    # (quality_classifier / perplexity_buckets / dsir_select queries)
+    # composed as semi-join filters on the survivor set
+    if args.quality_model:
+        from solarpos_spark.operators.text import quality_classifier
+        ok = quality_classifier(survivors).filter(F.col("label") == "keep")
+        survivors = survivors.join(ok.select("doc_id"), "doc_id",
+                                   "left_semi")
+    if args.ppl_keep:
+        from solarpos_spark.operators.text import perplexity_buckets
+        keep_buckets = [b.strip() for b in args.ppl_keep.split(",")]
+        ok = perplexity_buckets(survivors).filter(
+            F.col("ppl_bucket").isin(keep_buckets))
+        survivors = survivors.join(ok.select("doc_id"), "doc_id",
+                                   "left_semi")
+    if args.dsir_target:
+        from solarpos_spark.operators.text import dsir_scores
+        col, _, value = args.dsir_target.partition("=")
+        ok = dsir_scores(survivors, F.col(col) == value).filter("selected")
+        survivors = survivors.join(ok.select("doc_id"), "doc_id",
+                                   "left_semi")
 
     # 2. language-mix rebalancing (optional)
     rates = parse_rates(args.rate)
