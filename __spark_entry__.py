@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solarpos_spark import oracle_sql as _osql
-from solarpos_spark.operators import dedup, search, similarity, text, windows
+from solarpos_spark.operators import (
+    dedup, search, similarity, sketches, text, windows)
 from solarpos_spark.operators.position import position
 from solarpos_spark.operators.sunrise import sunrise
 from solarpos_spark.sources import inputs, tokens
@@ -885,6 +886,106 @@ SELECT CAST(row_number() OVER (ORDER BY cnt DESC, ngram ASC) AS INT) AS rank,
        ngram, cnt, n_docs
 FROM c ORDER BY cnt DESC, ngram ASC LIMIT 20
 """
+
+
+def _q_hll_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-trigram estimate (sketches.hll_cardinality): the
+    vocabulary-size probe of a curation run — one algebraic max-aggregate
+    whose shuffle carries <= 2^p rows per input partition regardless of
+    corpus size (vs an exact-distinct shuffle of every gram). ~16k true
+    distinct at p=10 exercises the raw-estimate branch."""
+    grams = text.ngram_occurrences(_docs(spark, sf_dir), n=3)
+    return sketches.hll_cardinality(grams, "ngram", p=10)
+
+
+def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL: distinct users per event_type at p=12 — sparse
+    registers exercise the linear-counting branch; int64 keys hash via
+    their decimal string form (engine-portable)."""
+    ev = _events(spark, sf_dir)
+    return sketches.hll_cardinality(
+        ev, "user_id", p=12, group_cols=("event_type",))
+
+
+def _q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL merge law under the gate: per-event_type register relations
+    merged (max per bucket) to ONE global sketch, then estimated. The
+    oracle is the DIRECT single-pass global estimate — hash-equality IS
+    the proof that merged rollups answer exactly like a full re-scan
+    (the warehouse pattern: per-day/per-source sketches, global rollup
+    without touching the raw corpus)."""
+    ev = _events(spark, sf_dir)
+    regs = sketches.hll_registers(
+        ev, "user_id", p=12, group_cols=("event_type",))
+    return sketches.hll_estimate(sketches.hll_merge(regs), p=12)
+
+
+def _hll_oracle(src_cte: str, p: int, group: str = "") -> str:
+    """DuckDB oracle for hll_cardinality over CTE ``v(group?, val)`` —
+    generated from the operator's own constants (fmix32_sql, _alpha) so
+    query and oracle cannot drift."""
+    m = 1 << p
+    num = sketches._alpha(m) * m * m * float(1 << 32)
+    wb1 = 32 - p + 1
+    large = float(1 << 32) / 30.0
+    sel_g = f"{group}, " if group else ""
+    gby_r = f"GROUP BY {group}, bucket" if group else "GROUP BY bucket"
+    gby_a = f"GROUP BY {group}" if group else ""
+    fmix = sketches.fmix32_sql("h0")
+    poly = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(1, length(val) + 1), "
+            "i -> CAST(ascii(substr(val, i, 1)) AS BIGINT))), "
+            "(acc, c) -> (acc * 31 + c) % 2147483647)")
+    return f"""
+WITH {src_cte},
+p0 AS (SELECT {sel_g}{poly} AS h0 FROM v),
+hx AS (SELECT {sel_g}{fmix} AS h FROM p0),
+r AS (
+  SELECT {sel_g}h % {m} AS bucket,
+         max(CASE WHEN (h >> {p}) = 0 THEN {wb1}
+                  ELSE {wb1} - length(bin(h >> {p})) END) AS register
+  FROM hx {gby_r}),
+a AS (
+  SELECT {sel_g}count(*) AS n_set,
+         CAST({m} - count(*) AS BIGINT) * 4294967296
+           + sum(CAST(1 AS BIGINT) << CAST(32 - register AS INT)) AS s32
+  FROM r {gby_a}),
+e AS (
+  SELECT {sel_g}n_set, {m} - n_set AS n_zero,
+         {num!r} / CAST(s32 AS DOUBLE) AS raw
+  FROM a)
+SELECT {sel_g}round(CASE
+         WHEN raw <= {2.5 * m!r} AND n_zero > 0
+         THEN {float(m)!r} * ln({float(m)!r} / CAST(n_zero AS DOUBLE))
+         WHEN raw > {large!r}
+         THEN -4294967296.0 * ln(1.0 - raw / 4294967296.0)
+         ELSE raw END, 3) AS est_distinct,
+       CAST(n_set AS BIGINT) AS n_set,
+       CAST(n_zero AS BIGINT) AS n_zero,
+       CASE WHEN raw <= {2.5 * m!r} AND n_zero > 0 THEN 'linear'
+            WHEN raw > {large!r} THEN 'large'
+            ELSE 'raw' END AS correction
+FROM e
+"""
+
+
+_HLL_TRIGRAM_SRC = r"""w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+v AS (
+  SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS val
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t)"""
+
+_HLL_USER_SRC = ("v AS (SELECT event_type, CAST(user_id AS VARCHAR) AS val "
+                 "FROM events)")
+
+_HLL_USER_GLOBAL_SRC = ("v AS (SELECT CAST(user_id AS VARCHAR) AS val "
+                        "FROM events)")
+
+_HLL_TRIGRAMS_ORACLE = _hll_oracle(_HLL_TRIGRAM_SRC, p=10)
+_HLL_USERS_BY_TYPE_ORACLE = _hll_oracle(_HLL_USER_SRC, p=12,
+                                        group="event_type")
+_HLL_USER_ROLLUP_ORACLE = _hll_oracle(_HLL_USER_GLOBAL_SRC, p=12)
 
 
 def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2889,6 +2990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "perplexity_buckets": _q_perplexity_buckets,
         "top_ngrams": _q_top_ngrams,
+        "hll_trigrams": _q_hll_trigrams,
+        "hll_users_by_type": _q_hll_users_by_type,
+        "hll_user_rollup": _q_hll_user_rollup,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
         "event_quantiles": _q_event_quantiles,
@@ -3077,6 +3181,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _DSIR_SELECT_ORACLE,
         "perplexity_buckets": _PERPLEXITY_BUCKETS_ORACLE,
         "top_ngrams": _TOP_NGRAMS_ORACLE,
+        "hll_trigrams": _HLL_TRIGRAMS_ORACLE,
+        "hll_users_by_type": _HLL_USERS_BY_TYPE_ORACLE,
+        "hll_user_rollup": _HLL_USER_ROLLUP_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
         "event_quantiles": _EVENT_QUANTILES_ORACLE,

@@ -668,6 +668,31 @@ def perplexity_buckets(
     )
 
 
+def ngram_occurrences(
+    df: DataFrame, *, n: int = 2, text_col: str = "text",
+) -> DataFrame:
+    """Every word n-gram OCCURRENCE as a row: (doc_id, ngram).
+
+    Relational n-grams — posexplode + lead windows, never an array lambda
+    re-tokenizing the document per element (the shingle-CSE trap)."""
+    from .dedup import spread_input
+
+    docs = spread_input(df.select("doc_id", text_col))
+    wd = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"))
+    pos = wd.selectExpr("doc_id", "posexplode(_w) AS (_p, _word)")
+    win = Window.partitionBy("doc_id").orderBy("_p")
+    parts = [F.col("_word")] + [F.lead("_word", j).over(win)
+                                for j in range(1, n)]
+    return (pos.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("ngram"),
+        F.lead("_word", n - 1).over(win).isNotNull().alias("_full"))
+        .filter(F.col("_full"))
+        .drop("_full"))
+
+
 def top_ngrams(
     df: DataFrame,
     *,
@@ -692,21 +717,7 @@ def top_ngrams(
 
     Output: (rank, ngram, cnt, n_docs).
     """
-    from .dedup import spread_input
-
-    docs = spread_input(df.select("doc_id", text_col))
-    wd = docs.select(
-        "doc_id",
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"))
-    pos = wd.selectExpr("doc_id", "posexplode(_w) AS (_p, _word)")
-    win = Window.partitionBy("doc_id").orderBy("_p")
-    parts = [F.col("_word")] + [F.lead("_word", j).over(win)
-                                for j in range(1, n)]
-    grams = (pos.select(
-        "doc_id",
-        F.concat_ws(" ", *parts).alias("ngram"),
-        F.lead("_word", n - 1).over(win).isNotNull().alias("_full"))
-        .filter(F.col("_full")))
+    grams = ngram_occurrences(df, n=n, text_col=text_col)
     counts = (grams.groupBy("ngram")
               .agg(F.count(F.lit(1)).alias("cnt"),
                    F.countDistinct("doc_id").alias("n_docs")))

@@ -1,0 +1,129 @@
+"""HyperLogLog register-relation sketch (operators/sketches.py).
+
+Covers: register construction, the merge law (max per bucket ==
+direct pass over the union), grouped estimates, correction-branch
+selection (linear counting vs raw), estimate accuracy within the
+published 1.04/sqrt(m) bound, and poly31/xxhash64 variants.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from solarpos_spark.operators import sketches
+
+
+def _values(spark, n, prefix="v", group=None):
+    df = spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("val"))
+    if group is not None:
+        df = df.withColumn("g", F.lit(group))
+    return df
+
+
+class TestRegisters:
+    def test_register_relation_bounded(self, spark):
+        regs = sketches.hll_registers(_values(spark, 5000), "val", p=6)
+        rows = regs.collect()
+        assert len(rows) <= 64
+        assert all(0 <= r.bucket < 64 for r in rows)
+        # W=32, p=6 -> rank in [1, 27]
+        assert all(1 <= r.register <= 27 for r in rows)
+
+    def test_bad_p_raises(self, spark):
+        with pytest.raises(ValueError):
+            sketches.hll_registers(_values(spark, 10), "val", p=3)
+
+    def test_int_column_hashes_via_string(self, spark):
+        """int64 keys hash through their decimal string form: the register
+        relation equals the one built from the string column directly."""
+        ints = spark.range(500).select(F.col("id").alias("val"))
+        strs = spark.range(500).select(F.col("id").cast("string").alias("val"))
+        a = sorted(map(tuple, sketches.hll_registers(ints, "val").collect()))
+        b = sorted(map(tuple, sketches.hll_registers(strs, "val").collect()))
+        assert a == b
+
+
+class TestMergeLaw:
+    def test_merge_equals_direct_union(self, spark):
+        """max(max(A), max(B)) == max(A union B): merged per-part sketches
+        give bit-identical registers (and hence estimate) to one pass."""
+        a = _values(spark, 3000, prefix="a")
+        b = _values(spark, 2000, prefix="a")  # overlapping keys a0..a1999
+        ra = sketches.hll_registers(a, "val", p=10)
+        rb = sketches.hll_registers(b, "val", p=10)
+        merged = sketches.hll_merge(ra.unionAll(rb))
+        direct = sketches.hll_registers(a.unionAll(b), "val", p=10)
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, direct.collect()))
+
+    def test_merge_idempotent(self, spark):
+        regs = sketches.hll_registers(_values(spark, 1000), "val", p=8)
+        twice = sketches.hll_merge(regs.unionAll(regs))
+        assert sorted(map(tuple, twice.collect())) == \
+            sorted(map(tuple, regs.collect()))
+
+    def test_merge_drops_group_granularity(self, spark):
+        a = _values(spark, 400, group="x")
+        b = _values(spark, 400, group="y")  # identical values, two groups
+        regs = sketches.hll_registers(
+            a.unionAll(b), "val", p=8, group_cols=("g",))
+        merged = sketches.hll_merge(regs)  # global: duplicates collapse
+        direct = sketches.hll_registers(_values(spark, 400), "val", p=8)
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, direct.collect()))
+
+
+class TestEstimate:
+    @pytest.mark.parametrize("n,p", [(200, 12), (5000, 10), (50000, 12)])
+    def test_relative_error_within_bound(self, spark, n, p):
+        est = sketches.hll_cardinality(
+            _values(spark, n), "val", p=p).collect()[0]
+        m = 1 << p
+        bound = 4 * 1.04 / math.sqrt(m)  # ~4 sigma of the published error
+        assert abs(est.est_distinct - n) / n < bound
+        assert est.n_set + est.n_zero == m
+
+    def test_linear_counting_branch_small_n(self, spark):
+        """Tiny cardinality with mostly-empty registers -> 'linear', and
+        linear counting is near-exact there."""
+        est = sketches.hll_cardinality(
+            _values(spark, 30), "val", p=12).collect()[0]
+        assert est.correction == "linear"
+        assert abs(est.est_distinct - 30) <= 2
+
+    def test_raw_branch_at_moderate_fill(self, spark):
+        est = sketches.hll_cardinality(
+            _values(spark, 5000), "val", p=6).collect()[0]
+        assert est.correction == "raw"
+
+    def test_duplicates_do_not_inflate(self, spark):
+        base = _values(spark, 1000)
+        dup5 = base.unionAll(base).unionAll(base).unionAll(base).unionAll(base)
+        a = sketches.hll_cardinality(base, "val", p=10).collect()[0]
+        b = sketches.hll_cardinality(dup5, "val", p=10).collect()[0]
+        assert a.est_distinct == b.est_distinct
+
+    def test_grouped_estimates_independent(self, spark):
+        df = _values(spark, 2000, group="big").unionAll(
+            _values(spark, 100, prefix="w", group="small"))
+        rows = {r.g: r for r in sketches.hll_cardinality(
+            df, "val", p=10, group_cols=("g",)).collect()}
+        assert abs(rows["big"].est_distinct - 2000) / 2000 < 0.15
+        assert abs(rows["small"].est_distinct - 100) / 100 < 0.15
+
+    def test_xxhash64_variant(self, spark):
+        """Production hash: same machinery at W=32, estimate still lands."""
+        est = sketches.hll_cardinality(
+            _values(spark, 5000), "val", p=10, hash_fn="xxhash64").collect()[0]
+        assert abs(est.est_distinct - 5000) / 5000 < 4 * 1.04 / math.sqrt(1024)
+
+    def test_estimate_shuffle_order_independent(self, spark):
+        """int64 harmonic sum -> identical digits at 8 vs 1 partitions."""
+        df = _values(spark, 8000)
+        a = sketches.hll_cardinality(df.repartition(8), "val", p=10)
+        b = sketches.hll_cardinality(df.coalesce(1), "val", p=10)
+        assert a.collect() == b.collect()
