@@ -988,6 +988,57 @@ _HLL_USERS_BY_TYPE_ORACLE = _hll_oracle(_HLL_USER_SRC, p=12,
 _HLL_USER_ROLLUP_ORACLE = _hll_oracle(_HLL_USER_GLOBAL_SRC, p=12)
 
 
+def _q_cms_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (sketches.cms_table/cms_estimate) over trigram
+    occurrences, probed with the exact top-20 heavy hitters (the
+    deterministic top_ngrams cut): (ngram, true_cnt, est_cnt) with
+    est >= true by construction. width=512 forces visible collisions so
+    the gate checks the sketch arithmetic, not a trivially-exact table."""
+    docs = _docs(spark, sf_dir)
+    grams = text.ngram_occurrences(docs, n=3)
+    table = sketches.cms_table(grams, "ngram", depth=4, width=512)
+    top = text.top_ngrams(docs, n=3, k=20).select(
+        "ngram", F.col("cnt").alias("true_cnt"))
+    return sketches.cms_estimate(table, top, "ngram", depth=4, width=512)
+
+
+def _poly31_sql(col: str) -> str:
+    return ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, length({col}) + 1), "
+            f"i -> CAST(ascii(substr({col}, i, 1)) AS BIGINT))), "
+            "(acc, c) -> (acc * 31 + c) % 2147483647)")
+
+
+def _cms_salt_sql(h: str, row: str) -> str:
+    """(a_row * h + b_row) mod P — dedup._salted_poly's universal family."""
+    return (f"((((2 * {row} + 1) * 2654435761) % 2147483647) * {h} "
+            f"+ (({row} * 40503 + 12345) % 2147483647)) % 2147483647")
+
+
+_CMS_TRIGRAMS_ORACLE = f"""
+WITH {_HLL_TRIGRAM_SRC},
+c AS (SELECT val, count(*) AS cnt FROM v GROUP BY val),
+top AS (SELECT val AS ngram, cnt AS true_cnt FROM c
+        ORDER BY cnt DESC, val ASC LIMIT 20),
+p0 AS (SELECT {_poly31_sql('val')} AS h0 FROM v),
+r0 AS (SELECT h0, unnest(range(0, 4)) AS row FROM p0),
+s0 AS (SELECT row, {_cms_salt_sql('h0', 'row')} AS h1 FROM r0),
+t AS (SELECT row, {sketches.fmix32_sql('h1')} % 512 AS bucket,
+             count(*) AS cnt
+      FROM s0 GROUP BY row, bucket),
+q0 AS (SELECT ngram, true_cnt, {_poly31_sql('ngram')} AS h0 FROM top),
+q1 AS (SELECT ngram, true_cnt, h0, unnest(range(0, 4)) AS row FROM q0),
+q2 AS (SELECT ngram, true_cnt, row,
+              {_cms_salt_sql('h0', 'row')} AS h1 FROM q1),
+q3 AS (SELECT ngram, true_cnt, row,
+              {sketches.fmix32_sql('h1')} % 512 AS bucket FROM q2)
+SELECT ngram, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(min(coalesce(t.cnt, 0)) AS BIGINT) AS est_cnt
+FROM q3 LEFT JOIN t USING (row, bucket)
+GROUP BY ngram, true_cnt
+"""
+
+
 def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity bucketing (text.perplexity_buckets — Wenzek et
     al. 2020): hashed-unigram LM scores split into equal-count
@@ -2993,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_trigrams": _q_hll_trigrams,
         "hll_users_by_type": _q_hll_users_by_type,
         "hll_user_rollup": _q_hll_user_rollup,
+        "cms_trigrams": _q_cms_trigrams,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
         "event_quantiles": _q_event_quantiles,
@@ -3184,6 +3236,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_trigrams": _HLL_TRIGRAMS_ORACLE,
         "hll_users_by_type": _HLL_USERS_BY_TYPE_ORACLE,
         "hll_user_rollup": _HLL_USER_ROLLUP_ORACLE,
+        "cms_trigrams": _CMS_TRIGRAMS_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
         "event_quantiles": _EVENT_QUANTILES_ORACLE,

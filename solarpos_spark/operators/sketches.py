@@ -210,6 +210,98 @@ def hll_estimate(
     )
 
 
+def cms_table(
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a relation:
+    (group_cols..., row, bucket, cnt) — ``depth * width`` counters.
+
+    One hash-aggregate builds it: the base hash is computed ONCE per input
+    row in a projection BELOW the Generate (the depth-fold explode cannot
+    re-evaluate it — a Generate is not a Project, so CollapseProject stops
+    there), each of the ``depth`` rows salts it with an independent
+    universal hash ((a_i*h + b_i) mod P, the dedup._salted_poly family)
+    finalized by fmix32. The shuffle carries at most ``depth * width``
+    rows per input partition (map-side partial sum) — frequency estimates
+    over 100 TB cost a metadata-sized exchange.
+
+    Sketches MERGE by summing cnt per (row, bucket) — associative, so
+    per-source/per-day tables roll up without re-scanning (cms_merge).
+    Point estimate: min over rows of the probed counter (cms_estimate);
+    always >= the true count, within eps*N with probability 1-delta for
+    width=ceil(e/eps), depth=ceil(ln(1/delta)).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"depth={depth}, width={width} out of range")
+    from .dedup import POLY_P
+
+    hashed = df.select(
+        *group_cols, poly31_hash(F.col(col).cast("string")).alias("_h"))
+    rows = hashed.select(
+        *group_cols, "_h",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
+    a = ((2 * F.col("row") + 1) * F.lit(2654435761)) % F.lit(POLY_P)
+    b = (F.col("row") * F.lit(40503) + F.lit(12345)) % F.lit(POLY_P)
+    bucket = _fmix32((a * F.col("_h") + b) % F.lit(POLY_P)) % F.lit(width)
+    return (
+        rows.select(*group_cols, "row", bucket.alias("bucket"))
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(
+    tables: DataFrame, *, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge sketch tables down to ``group_cols`` granularity: sum per
+    (row, bucket). The merged point estimates equal a direct pass over
+    the union of the inputs (sum is associative/commutative)."""
+    return tables.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    table: DataFrame,
+    probes: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates: probes.col -> (probes.*, est_cnt).
+
+    Each probe value re-derives its ``depth`` (row, bucket) coordinates,
+    equi-joins the counter relation (depth*width rows — always the
+    BROADCAST side, so any number of probes joins shuffle-free), and
+    takes the min counter. A coordinate absent
+    from the table means no input row ever hashed there: the min is 0.
+    """
+    from .dedup import POLY_P
+
+    hashed = probes.select(
+        *probes.columns, poly31_hash(F.col(col).cast("string")).alias("_h"))
+    rows = hashed.select(
+        *probes.columns, "_h",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
+    a = ((2 * F.col("row") + 1) * F.lit(2654435761)) % F.lit(POLY_P)
+    b = (F.col("row") * F.lit(40503) + F.lit(12345)) % F.lit(POLY_P)
+    bucket = _fmix32((a * F.col("_h") + b) % F.lit(POLY_P)) % F.lit(width)
+    coords = rows.select(*probes.columns, "row", bucket.alias("bucket"))
+    joined = coords.join(
+        F.broadcast(table.select("row", "bucket", "cnt")),
+        on=["row", "bucket"], how="left")
+    return (
+        joined.groupBy(*probes.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+             .cast("long").alias("est_cnt"))
+    )
+
+
 def hll_cardinality(
     df: DataFrame,
     col: str,

@@ -127,3 +127,76 @@ class TestEstimate:
         a = sketches.hll_cardinality(df.repartition(8), "val", p=10)
         b = sketches.hll_cardinality(df.coalesce(1), "val", p=10)
         assert a.collect() == b.collect()
+
+
+def _skewed(spark, n_heavy=300, n_tail=2000):
+    """One heavy key repeated n_heavy times over a distinct tail."""
+    heavy = spark.range(n_heavy).select(F.lit("heavy").alias("val"))
+    tail = spark.range(n_tail).select(
+        F.concat(F.lit("t"), F.col("id")).alias("val"))
+    return heavy.unionAll(tail)
+
+
+class TestCountMin:
+    def test_table_bounded_and_mass_conserved(self, spark):
+        df = _skewed(spark)
+        t = sketches.cms_table(df, "val", depth=4, width=256)
+        rows = t.collect()
+        assert len(rows) <= 4 * 256
+        per_row = {}
+        for r in rows:
+            assert 0 <= r.bucket < 256 and 0 <= r.row < 4
+            per_row[r.row] = per_row.get(r.row, 0) + r.cnt
+        # every depth row counts every input exactly once
+        assert per_row == {i: 2300 for i in range(4)}
+
+    def test_estimate_never_undercounts(self, spark):
+        df = _skewed(spark)
+        t = sketches.cms_table(df, "val", depth=4, width=256)
+        probes = df.distinct()
+        est = sketches.cms_estimate(t, probes, "val", depth=4, width=256)
+        true = df.groupBy("val").count()
+        joined = est.join(true, "val").collect()
+        assert len(joined) == 2001
+        assert all(r.est_cnt >= r["count"] for r in joined)
+        heavy = [r for r in joined if r.val == "heavy"][0]
+        # the heavy hitter dominates its buckets: tight estimate
+        assert heavy.est_cnt - 300 <= 2300 // 256 * 4
+
+    def test_unseen_probe_small(self, spark):
+        """A value never inserted estimates at most the collision mass
+        (and exactly 0 when some row has an untouched coordinate)."""
+        df = _values(spark, 50)
+        t = sketches.cms_table(df, "val", depth=4, width=1024)
+        probe = spark.range(1).select(F.lit("never-inserted").alias("val"))
+        est = sketches.cms_estimate(t, probe, "val", width=1024).collect()[0]
+        assert est.est_cnt == 0  # 50 rows over 4096 counters: empty coord
+
+    def test_merge_equals_direct(self, spark):
+        a = _skewed(spark, n_heavy=100, n_tail=500)
+        b = _skewed(spark, n_heavy=50, n_tail=300)
+        ta = sketches.cms_table(a, "val", width=128)
+        tb = sketches.cms_table(b, "val", width=128)
+        merged = sketches.cms_merge(ta.unionAll(tb))
+        direct = sketches.cms_table(a.unionAll(b), "val", width=128)
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, direct.collect()))
+
+    def test_grouped_tables_independent(self, spark):
+        df = _skewed(spark).withColumn("g", F.lit("x")).unionAll(
+            _values(spark, 10, group="y"))
+        t = sketches.cms_table(df, "val", group_cols=("g",), width=128)
+        sums = {r.g: r.s for r in
+                t.groupBy("g").agg(F.sum("cnt").alias("s")).collect()}
+        assert sums == {"x": 4 * 2300, "y": 4 * 10}
+
+    def test_base_hash_below_generate(self, spark):
+        """The poly31 fold must sit BELOW the explode in the optimized
+        plan — one evaluation per input row, not one per depth row."""
+        t = sketches.cms_table(_values(spark, 10), "val", depth=4)
+        plan = t._jdf.queryExecution().optimizedPlan().toString()
+        gen_pos = plan.index("Generate")
+        assert "aggregate(" in plan[gen_pos:].lower(), \
+            "poly31 fold not under the Generate"
+        assert "aggregate(" not in plan[:gen_pos].lower(), \
+            "poly31 fold re-evaluated above the Generate"
