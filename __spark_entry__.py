@@ -1039,6 +1039,35 @@ GROUP BY ngram, true_cnt
 """
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination
+    (text.decontaminate_ngrams): every 29th doc plays the eval set; the
+    oracle is the PLAIN exact 8-gram intersection — hash-equality proves
+    the broadcast-bit prefilter + exact-verify staging lossless."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 29 == 0)
+    return text.decontaminate_ngrams(
+        corpus, eval_df, n=8, m_bits=1 << 16, k=3)
+
+
+_DECONTAMINATE_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]
+           || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' || ws[i + 6]
+           || ' ' || ws[i + 7] AS ngram
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) t),
+cg AS (SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 29 <> 0),
+eg AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 29 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM cg JOIN eg USING (ngram) GROUP BY doc_id
+"""
+
+
 def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity bucketing (text.perplexity_buckets — Wenzek et
     al. 2020): hashed-unigram LM scores split into equal-count
@@ -3045,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": _q_hll_users_by_type,
         "hll_user_rollup": _q_hll_user_rollup,
         "cms_trigrams": _q_cms_trigrams,
+        "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
         "event_quantiles": _q_event_quantiles,
@@ -3237,6 +3267,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_by_type": _HLL_USERS_BY_TYPE_ORACLE,
         "hll_user_rollup": _HLL_USER_ROLLUP_ORACLE,
         "cms_trigrams": _CMS_TRIGRAMS_ORACLE,
+        "decontaminate": _DECONTAMINATE_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
         "event_quantiles": _EVENT_QUANTILES_ORACLE,

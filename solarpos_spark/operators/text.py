@@ -311,6 +311,98 @@ def contamination_screen(
     )
 
 
+def bloom_bits(
+    df: DataFrame, col: str, *, m_bits: int = 1 << 20, k: int = 3,
+) -> DataFrame:
+    """Bloom filter (Bloom 1970) as a relation: the DISTINCT bit positions
+    set by hashing every value k ways — at most ``m_bits`` single-int
+    rows whatever the input size, built by one distinct-aggregate.
+
+    Positions come from the sketches.py hash chain (poly31 base computed
+    once below the Generate, per-k universal salt, fmix32 avalanche), so
+    membership probes are engine-portable. Two bit relations for the same
+    (m_bits, k) merge by plain DISTINCT union — the rollup law of the
+    membership sketch, same shape as HLL max-merge / CMS sum-merge."""
+    from .dedup import POLY_P, poly31_hash
+    from .sketches import _fmix32
+
+    hashed = df.select(poly31_hash(F.col(col).cast("string")).alias("_h"))
+    rows = hashed.select(
+        "_h", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"))
+    a = ((2 * F.col("_i") + 1) * F.lit(2654435761)) % F.lit(POLY_P)
+    b = (F.col("_i") * F.lit(40503) + F.lit(12345)) % F.lit(POLY_P)
+    pos = _fmix32((a * F.col("_h") + b) % F.lit(POLY_P)) % F.lit(m_bits)
+    return rows.select(pos.alias("pos")).distinct()
+
+
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination at corpus scale: which training documents
+    contain any word n-gram that also appears in the eval set (the
+    Lee et al. 2022 / GPT-3 appendix-C screen).
+
+    Output — (doc_id, n_hit_grams): every corpus doc sharing >= 1
+    distinct n-gram with the eval set, with the count of distinct shared
+    grams. The SEMANTICS are the exact string intersection; the PLAN is
+    staged so the exact join only ever sees Bloom survivors:
+
+    1. eval n-grams -> a Bloom BIT relation (bloom_bits: <= m_bits int
+       rows, broadcast) — the only thing shipped to every executor; the
+       eval gram strings themselves are never broadcast.
+    2. corpus distinct (doc_id, gram) probes k positions each (base hash
+       below the Generate, as cms_table) and keeps grams whose k
+       positions ALL hit: join on the int position against the broadcast
+       bit set, HAVING count(*) = k.
+    3. false positives die in an exact string equi-join against the eval
+       gram relation, restricted to the surviving candidates — at a
+       false-positive rate of (1 - e^(-kn/m))^k the shuffle carries the
+       true matches plus noise, not the corpus.
+
+    Because stage 3 re-checks exactly, the Bloom stage cannot change the
+    answer — the gate oracle IS the plain intersection SQL, and
+    hash-equality proves the prefilter lossless. tests pin the plan shape
+    (string join consumes the HAVING-k aggregate) and exactness under a
+    tiny m_bits that forces visible false positives.
+    """
+    from .dedup import POLY_P, poly31_hash
+    from .sketches import _fmix32
+
+    grams = (ngram_occurrences(corpus, n=n, text_col=text_col)
+             .select("doc_id", "ngram").distinct())
+    eval_grams = (ngram_occurrences(eval_df, n=n, text_col=text_col)
+                  .select("ngram").distinct())
+    bits = bloom_bits(eval_grams, "ngram", m_bits=m_bits, k=k)
+
+    hashed = grams.select(
+        "doc_id", "ngram", poly31_hash(F.col("ngram")).alias("_h"))
+    probe_rows = hashed.select(
+        "doc_id", "ngram", "_h",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"))
+    a = ((2 * F.col("_i") + 1) * F.lit(2654435761)) % F.lit(POLY_P)
+    b = (F.col("_i") * F.lit(40503) + F.lit(12345)) % F.lit(POLY_P)
+    pos = _fmix32((a * F.col("_h") + b) % F.lit(POLY_P)) % F.lit(m_bits)
+    probes = probe_rows.select("doc_id", "ngram", pos.alias("pos"))
+    candidates = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("_k_hits"))
+        .filter(F.col("_k_hits") == k)
+        .select("doc_id", "ngram")
+    )
+    verified = candidates.join(eval_grams, "ngram")
+    return (
+        verified.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_grams"))
+    )
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     *,

@@ -190,6 +190,73 @@ class TestCountMin:
                 t.groupBy("g").agg(F.sum("cnt").alias("s")).collect()}
         assert sums == {"x": 4 * 2300, "y": 4 * 10}
 
+class TestBloomDecontaminate:
+    """bloom_bits + decontaminate_ngrams (text.py) — the membership
+    sketch of the family, exercised through its consumer."""
+
+    @pytest.fixture()
+    def corpus_eval(self, spark):
+        from pyspark.sql import Row
+        mk = lambda i, ws: Row(doc_id=i, text=" ".join(ws))
+        seq = [f"a{j}" for j in range(10)]          # 3 shared 8-grams
+        corpus = spark.createDataFrame([
+            mk(1, ["pre", "pad"] + seq),            # contaminated
+            mk(2, [f"b{j}" for j in range(12)]),    # clean
+            mk(3, seq + ["post"]),                  # contaminated
+            mk(4, ["x"] * 6),                       # too short for 8-grams
+        ])
+        eval_df = spark.createDataFrame(
+            [mk(100, seq), mk(101, [f"c{j}" for j in range(9)])])
+        return corpus, eval_df
+
+    def _brute(self, corpus, eval_df):
+        from solarpos_spark.operators import text as t
+        cg = t.ngram_occurrences(corpus, n=8).distinct()
+        eg = t.ngram_occurrences(eval_df, n=8).select("ngram").distinct()
+        return sorted((r.doc_id, r.n) for r in cg.join(eg, "ngram")
+                      .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+                      .collect())
+
+    @pytest.mark.parametrize("m_bits,k", [(1 << 16, 3), (2, 2)])
+    def test_exact_vs_brute_force(self, spark, corpus_eval, m_bits, k):
+        """m_bits=2 forces EVERY gram through the Bloom stage as a false
+        positive — the exact verify join must still produce the plain
+        intersection answer."""
+        from solarpos_spark.operators import text as t
+        corpus, eval_df = corpus_eval
+        got = sorted((r.doc_id, r.n_hit_grams) for r in
+                     t.decontaminate_ngrams(corpus, eval_df,
+                                            m_bits=m_bits, k=k).collect())
+        assert got == self._brute(corpus, eval_df)
+        assert got == [(1, 3), (3, 3)]
+
+    def test_bloom_bits_bounded_distinct(self, spark):
+        from solarpos_spark.operators import text as t
+        vals = _values(spark, 500)
+        bits = t.bloom_bits(vals, "val", m_bits=64, k=3).collect()
+        assert len(bits) <= 64
+        assert len({r.pos for r in bits}) == len(bits)
+        assert all(0 <= r.pos < 64 for r in bits)
+
+    def test_exact_join_above_bloom_stage(self, spark, corpus_eval):
+        """Plan topology: the exact string join consumes the HAVING-k
+        aggregate, which consumes the broadcast bit-position join — the
+        string join never sees the unfiltered gram relation."""
+        import re
+        from solarpos_spark.operators import text as t
+        corpus, eval_df = corpus_eval
+        plan = (t.decontaminate_ngrams(corpus, eval_df)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        lines = plan.splitlines()
+        j_ngram = next(i for i, l in enumerate(lines)
+                       if re.search(r"ngram#\d+ = ngram#\d+", l))
+        f_k = next(i for i, l in enumerate(lines) if "_k_hits" in l)
+        j_pos = next(i for i, l in enumerate(lines)
+                     if re.search(r"pos#\d+L = pos#\d+L", l))
+        assert j_ngram < f_k < j_pos, plan
+
+
+class TestCountMinPlan:
     def test_base_hash_below_generate(self, spark):
         """The poly31 fold must sit BELOW the explode in the optimized
         plan — one evaluation per input row, not one per depth row."""
