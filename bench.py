@@ -195,6 +195,11 @@ def main() -> None:
         lambda: qs["quality_classifier"](spark, sf_dir))
     run("dsir_select", lambda: qs["dsir_select"](spark, sf_dir))
     run("semdedup", lambda: qs["semdedup"](spark, sf_dir))
+    # round-4 session-4 additions: sketch family (HLL cardinality, count-min
+    # frequency) and Bloom-prefiltered decontamination
+    run("hll_trigrams", lambda: qs["hll_trigrams"](spark, sf_dir))
+    run("cms_trigrams", lambda: qs["cms_trigrams"](spark, sf_dir))
+    run("decontaminate", lambda: qs["decontaminate"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({

@@ -311,8 +311,41 @@ def contamination_screen(
     )
 
 
+def _bloom_positions(h_col: str, i_col: str, m_bits: int):
+    """k-th Bloom position from a poly31 base hash column (portable)."""
+    from .dedup import POLY_P
+    from .sketches import _fmix32
+
+    a = ((2 * F.col(i_col) + 1) * F.lit(2654435761)) % F.lit(POLY_P)
+    b = (F.col(i_col) * F.lit(40503) + F.lit(12345)) % F.lit(POLY_P)
+    return _fmix32((a * F.col(h_col) + b) % F.lit(POLY_P)) % F.lit(m_bits)
+
+
+def _bloom_hashed(df: DataFrame, col: str, keep: list[str],
+                  m_bits: int, k: int, hash_fn: str) -> DataFrame:
+    """(keep..., pos) — the k Bloom positions of df.col, one row each.
+
+    xxhash64 (default): one JVM-codegen hash per (value, i) — the value
+    string feeds the hash ONCE per k-row, no Python/interpreted work.
+    poly31: the engine-portable chain (base fold below the Generate,
+    universal salt + fmix32 per k) for SQL-replayable paths."""
+    from .dedup import poly31_hash
+
+    idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i")
+    if hash_fn == "xxhash64":
+        rows = df.select(*dict.fromkeys([*keep, col]), idx)
+        pos = F.pmod(F.xxhash64(F.col(col), F.col("_i")), F.lit(m_bits))
+        return rows.select(*keep, pos.alias("pos"))
+    hashed = df.select(
+        *keep, poly31_hash(F.col(col).cast("string")).alias("_h"))
+    rows = hashed.select(*keep, "_h", idx)
+    return rows.select(
+        *keep, _bloom_positions("_h", "_i", m_bits).alias("pos"))
+
+
 def bloom_bits(
     df: DataFrame, col: str, *, m_bits: int = 1 << 20, k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Bloom filter (Bloom 1970) as a relation: the DISTINCT bit positions
     set by hashing every value k ways — at most ``m_bits`` single-int
@@ -322,17 +355,12 @@ def bloom_bits(
     once below the Generate, per-k universal salt, fmix32 avalanche), so
     membership probes are engine-portable. Two bit relations for the same
     (m_bits, k) merge by plain DISTINCT union — the rollup law of the
-    membership sketch, same shape as HLL max-merge / CMS sum-merge."""
-    from .dedup import POLY_P, poly31_hash
-    from .sketches import _fmix32
+    membership sketch, same shape as HLL max-merge / CMS sum-merge.
 
-    hashed = df.select(poly31_hash(F.col(col).cast("string")).alias("_h"))
-    rows = hashed.select(
-        "_h", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"))
-    a = ((2 * F.col("_i") + 1) * F.lit(2654435761)) % F.lit(POLY_P)
-    b = (F.col("_i") * F.lit(40503) + F.lit(12345)) % F.lit(POLY_P)
-    pos = _fmix32((a * F.col("_h") + b) % F.lit(POLY_P)) % F.lit(m_bits)
-    return rows.select(pos.alias("pos")).distinct()
+    ``hash_fn='xxhash64'`` (default) hashes JVM-side in one codegen pass —
+    the right production path; ``'poly31'`` is the engine-portable chain
+    for SQL-replayable uses. Build and probe sides must agree."""
+    return _bloom_hashed(df, col, [], m_bits, k, hash_fn).distinct()
 
 
 def decontaminate_ngrams(
@@ -343,6 +371,7 @@ def decontaminate_ngrams(
     m_bits: int = 1 << 20,
     k: int = 3,
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Benchmark decontamination at corpus scale: which training documents
     contain any word n-gram that also appears in the eval set (the
@@ -369,26 +398,18 @@ def decontaminate_ngrams(
     answer — the gate oracle IS the plain intersection SQL, and
     hash-equality proves the prefilter lossless. tests pin the plan shape
     (string join consumes the HAVING-k aggregate) and exactness under a
-    tiny m_bits that forces visible false positives.
+    tiny m_bits that forces visible false positives. The Bloom stage never
+    touches the answer, so the default JVM-side xxhash64 needs no
+    SQL-checkable twin — the intersection oracle covers both hash_fns.
     """
-    from .dedup import POLY_P, poly31_hash
-    from .sketches import _fmix32
-
     grams = (ngram_occurrences(corpus, n=n, text_col=text_col)
              .select("doc_id", "ngram").distinct())
     eval_grams = (ngram_occurrences(eval_df, n=n, text_col=text_col)
                   .select("ngram").distinct())
-    bits = bloom_bits(eval_grams, "ngram", m_bits=m_bits, k=k)
-
-    hashed = grams.select(
-        "doc_id", "ngram", poly31_hash(F.col("ngram")).alias("_h"))
-    probe_rows = hashed.select(
-        "doc_id", "ngram", "_h",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"))
-    a = ((2 * F.col("_i") + 1) * F.lit(2654435761)) % F.lit(POLY_P)
-    b = (F.col("_i") * F.lit(40503) + F.lit(12345)) % F.lit(POLY_P)
-    pos = _fmix32((a * F.col("_h") + b) % F.lit(POLY_P)) % F.lit(m_bits)
-    probes = probe_rows.select("doc_id", "ngram", pos.alias("pos"))
+    bits = bloom_bits(eval_grams, "ngram", m_bits=m_bits, k=k,
+                      hash_fn=hash_fn)
+    probes = _bloom_hashed(grams, "ngram", ["doc_id", "ngram"],
+                           m_bits, k, hash_fn)
     candidates = (
         probes.join(F.broadcast(bits), "pos")
         .groupBy("doc_id", "ngram")

@@ -217,16 +217,19 @@ class TestBloomDecontaminate:
                       .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
                       .collect())
 
-    @pytest.mark.parametrize("m_bits,k", [(1 << 16, 3), (2, 2)])
-    def test_exact_vs_brute_force(self, spark, corpus_eval, m_bits, k):
+    @pytest.mark.parametrize("m_bits,k,hash_fn", [
+        (1 << 16, 3, "xxhash64"), (2, 2, "xxhash64"),
+        (1 << 16, 3, "poly31"), (2, 2, "poly31")])
+    def test_exact_vs_brute_force(self, spark, corpus_eval, m_bits, k,
+                                  hash_fn):
         """m_bits=2 forces EVERY gram through the Bloom stage as a false
         positive — the exact verify join must still produce the plain
-        intersection answer."""
+        intersection answer, under both hash chains."""
         from solarpos_spark.operators import text as t
         corpus, eval_df = corpus_eval
         got = sorted((r.doc_id, r.n_hit_grams) for r in
-                     t.decontaminate_ngrams(corpus, eval_df,
-                                            m_bits=m_bits, k=k).collect())
+                     t.decontaminate_ngrams(corpus, eval_df, m_bits=m_bits,
+                                            k=k, hash_fn=hash_fn).collect())
         assert got == self._brute(corpus, eval_df)
         assert got == [(1, 3), (3, 3)]
 
