@@ -2014,6 +2014,72 @@ FROM kept GROUP BY lang
 """
 
 
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc cap (curate.source_cap — RefinedWeb-style domain
+    balancing): keep the 10 largest docs per source (n_chars desc, id
+    tiebreak), planned as WindowGroupLimit."""
+    from solarpos_spark.operators.curate import source_cap
+
+    return source_cap(_docs(spark, sf_dir), 10).select(
+        "doc_id", "source", "n_chars", "src_rank")
+
+
+_SOURCE_CAP_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id ASC) AS INT) AS src_rank
+  FROM documents)
+SELECT doc_id, source, n_chars, src_rank FROM r WHERE src_rank <= 10
+"""
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (curate.mixture_sample): src0/1/2
+    get 20/15/10% of a 5000-token budget, every other source splits the
+    1% default — integer-exact rates, hash-threshold survivors."""
+    from solarpos_spark.operators.curate import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir),
+        {"src0": 2000, "src1": 1500, "src2": 1000},
+        5000, default_weight=100)
+
+
+_MIXTURE_SAMPLE_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT))))
+              + length(text)
+              - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS BIGINT) AS n_tokens
+  FROM documents),
+tot AS (SELECT source, sum(n_tokens) AS tot FROM base GROUP BY source),
+r AS (
+  SELECT source,
+         CAST(least(10000, (10000 * ((5000 * (CASE source
+                WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1500
+                WHEN 'src2' THEN 1000 ELSE 100 END)) // 10000)) // tot)
+           AS BIGINT) AS rate
+  FROM tot),
+h AS (
+  SELECT doc_id,
+         ((doc_id % 4294967296 + 4294967296) % 4294967296 + 11)
+           % 4294967296 AS x
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         ((x % 65536) * 2654435761
+          + ((x // 65536) * 2654435761) % 4294967296 * 65536)
+         % 4294967296 % 10000 AS bucket
+  FROM h)
+SELECT base.doc_id, base.source, base.n_tokens, r.rate
+FROM base JOIN r USING (source) JOIN b ON b.doc_id = base.doc_id
+WHERE b.bucket < r.rate
+"""
+
+
 def _q_curate_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-exact curation: connected components over the near-dup pair
     graph + one canonical doc per cluster, instead of greedy drop-greater-id
@@ -3091,6 +3157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus_cluster": _q_curate_cluster,
         "curate_corpus_lsh": _q_curate_lsh,
         "stratified_sample": _q_stratified_sample,
+        "source_cap": _q_source_cap,
+        "mixture_sample": _q_mixture_sample,
         "bm25_search": _q_bm25_search,
         "repetition_stats": _q_repetition_stats,
         "sequence_pack": _q_sequence_pack,
@@ -3281,6 +3349,8 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus_cluster": _CURATE_CLUSTER_ORACLE,
         "curate_corpus_lsh": _curate_lsh_oracle(),
         "stratified_sample": _STRATIFIED_SAMPLE_ORACLE,
+        "source_cap": _SOURCE_CAP_ORACLE,
+        "mixture_sample": _MIXTURE_SAMPLE_ORACLE,
         "bm25_search": search.bm25_sql_oracle(_BM25_QUERY, k=15),
         "ivf_topk": _ivf_topk_oracle(),
         "ivf_topk_arrow": _ivf_topk_oracle(),

@@ -179,6 +179,96 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def source_cap(
+    df: DataFrame,
+    max_per_source: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source document cap — RefinedWeb-style domain balancing: no
+    single domain/source may contribute more than ``max_per_source`` docs,
+    and the ones kept are the best by ``order_col`` (desc, id tiebreak —
+    a total order, so the kept set is engine- and schedule-independent).
+
+    One rank-filter window per source: Spark plans rank <= k as
+    WindowGroupLimit — per-partition top-k heaps BEFORE the exchange, so
+    the shuffle carries at most k rows per (source, input partition), not
+    the whole corpus. Output: input columns + ``src_rank``.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc())
+    return (df.withColumn("src_rank", F.row_number().over(w))
+            .filter(F.col("src_rank") <= int(max_per_source)))
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    total_tokens: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 11,
+    default_weight: int = 0,
+) -> DataFrame:
+    """Token-budget mixture sampling — the data-mixing step that turns
+    "train on W% web, X% code, Y% wiki for T total tokens" into a kept
+    document set (the Pile / DoReMi-style static mixture, deterministic).
+
+    ``weights`` maps source -> parts-per-10000 of the ``total_tokens``
+    budget (absent sources use ``default_weight``). Integer arithmetic
+    end-to-end (engine-portable, no float rates):
+
+        T_s    = total_tokens * w_s div 10000        (source's budget)
+        rate_s = min(10000, 10000 * T_s div tokens_s) (keep per 10000)
+
+    and a doc survives iff hash_bucket(id, seed) < rate_s — the same
+    content-independent thresholding as stratified_sample, so the kept
+    set is stable under re-runs, repartitioning and cluster size, and a
+    different seed decorrelates it from split/sample bucketings.
+
+    Plan shape: one small per-source aggregate (20-ish rows however big
+    the corpus), broadcast back, filter — the corpus is scanned once for
+    token counts and once for the filtered output (or once total if the
+    optimizer reuses the exchange; either way no wide shuffle). Sources
+    whose corpus is smaller than their budget keep everything (rate
+    10000); expected kept tokens per source ~ min(tokens_s, T_s).
+
+    Output: (id_col, source_col, n_tokens, rate) for surviving docs.
+    """
+    words = text.words_col(F.col(text_col))
+    n_punct = (F.length(F.col(text_col))
+               - F.length(F.regexp_replace(F.col(text_col),
+                                           r"[.,!?;:]", "")))
+    toks = df.select(
+        id_col, source_col,
+        text.subword_token_count(words, n_punct).alias("n_tokens"))
+    wexpr = F.lit(int(default_weight))
+    for s, wt in sorted(weights.items()):
+        wexpr = F.when(F.col(source_col) == F.lit(s),
+                       F.lit(int(wt))).otherwise(wexpr)
+    rates = (
+        toks.groupBy(source_col)
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .select(source_col, wexpr.alias("_w"), "_tot")
+        .selectExpr(
+            source_col,
+            f"least(10000L, (10000L * (({int(total_tokens)}L * _w) "
+            "div 10000L)) div _tot) AS rate")
+    )
+    bucket = hash_bucket(F.col(id_col), seed)
+    return (
+        toks.join(F.broadcast(rates), source_col)
+        .filter(bucket < F.col("rate"))
+        .select(id_col, source_col,
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.col("rate").cast("long").alias("rate"))
+    )
+
+
 def sequence_pack(
     df: DataFrame,
     *,

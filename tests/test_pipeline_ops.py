@@ -1278,3 +1278,84 @@ class TestTopNgrams:
         # ('a b c' twice); docs 2,3 are too short and contribute none
         assert out["a b c"]["cnt"] == 2 and out["a b c"]["n_docs"] == 1
         assert len(out) == 3
+
+
+class TestSourceCap:
+    def test_cap_keeps_best_per_source(self, spark):
+        from solarpos_spark.operators.curate import source_cap
+
+        rows = [(i, f"s{i % 2}", 100 - i) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = {(r.source, r.src_rank): r.doc_id
+               for r in source_cap(df, 3).collect()}
+        # per source, largest n_chars first = lowest ids (n_chars = 100 - i)
+        assert out == {("s0", 1): 0, ("s0", 2): 2, ("s0", 3): 4,
+                       ("s1", 1): 1, ("s1", 2): 3, ("s1", 3): 5}
+
+    def test_tiebreak_and_stability(self, spark):
+        from solarpos_spark.operators.curate import source_cap
+
+        rows = [(i, "s", 7) for i in range(20)]  # all equal n_chars
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        kept = sorted(r.doc_id for r in source_cap(df, 5).collect())
+        assert kept == [0, 1, 2, 3, 4]  # id tiebreak, partition-independent
+        again = sorted(r.doc_id
+                       for r in source_cap(df.repartition(7), 5).collect())
+        assert again == kept
+
+    def test_plans_as_window_group_limit(self, spark):
+        from solarpos_spark.operators.curate import source_cap
+
+        rows = [(i, f"s{i % 2}", i) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        plan = (source_cap(df, 3)._jdf.queryExecution()
+                .optimizedPlan().toString())
+        assert "WindowGroupLimit" in plan, plan
+
+
+class TestMixtureSample:
+    @pytest.fixture()
+    def corpus(self, spark):
+        # 3 sources x 40 docs x ~8 tokens/doc ("aaaa bbbb cccc dddd" = 4+4)
+        rows = [(s * 100 + i, f"src{s}", "aaaa bbbb cccc dddd eeee")
+                for s in range(3) for i in range(40)]
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_budget_rates_and_overweight_keeps_all(self, spark, corpus):
+        from solarpos_spark.operators.curate import mixture_sample
+
+        # per-source tokens = 40 * 5 = 200. Budgets: src0 10000/10000 of
+        # 1000 = 1000 > 200 -> rate 10000 (keep all); src1 500/10000 of
+        # 1000 = 50 tokens -> rate 10000*50//200 = 2500; src2 default 0
+        # -> dropped entirely.
+        out = mixture_sample(corpus, {"src0": 10000, "src1": 500}, 1000)
+        rows = out.collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append(r)
+        assert len(by_src["src0"]) == 40
+        assert all(r.rate == 10000 for r in by_src["src0"])
+        assert all(r.rate == 2500 for r in by_src["src1"])
+        assert 0 < len(by_src["src1"]) < 40
+        assert "src2" not in by_src
+        assert all(r.n_tokens == 5 for r in rows)
+
+    def test_deterministic_under_repartition(self, spark, corpus):
+        from solarpos_spark.operators.curate import mixture_sample
+
+        w = {"src0": 3000, "src1": 2000, "src2": 1000}
+        a = sorted(r.doc_id for r in
+                   mixture_sample(corpus, w, 300).collect())
+        b = sorted(r.doc_id for r in
+                   mixture_sample(corpus.repartition(11), w, 300).collect())
+        assert a == b and a
+
+    def test_seed_decorrelates(self, spark, corpus):
+        from solarpos_spark.operators.curate import mixture_sample
+
+        w = {"src0": 5000, "src1": 5000, "src2": 5000}
+        a = {r.doc_id for r in
+             mixture_sample(corpus, w, 300, seed=11).collect()}
+        b = {r.doc_id for r in
+             mixture_sample(corpus, w, 300, seed=99).collect()}
+        assert a != b
