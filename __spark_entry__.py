@@ -2693,6 +2693,45 @@ def _q_stream_window_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_hll_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality sketch, gate-hashed: the stream MAINTAINS
+    per-hourly-window HLL registers (pipeline.hourly_distinct_registers —
+    max is an algebraic streaming aggregate, state <= 2^p rows per
+    window), the exactly-once sink commits the released register
+    relation, and the estimate runs batch-side over the committed rows —
+    the streaming half of the warehouse sketch rollup. Committed
+    registers are arrival-order independent (max commutes); the window
+    cut is the same watermark release as stream_window_committed, and the
+    oracle re-derives registers + estimate from the raw events under that
+    cut. Key: user = event_id % 500, so windows genuinely repeat users."""
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming import pipeline as sp
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamhll_")
+    _astro_token_df(spark, sf_dir).repartition(8) \
+        .write.mode("overwrite").parquet(in_dir)
+    stream = tokens.read_token_stream(spark, in_dir,
+                                      max_files_per_trigger=1000)
+    dec = sp.decoded_stream(stream, watermark="1 hour")
+    keyed = dec.withColumn("user", F.col("doc_id").cast("long") % 500)
+    regs = sp.hourly_distinct_registers(keyed, "user", p=10)
+    q = exactly_once_parquet_sink(regs, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    committed = spark.read.parquet(out_dir).select(
+        F.unix_timestamp("window_start").alias("ws"), "bucket", "register")
+    return sketches.hll_estimate(committed, p=10, group_cols=("ws",))
+
+
+_STREAM_HLL_SRC = """v0 AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS usec, event_id % 500 AS u
+  FROM events WHERE event_id < 20000),
+v AS (
+  SELECT (usec // 3600) * 3600 AS ws, CAST(u AS VARCHAR) AS val
+  FROM v0
+  WHERE (usec // 3600) * 3600 + 3600 <= (SELECT max(usec) FROM v0) - 3600)"""
+
+
 def _q_stream_window_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-batch watermarked windows with REAL cross-batch late drops,
     gate-hashed. Token rows are split into 4 files by event-time quartile
@@ -3180,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_committed": _q_stream_dedup_committed,
         "stream_curate_committed": _q_stream_curate_committed,
         "stream_window_committed": _q_stream_window_committed,
+        "stream_hll_committed": _q_stream_hll_committed,
         "stream_window_multibatch": _q_stream_window_multibatch,
         "stream_join_committed": _q_stream_join_committed,
         "stream_funnel_committed": _q_stream_funnel_committed,
@@ -3374,6 +3414,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_committed": _STREAM_DEDUP_ORACLE,
         "stream_curate_committed": _STREAM_CURATE_ORACLE,
         "stream_window_committed": _STREAM_WINDOW_ORACLE,
+        "stream_hll_committed": _hll_oracle(_STREAM_HLL_SRC, p=10,
+                                            group="ws"),
         "stream_window_multibatch": _STREAM_WINDOW_MULTIBATCH_ORACLE,
         "stream_join_committed": _stream_join_oracle(),
         "stream_funnel_committed": _STREAM_FUNNEL_ORACLE,

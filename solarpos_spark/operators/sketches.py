@@ -119,30 +119,40 @@ def hll_registers(
     """
     if not 4 <= p <= 18:
         raise ValueError(f"p={p} outside [4, 18]")
-    w_bits = hash_width(hash_fn) - p
+    hashed = df.select(
+        *group_cols, hll_hash(F.col(col), hash_fn=hash_fn).alias("_h"))
+    bucket, rank = hll_bucket_rank(F.col("_h"), p=p, hash_fn=hash_fn)
+    return (
+        hashed.select(
+            *group_cols, bucket.alias("bucket"), rank.alias("_rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rank").alias("register"))
+    )
+
+
+def hll_hash(col: Column, *, hash_fn: str = "poly31") -> Column:
+    """The W=32 HLL hash of a value column (hashed via its string form)."""
     if hash_fn == "poly31":
         # fmix32 avalanche over the portable polynomial hash — see module
         # docstring for why the finalizer is load-bearing.
-        h = _fmix32(poly31_hash(F.col(col).cast("string")))
-    else:
-        # top 32 bits of xxhash64: unsigned shift keeps the slice nonneg
-        h = F.shiftrightunsigned(F.xxhash64(F.col(col).cast("string")), 32)
-    hashed = df.select(*group_cols, h.alias("_h"))
-    w = F.shiftrightunsigned(F.col("_h"), p)
+        return _fmix32(poly31_hash(col.cast("string")))
+    # top 32 bits of xxhash64: unsigned shift keeps the slice nonneg
+    return F.shiftrightunsigned(F.xxhash64(col.cast("string")), 32)
+
+
+def hll_bucket_rank(
+    h: Column, *, p: int, hash_fn: str = "poly31",
+) -> tuple[Column, Column]:
+    """(bucket, rank) of a precomputed hll_hash — shared by the batch
+    register build and the streaming windowed register maintenance."""
+    w_bits = hash_width(hash_fn) - p
+    w = F.shiftrightunsigned(h, p)
     rank = (
         F.when(w == 0, F.lit(w_bits + 1))
         .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
         .cast("int")
     )
-    return (
-        hashed.select(
-            *group_cols,
-            F.pmod(F.col("_h"), F.lit(1 << p)).alias("bucket"),
-            rank.alias("_rank"),
-        )
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("_rank").alias("register"))
-    )
+    return F.pmod(h, F.lit(1 << p)), rank
 
 
 def hll_merge(

@@ -85,6 +85,41 @@ def hourly_window_counts(decoded: DataFrame) -> DataFrame:
     )
 
 
+def hourly_distinct_registers(
+    decoded: DataFrame, value_col: str, *, p: int = 10,
+    hash_fn: str = "poly31",
+) -> DataFrame:
+    """Streaming HLL register maintenance: per hourly event-time window,
+    the (bucket, register) relation of distinct ``value_col`` values —
+    the unbounded-stream form of the sketches.py cardinality sketch.
+
+    ``max`` is an algebraic streaming aggregate, so state per window is
+    bounded by 2^p registers no matter how many rows arrive, and a
+    window's register rows append once the watermark releases it. The
+    committed relation is ARRIVAL-ORDER INDEPENDENT for rows that beat
+    the watermark (max commutes), and estimating is a batch-side
+    sketches.hll_estimate over the committed rows grouped by window —
+    the streaming half of the warehouse rollup: the stream maintains
+    registers, readers merge/estimate without touching raw events.
+
+    Output: (window_start, bucket, register). ``decoded`` must carry a
+    watermark on event_time (decoded_stream sets one).
+    """
+    from ..operators.sketches import hll_bucket_rank, hll_hash
+
+    h = hll_hash(F.col(value_col), hash_fn=hash_fn)
+    bucket, rank = hll_bucket_rank(F.col("_h"), p=p, hash_fn=hash_fn)
+    return (
+        decoded.select("event_time", h.alias("_h"))
+        .select("event_time", bucket.alias("bucket"), rank.alias("_rank"))
+        .groupBy(F.window("event_time", "1 hour").alias("w"),
+                 F.col("bucket"))
+        .agg(F.max("_rank").alias("register"))
+        .select(F.col("w.start").alias("window_start"), "bucket",
+                "register")
+    )
+
+
 def sliding_window_counts(decoded: DataFrame, *, duration: str = "1 hour",
                           slide: str = "15 minutes") -> DataFrame:
     return (

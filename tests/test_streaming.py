@@ -658,3 +658,52 @@ class TestFunnelFirstMatch:
         assert got.count() == 6  # one funnel per user, exactly once
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+class TestStreamingHll:
+    def test_registers_match_batch_and_batching_invariant(
+            self, spark, tmp_path):
+        """Streaming HLL register maintenance == the batch sketch over the
+        same rows, at any micro-batch granularity (max commutes, so the
+        committed register relation cannot depend on arrival order)."""
+        from solarpos_spark.operators import sketches
+
+        src = str(tmp_path / "tok")
+        make_token_files(spark, src, n_docs=80, files=8)
+
+        def run_mem(trigger_files: int, name: str):
+            stream = tokens.read_token_stream(
+                spark, src, max_files_per_trigger=trigger_files)
+            dec = pipeline.decoded_stream(stream, watermark="1 hour")
+            regs = pipeline.hourly_distinct_registers(dec, "doc_id", p=8)
+            q = (regs.writeStream.outputMode("complete")
+                 .format("memory").queryName(name)
+                 .trigger(availableNow=True).start())
+            drain(q)
+            return sorted(
+                (r.window_start, r.bucket, r.register)
+                for r in spark.table(name).collect())
+
+        a = run_mem(1, "hll_regs_a")
+        b = run_mem(8, "hll_regs_b")
+        assert a == b and len(a) > 0
+
+        batch = tokens.decode_tokens(spark.read.parquet(src)).select(
+            F.date_trunc("hour", F.timestamp_seconds(F.col("unix_sec")))
+             .alias("window_start"),
+            "doc_id")
+        expect = sorted(
+            (r.window_start, r.bucket, r.register)
+            for r in sketches.hll_registers(
+                batch, "doc_id", p=8,
+                group_cols=("window_start",)).collect())
+        assert a == expect
+
+        # and the estimates over identical registers are identical too
+        regs_df = spark.createDataFrame(
+            [(str(w), int(bkt), int(reg)) for w, bkt, reg in a],
+            "w string, bucket long, register int")
+        est = sketches.hll_estimate(regs_df, p=8, group_cols=("w",))
+        for r in est.collect():
+            assert r.n_set + r.n_zero == 256
+            assert r.est_distinct > 0
