@@ -1479,6 +1479,55 @@ def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, q, k=3)
 
 
+def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage int8 ANN (similarity.quantized_topk): quantized code
+    scan (4x less bandwidth, exact-int dot) -> shortlist-10 ->
+    exact-cosine rerank; same schema/rounding as similarity_topk so
+    recall is directly comparable."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.quantized_topk(emb, q, dim=64, k=3, shortlist=10)
+
+
+_QUANTIZED_TOPK_ORACLE = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qt AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM base),
+codes AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+            ELSE greatest(-127, least(127,
+                 CAST(floor(x / scale + 0.5) AS BIGINT))) END)::DOUBLE[] AS q
+  FROM qt),
+qq AS (SELECT * FROM codes WHERE vec_id < 10),
+scored AS (
+  SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q2.q, c.q) * q2.scale * c.scale, 6)
+           AS approx
+  FROM codes c, qq q2 WHERE c.vec_id <> q2.vec_id),
+sh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY approx DESC, neighbor_id ASC) AS r FROM scored)
+  WHERE r <= 10),
+ex AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(qb.v, cb.v)
+               / (sqrt(list_dot_product(qb.v, qb.v))
+                  * sqrt(list_dot_product(cb.v, cb.v))), 6) AS score
+  FROM sh s JOIN base cb ON cb.vec_id = s.neighbor_id
+            JOIN base qb ON qb.vec_id = s.query_id)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank,
+       neighbor_id, score
+FROM ex
+QUALIFY rank <= 3
+"""
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: exact dedup -> near-dup pruning ->
     quality gate -> token accounting (operators/curate.py)."""
@@ -3190,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_fingerprint,
         "similarity_topk": _q_similarity_topk,
+        "quantized_topk": _q_quantized_topk,
         "csv_position_lines": _q_csv_position_lines,
         "geohash_density": _q_geohash_density,
         "curate_corpus": _q_curate,
@@ -3441,6 +3491,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "similarity_topk": _TOPK_ORACLE,
+        "quantized_topk": _QUANTIZED_TOPK_ORACLE,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -200,6 +200,7 @@ def main() -> None:
     run("hll_trigrams", lambda: qs["hll_trigrams"](spark, sf_dir))
     run("cms_trigrams", lambda: qs["cms_trigrams"](spark, sf_dir))
     run("decontaminate", lambda: qs["decontaminate"](spark, sf_dir))
+    run("quantized_topk", lambda: qs["quantized_topk"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({

@@ -82,6 +82,112 @@ def brute_force_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    dim: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8 scalar quantization: per-vector symmetric scale
+    ``scale = max|x| / 127``, codes ``clamp(floor(x/scale + 0.5), ±127)``
+    — the standard 4x memory/bandwidth reduction for a corpus-scale
+    vector scan (at rest the codes column stores as byte; kept as long
+    here for engine-portable arithmetic). A zero vector quantizes to all
+    zeros (scale 0 guarded element-wise).
+
+    CSE note: ``scale`` is fed through ``array_repeat`` in ARGUMENT
+    position so the max-abs fold evaluates once per row; referencing it
+    inside the lambda would inline the fold per element (interpreted
+    higher-order exprs get no CSE — the dedup.shingle_rows trap),
+    turning an O(dim) pass into O(dim^2).
+
+    Output: (id_col, qvec array<long>, scale double).
+    """
+    codes, scale = _quant_exprs(F.col(vec_col), dim)
+    return df.select(
+        F.col(id_col), codes.alias("qvec"), scale.alias("scale"))
+
+
+def _quant_exprs(vec: Column, dim: int) -> tuple[Column, Column]:
+    """(codes, scale) expressions for int8 symmetric quantization."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    codes = F.zip_with(
+        v, F.array_repeat(scale, dim),
+        lambda x, s: F.when(s == 0.0, F.lit(0).cast("long")).otherwise(
+            F.greatest(F.lit(-127).cast("long"),
+                       F.least(F.lit(127).cast("long"),
+                               F.floor(x / s + F.lit(0.5))))))
+    return codes, scale
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 3,
+    shortlist: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage top-k: int8 quantized scan -> exact float rerank.
+
+    Stage 1 scores every (query, corpus) pair in CODE space:
+    ``approx = int_dot(q_codes, c_codes) * q_scale * c_scale``. The int
+    dot is exact integer arithmetic (|sum| < dim * 127^2 << 2^53, so the
+    double accumulation cannot round regardless of fold order) and the
+    scan streams 4x less data than float32 — the piece that matters when
+    the corpus is the 100 TB side; only (query_id, neighbor_id, approx)
+    reaches the shortlist window, whose rank<=N filter plans as
+    WindowGroupLimit (per-partition heaps BEFORE the exchange). Stage 2
+    re-scores only the shortlist — joined back to the float vectors with
+    the tiny shortlist BROADCAST, so full vectors are never shuffled —
+    with the exact cosine (brute_force_topk arithmetic) and emits the
+    usual (query_id, rank, neighbor_id, score): identical schema and
+    rounding, so recall vs the exact operator is directly measurable.
+    Both cuts are total orders (rounded score desc, neighbor id asc).
+    """
+    codes, scale = _quant_exprs(F.col(vec_col), dim)
+    c1 = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       codes.alias("c_codes"), scale.alias("_cs"))
+    q1 = queries.select(F.col(id_col).alias("query_id"),
+                        codes.alias("q_codes"), scale.alias("_qs"))
+    idot = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("c_codes"),
+                   lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    approx = F.round(idot.cast("double") * F.col("_qs") * F.col("_cs"), 6)
+    scored = (
+        c1.join(F.broadcast(q1), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", approx.alias("approx"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc())
+    short = (scored.withColumn("_srank", F.row_number().over(ws))
+             .filter(F.col("_srank") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    cvecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cvec"),
+                          _norm(F.col(vec_col)).alias("_cn"))
+    qvecs = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qvec2"),
+                           _norm(F.col(vec_col)).alias("_qn"))
+    exact = (
+        cvecs.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "neighbor_id",
+                F.round(_dot(F.col("qvec2"), F.col("cvec"))
+                        / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))
+
+
 def hyperplane_buckets(
     df: DataFrame,
     *,

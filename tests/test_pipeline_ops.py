@@ -1359,3 +1359,69 @@ class TestMixtureSample:
         b = {r.doc_id for r in
              mixture_sample(corpus, w, 300, seed=99).collect()}
         assert a != b
+
+
+class TestQuantizedTopk:
+    @pytest.fixture()
+    def emb(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(5)
+        base = rng.randn(60, 64).astype("float32")
+        base[25] = base[30] * 0.98 + 0.005  # plant 30's near-twin
+        rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_quantize_roundtrip_bounded_error(self, spark, emb):
+        from solarpos_spark.operators.similarity import quantize_embeddings
+
+        out = quantize_embeddings(emb, 64).collect()
+        src = {r.vec_id: r.embedding for r in emb.collect()}
+        for r in out:
+            assert all(-127 <= c <= 127 for c in r.qvec)
+            # dequantization error is at most half a step per element
+            for c, x in zip(r.qvec, src[r.vec_id]):
+                assert abs(c * r.scale - x) <= r.scale / 2 + 1e-12
+
+    def test_zero_vector_quantizes_to_zero(self, spark):
+        from solarpos_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame([(1, [0.0] * 8)],
+                                   "vec_id long, embedding array<float>")
+        r = quantize_embeddings(df, 8).collect()[0]
+        assert r.qvec == [0] * 8 and r.scale == 0.0
+
+    def test_finds_planted_twin_and_recall(self, spark, emb):
+        from solarpos_spark.operators import similarity
+
+        q = emb.filter(F.col("vec_id").isin(25, 3, 7))
+        got = similarity.quantized_topk(emb, q, dim=64, k=3, shortlist=8)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        assert sorted(by_q[25])[0] == (1, 30)  # planted twin at rank 1
+        exact = similarity.brute_force_topk(emb, q, k=3)
+        eby_q = {}
+        for r in exact.collect():
+            eby_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        # int8 top-3 recall vs exact over all three queries
+        hits = sum(len({n for _, n in by_q[qid]} & eby_q[qid])
+                   for qid in eby_q)
+        assert hits >= 7  # >= 7/9 overlap
+
+    def test_stage1_shuffles_codes_not_vectors(self, spark, emb):
+        """The shortlist window consumes only (query_id, neighbor_id,
+        approx) and plans as WindowGroupLimit; full float vectors enter
+        via broadcast joins only."""
+        from solarpos_spark.operators import similarity
+
+        q = emb.filter(F.col("vec_id") < 3)
+        plan = (similarity.quantized_topk(emb, q, dim=64, k=3)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        lines = plan.splitlines()
+        # the shortlist cut (limit 10) must be a WindowGroupLimit whose
+        # input projection carries approx only — no float vectors
+        win = next(i for i, l in enumerate(lines)
+                   if "WindowGroupLimit" in l and "row_number(), 10" in l)
+        gap = "\n".join(lines[win:win + 2])
+        assert "approx" in gap and "cvec" not in gap and "qvec2" not in gap
