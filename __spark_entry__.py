@@ -988,6 +988,54 @@ _HLL_USERS_BY_TYPE_ORACLE = _hll_oracle(_HLL_USER_SRC, p=12,
 _HLL_USER_ROLLUP_ORACLE = _hll_oracle(_HLL_USER_GLOBAL_SRC, p=12)
 
 
+def _q_bottomk_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch (sketches.bottom_k): the 32 distinct trigrams with
+    the smallest portable hash — a deterministic uniform sample that
+    plans as TakeOrderedAndProject (per-partition heaps, no global
+    sort)."""
+    grams = text.ngram_occurrences(_docs(spark, sf_dir), n=3)
+    return sketches.bottom_k(grams, "ngram", k=32)
+
+
+def _q_bottomk_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality from the bottom-k sketch: (k-1)*2^32/h_k on a full
+    sketch, exact count when underfull."""
+    grams = text.ngram_occurrences(_docs(spark, sf_dir), n=3)
+    return sketches.bottom_k_estimate(
+        sketches.bottom_k(grams, "ngram", k=32), k=32)
+
+
+def _bottomk_cut_sql(src_cte: str, k: int) -> str:
+    poly = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(1, length(val) + 1), "
+            "i -> CAST(ascii(substr(val, i, 1)) AS BIGINT))), "
+            "(acc, c) -> (acc * 31 + c) % 2147483647)")
+    fmix = sketches.fmix32_sql("h0")
+    return f"""{src_cte},
+d AS (SELECT DISTINCT val FROM v),
+p0 AS (SELECT val, {poly} AS h0 FROM d),
+hx AS (SELECT val, {fmix} AS hv FROM p0),
+cut AS (SELECT val, hv FROM hx ORDER BY hv ASC, val ASC LIMIT {k})"""
+
+
+_BOTTOMK_TRIGRAMS_ORACLE = f"""
+WITH {_bottomk_cut_sql(_HLL_TRIGRAM_SRC, 32)}
+SELECT CAST(row_number() OVER (ORDER BY hv ASC, val ASC) AS INT) AS rank,
+       val, CAST(hv AS BIGINT) AS hv
+FROM cut
+"""
+
+_BOTTOMK_ESTIMATE_ORACLE = f"""
+WITH {_bottomk_cut_sql(_HLL_TRIGRAM_SRC, 32)},
+a AS (SELECT count(*) AS n, max(hv) AS hk FROM cut)
+SELECT round(CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
+             ELSE {float(31 * (1 << 32))!r} / CAST(hk AS DOUBLE) END, 3)
+         AS est_distinct,
+       CAST(n AS BIGINT) AS n_sampled, CAST(hk AS BIGINT) AS h_k
+FROM a
+"""
+
+
 def _q_cms_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (sketches.cms_table/cms_estimate) over trigram
     occurrences, probed with the exact top-20 heavy hitters (the
@@ -3228,6 +3276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": _q_hll_users_by_type,
         "hll_user_rollup": _q_hll_user_rollup,
         "cms_trigrams": _q_cms_trigrams,
+        "bottomk_trigrams": _q_bottomk_trigrams,
+        "bottomk_estimate": _q_bottomk_estimate,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
@@ -3425,6 +3475,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_by_type": _HLL_USERS_BY_TYPE_ORACLE,
         "hll_user_rollup": _HLL_USER_ROLLUP_ORACLE,
         "cms_trigrams": _CMS_TRIGRAMS_ORACLE,
+        "bottomk_trigrams": _BOTTOMK_TRIGRAMS_ORACLE,
+        "bottomk_estimate": _BOTTOMK_ESTIMATE_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,

@@ -42,7 +42,7 @@ unique-user counting at corpus scale).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import poly31_hash
@@ -310,6 +310,59 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
              .cast("long").alias("est_cnt"))
     )
+
+
+def bottom_k(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 64,
+    hash_fn: str = "poly31",
+) -> DataFrame:
+    """Bottom-k sketch (Cohen & Kaplan 2007): the k DISTINCT values with
+    the smallest hash — simultaneously
+
+    * a DETERMINISTIC uniform without-replacement sample of exactly
+      min(k, distinct) values (the hash is the priority, so the same set
+      survives any partitioning, any engine, any re-run — what
+      ``TABLESAMPLE``/RNG reservoirs cannot promise), and
+    * a mergeable cardinality sketch: bottom-k of a union equals bottom-k
+      of the concatenated per-source sketches (min-of-mins), estimated by
+      ``(k-1) * 2^32 / h_k`` (bottom_k_estimate).
+
+    The global cut plans as TakeOrderedAndProject — per-partition top-k
+    heaps merged at the driver, never a global sort; distinct-first keeps
+    duplicate values from crowding the sample. Hash ties (32-bit) break
+    by value asc — a total order. Output: (rank, val, hv).
+    """
+    hashed = df.select(F.col(col).cast("string").alias("val")).distinct()
+    hv = hll_hash(F.col("val"), hash_fn=hash_fn)
+    cut = (hashed.select("val", hv.alias("hv"))
+           .orderBy(F.col("hv").asc(), F.col("val").asc()).limit(k))
+    w = Window.orderBy(F.col("hv").asc(), F.col("val").asc())
+    return cut.select(
+        F.row_number().over(w).alias("rank"), "val", "hv")
+
+
+def bottom_k_estimate(sketch: DataFrame, *, k: int) -> DataFrame:
+    """Cardinality estimate from a bottom-k sketch: if the sketch is full
+    (n = k), distinct ~ (k-1) * 2^32 / h_k (the k-th smallest of n
+    uniform 32-bit hashes sits near k/n * 2^32); an underfull sketch saw
+    every distinct value, so the count is exact. Output one row:
+    (est_distinct, n_sampled, h_k)."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("hv").alias("h_k"))
+    est = (
+        F.when(F.col("n_sampled") < k,
+               F.col("n_sampled").cast("double"))
+        .otherwise(F.lit(float((k - 1) * (1 << 32)))
+                   / F.col("h_k").cast("double"))
+    )
+    return agg.select(
+        F.round(est, 3).alias("est_distinct"),
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.col("h_k").cast("long").alias("h_k"))
 
 
 def hll_cardinality(

@@ -270,3 +270,49 @@ class TestCountMinPlan:
             "poly31 fold not under the Generate"
         assert "aggregate(" not in plan[:gen_pos].lower(), \
             "poly31 fold re-evaluated above the Generate"
+
+
+class TestBottomK:
+    def test_deterministic_sample_and_takeordered_plan(self, spark):
+        df = _values(spark, 5000)
+        a = [(r.rank, r.val, r.hv)
+             for r in sketches.bottom_k(df, "val", k=16).collect()]
+        b = [(r.rank, r.val, r.hv)
+             for r in sketches.bottom_k(df.repartition(9), "val",
+                                        k=16).collect()]
+        assert a == b and len(a) == 16
+        assert [r[0] for r in a] == list(range(1, 17))
+        assert all(a[i][2] <= a[i + 1][2] for i in range(15))
+        plan = (sketches.bottom_k(df, "val", k=16)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_duplicates_do_not_crowd(self, spark):
+        base = _values(spark, 100)
+        dup = base.unionAll(base).unionAll(base)
+        a = sorted(r.val for r in sketches.bottom_k(base, "val", k=8).collect())
+        b = sorted(r.val for r in sketches.bottom_k(dup, "val", k=8).collect())
+        assert a == b
+
+    def test_merge_law(self, spark):
+        """bottom_k(A u B) == bottom_k over the union of the two
+        sketches' values (min-of-mins)."""
+        a = _values(spark, 800, prefix="a")
+        b = _values(spark, 600, prefix="b")
+        sa = sketches.bottom_k(a, "val", k=12).select("val")
+        sb = sketches.bottom_k(b, "val", k=12).select("val")
+        merged = sketches.bottom_k(sa.unionAll(sb), "val", k=12)
+        direct = sketches.bottom_k(a.unionAll(b), "val", k=12)
+        assert [tuple(r) for r in merged.collect()] == \
+            [tuple(r) for r in direct.collect()]
+
+    def test_estimate_underfull_exact_and_full_bounded(self, spark):
+        small = sketches.bottom_k_estimate(
+            sketches.bottom_k(_values(spark, 20), "val", k=64), k=64)
+        r = small.collect()[0]
+        assert r.est_distinct == 20.0 and r.n_sampled == 20
+        big = sketches.bottom_k_estimate(
+            sketches.bottom_k(_values(spark, 5000), "val", k=256), k=256)
+        e = big.collect()[0]
+        assert e.n_sampled == 256
+        assert abs(e.est_distinct - 5000) / 5000 < 4 / (256 ** 0.5)
