@@ -1273,6 +1273,53 @@ def _pii_scrub_oracle() -> str:
             f"SELECT doc_id, t AS text, {sel} FROM {prev}")
 
 
+def _q_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory quantiles (relational.histogram_quantiles): fixed
+    256-bin histogram of events.value, each q resolved to the first
+    bucket reaching ceil(q*n) — deterministic, error <= one bin width,
+    the scale path next to the exact percentile_disc entry."""
+    from solarpos_spark.operators.relational import histogram_quantiles
+
+    ev = _events(spark, sf_dir)
+    return histogram_quantiles(ev, "value",
+                               qs=(0.25, 0.5, 0.9, 0.99), n_bins=256)
+
+
+_VALUE_HISTOGRAM_QUANTILES_ORACLE = """
+WITH s AS (SELECT min(value) AS lo, max(value) AS hi, count(value) AS n
+           FROM events),
+h AS (
+  SELECT CASE WHEN s.hi = s.lo THEN 0
+         ELSE least(255, CAST(floor(((value - s.lo) / (s.hi - s.lo))
+                                    * 256.0) AS INT)) END AS bin,
+         count(*) AS cnt
+  FROM events, s GROUP BY bin),
+c AS (
+  SELECT bin, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM h),
+qv AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q),
+hit AS (
+  SELECT q, min(bin) AS bin FROM c, qv, s
+  WHERE cum >= ceil(q * s.n) GROUP BY q),
+j AS (SELECT hit.q, hit.bin, c.cnt, c.cum, s.lo, s.hi
+      FROM hit JOIN c ON c.bin = hit.bin, s)
+SELECT q,
+       round(CASE WHEN hi = lo THEN lo
+             ELSE (lo + bin * ((hi - lo) / 256.0))
+                  + ((hi - lo) / 256.0) / 2 END, 6) AS est_value,
+       round(CASE WHEN hi = lo THEN lo
+             ELSE lo + bin * ((hi - lo) / 256.0) END, 6) AS bin_lo,
+       round(CASE WHEN hi = lo THEN hi
+             ELSE (lo + bin * ((hi - lo) / 256.0))
+                  + ((hi - lo) / 256.0) END, 6) AS bin_hi,
+       CAST(cum - cnt AS BIGINT) AS n_below
+FROM j
+"""
+
+
 def _q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles per event type (SQL-standard
     percentile_disc == DuckDB quantile_disc: the returned value is a
@@ -3282,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
         "event_quantiles": _q_event_quantiles,
+        "value_histogram_quantiles": _q_value_histogram_quantiles,
         "multimodal_meta": _q_multimodal_meta,
         "frame_sample": _q_frame_sample,
         "resize_payload": _q_resize_payload,
@@ -3481,6 +3529,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
         "event_quantiles": _EVENT_QUANTILES_ORACLE,
+        "value_histogram_quantiles": _VALUE_HISTOGRAM_QUANTILES_ORACLE,
         "multimodal_meta": _MULTIMODAL_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "resize_payload": _RESIZE_ORACLE,

@@ -213,6 +213,69 @@ def interval_match_ids(
     return cand.select(*by, *id_cols).distinct()
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    *,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Bounded-memory approximate quantiles by fixed value-range binning —
+    the scale path next to the exact ``percentile_disc`` aggregate (which
+    sorts every group member): two scans and an ``n_bins``-row histogram,
+    whatever the input size, with a DETERMINISTIC answer (unlike
+    ``approx_percentile``'s merge-order-sensitive sketch, which the
+    repo's bit-stable gate cannot hash).
+
+    Pass 1 takes (min, max, n) in one aggregate; pass 2 histograms
+    ``bucket = clamp(floor((x - min)/(max - min) * n_bins))`` — a
+    map-side-combined hash aggregate shuffling <= n_bins rows per
+    partition. Each requested q resolves to the first bucket whose
+    cumulative count reaches ``ceil(q * n)``; the true quantile provably
+    lies in that bucket, so the error is at most one bin width
+    ((max-min)/n_bins). Output per q: (q, est_value (bin midpoint),
+    bin_lo, bin_hi, n_below) — n_below = rows in strictly lower buckets.
+
+    All arithmetic is engine-portable: min/max/count are order
+    independent, the bucket map is pure double ops on identical inputs,
+    cumulative sums are exact int64.
+    """
+    stats = df.agg(
+        F.min(F.col(col)).alias("_lo"), F.max(F.col(col)).alias("_hi"),
+        F.count(F.col(col)).alias("_n"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(F.lit(n_bins - 1),
+                F.floor((F.col(col) - F.col("_lo"))
+                        / (F.col("_hi") - F.col("_lo"))
+                        * F.lit(float(n_bins))).cast("int")))
+    hist = (df.crossJoin(F.broadcast(stats))
+            .select(bucket.alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin", "cnt", F.sum("cnt").over(w).cast("long").alias("cum"))
+    probes = df.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(qs)], "q double")
+    hit = (cum.crossJoin(F.broadcast(probes))
+           .crossJoin(F.broadcast(stats))
+           .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("_n")))
+           .groupBy("q").agg(
+               F.min(F.struct("bin", "cnt", "cum")).alias("_b"),
+               F.first("_lo").alias("_lo"), F.first("_hi").alias("_hi")))
+    bw = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    lo = F.col("_lo") + F.col("_b.bin") * bw
+    return hit.select(
+        "q",
+        F.round(F.when(F.col("_hi") == F.col("_lo"), F.col("_lo"))
+                 .otherwise(lo + bw / 2), 6).alias("est_value"),
+        F.round(F.when(F.col("_hi") == F.col("_lo"), F.col("_lo"))
+                 .otherwise(lo), 6).alias("bin_lo"),
+        F.round(F.when(F.col("_hi") == F.col("_lo"), F.col("_hi"))
+                 .otherwise(lo + bw), 6).alias("bin_hi"),
+        (F.col("_b.cum") - F.col("_b.cnt")).cast("long").alias("n_below"))
+
+
 def sequence_pattern(
     events: DataFrame,
     *,

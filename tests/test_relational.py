@@ -297,3 +297,45 @@ class TestSequencePattern:
                                within_seconds=60).collect()
         assert len(out) == 1
         assert out[0]["b_event_id"] == 8 and out[0]["gap_usec"] == 0
+
+
+class TestHistogramQuantiles:
+    def test_within_one_bin_of_exact(self, spark):
+        from solarpos_spark.operators.relational import histogram_quantiles
+
+        df = spark.range(10000).select(
+            (F.col("id") % 1000).cast("double").alias("v"))
+        out = {r.q: r for r in histogram_quantiles(
+            df, "v", qs=(0.5, 0.9, 0.99), n_bins=100).collect()}
+        width = 999.0 / 100
+        for q, exact in [(0.5, 499.0), (0.9, 899.0), (0.99, 989.0)]:
+            r = out[q]
+            assert r.bin_lo - 1e-9 <= exact <= r.bin_hi + 1e-9
+            assert abs(r.est_value - exact) <= width
+            assert r.n_below <= q * 10000 <= r.n_below + 110
+
+    def test_deterministic_under_repartition(self, spark):
+        from solarpos_spark.operators.relational import histogram_quantiles
+
+        df = spark.range(5000).select(
+            ((F.col("id") * 37) % 991).cast("double").alias("v"))
+        a = sorted(map(tuple, histogram_quantiles(df, "v").collect()))
+        b = sorted(map(tuple, histogram_quantiles(
+            df.repartition(13), "v").collect()))
+        assert a == b
+
+    def test_constant_column(self, spark):
+        from solarpos_spark.operators.relational import histogram_quantiles
+
+        df = spark.range(100).select(F.lit(7.5).alias("v"))
+        out = histogram_quantiles(df, "v", qs=(0.5,)).collect()[0]
+        assert out.est_value == 7.5 == out.bin_lo == out.bin_hi
+        assert out.n_below == 0
+
+    def test_max_value_lands_in_last_bin(self, spark):
+        from solarpos_spark.operators.relational import histogram_quantiles
+
+        df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+        out = histogram_quantiles(df, "v", qs=(1.0,), n_bins=4).collect()[0]
+        # q=1.0 -> the max (9.0) must be inside the reported bin
+        assert out.bin_lo - 1e-9 <= 9.0 <= out.bin_hi + 1e-9
