@@ -1036,6 +1036,29 @@ FROM a
 """
 
 
+def _q_bottomk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped bottom-k (sketches.bottom_k(group_cols=...)): EXACTLY 8
+    eval docs per language, deterministically — the per-stratum
+    fixed-size sample a rate-based sampler cannot promise; plans as
+    WindowGroupLimit."""
+    return sketches.bottom_k(
+        _docs(spark, sf_dir), "doc_id", k=8, group_cols=("lang",))
+
+
+def _bottomk_per_lang_oracle() -> str:
+    return f"""
+WITH d AS (SELECT DISTINCT lang, CAST(doc_id AS VARCHAR) AS val
+           FROM documents),
+p0 AS (SELECT lang, val, {_poly31_sql('val')} AS h0 FROM d),
+hx AS (SELECT lang, val, {sketches.fmix32_sql('h0')} AS hv FROM p0),
+r AS (SELECT lang, val, hv,
+      CAST(row_number() OVER (PARTITION BY lang
+           ORDER BY hv ASC, val ASC) AS INT) AS rank
+      FROM hx)
+SELECT lang, rank, val, CAST(hv AS BIGINT) AS hv FROM r WHERE rank <= 8
+"""
+
+
 def _q_cms_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (sketches.cms_table/cms_estimate) over trigram
     occurrences, probed with the exact top-20 heavy hitters (the
@@ -3325,6 +3348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_trigrams": _q_cms_trigrams,
         "bottomk_trigrams": _q_bottomk_trigrams,
         "bottomk_estimate": _q_bottomk_estimate,
+        "bottomk_per_lang": _q_bottomk_per_lang,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
@@ -3525,6 +3549,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_trigrams": _CMS_TRIGRAMS_ORACLE,
         "bottomk_trigrams": _BOTTOMK_TRIGRAMS_ORACLE,
         "bottomk_estimate": _BOTTOMK_ESTIMATE_ORACLE,
+        "bottomk_per_lang": _bottomk_per_lang_oracle(),
         "decontaminate": _DECONTAMINATE_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,

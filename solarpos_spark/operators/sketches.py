@@ -318,6 +318,7 @@ def bottom_k(
     *,
     k: int = 64,
     hash_fn: str = "poly31",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Bottom-k sketch (Cohen & Kaplan 2007): the k DISTINCT values with
     the smallest hash — simultaneously
@@ -331,14 +332,24 @@ def bottom_k(
       ``(k-1) * 2^32 / h_k`` (bottom_k_estimate).
 
     The global cut plans as TakeOrderedAndProject — per-partition top-k
-    heaps merged at the driver, never a global sort; distinct-first keeps
-    duplicate values from crowding the sample. Hash ties (32-bit) break
-    by value asc — a total order. Output: (rank, val, hv).
+    heaps merged at the driver, never a global sort; with ``group_cols``
+    ("exactly k eval docs per language") the per-group cut plans as
+    WindowGroupLimit — per-partition heaps per group BEFORE the exchange.
+    distinct-first keeps duplicate values from crowding the sample. Hash
+    ties (32-bit) break by value asc — a total order.
+    Output: (group_cols..., rank, val, hv).
     """
-    hashed = df.select(F.col(col).cast("string").alias("val")).distinct()
+    hashed = (df.select(*group_cols, F.col(col).cast("string").alias("val"))
+              .distinct())
     hv = hll_hash(F.col("val"), hash_fn=hash_fn)
-    cut = (hashed.select("val", hv.alias("hv"))
-           .orderBy(F.col("hv").asc(), F.col("val").asc()).limit(k))
+    scored = hashed.select(*group_cols, "val", hv.alias("hv"))
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("hv").asc(), F.col("val").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(*group_cols, "rank", "val", "hv"))
+    cut = scored.orderBy(F.col("hv").asc(), F.col("val").asc()).limit(k)
     w = Window.orderBy(F.col("hv").asc(), F.col("val").asc())
     return cut.select(
         F.row_number().over(w).alias("rank"), "val", "hv")

@@ -316,3 +316,32 @@ class TestBottomK:
         e = big.collect()[0]
         assert e.n_sampled == 256
         assert abs(e.est_distinct - 5000) / 5000 < 4 / (256 ** 0.5)
+
+
+class TestBottomKGrouped:
+    def test_exactly_k_per_group_and_plan(self, spark):
+        df = _values(spark, 300, group="x").unionAll(
+            _values(spark, 5, prefix="w", group="y"))
+        out = sketches.bottom_k(df, "val", k=10, group_cols=("g",))
+        rows = out.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.g, []).append(r.rank)
+        assert sorted(per["x"]) == list(range(1, 11))
+        assert sorted(per["y"]) == [1, 2, 3, 4, 5]  # underfull: all kept
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan
+
+    def test_grouped_matches_per_group_global(self, spark):
+        """The per-group sample equals running the global cut on each
+        group alone — grouping changes the plan, not the answer."""
+        df = _values(spark, 200, group="a").unionAll(
+            _values(spark, 150, prefix="z", group="b"))
+        grouped = {(r.g, r.rank, r.val, r.hv) for r in sketches.bottom_k(
+            df, "val", k=7, group_cols=("g",)).collect()}
+        solo = set()
+        for g in ("a", "b"):
+            for r in sketches.bottom_k(
+                    df.filter(F.col("g") == g), "val", k=7).collect():
+                solo.add((g, r.rank, r.val, r.hv))
+        assert grouped == solo
