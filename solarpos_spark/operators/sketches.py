@@ -227,6 +227,7 @@ def cms_table(
     depth: int = 4,
     width: int = 1024,
     group_cols: tuple[str, ...] = (),
+    hash_fn: str = "poly31",
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) as a relation:
     (group_cols..., row, bucket, cnt) — ``depth * width`` counters.
@@ -248,21 +249,36 @@ def cms_table(
     """
     if depth < 1 or width < 2:
         raise ValueError(f"depth={depth}, width={width} out of range")
+    coords = _cms_coords(df, col, list(group_cols), depth, width, hash_fn)
+    return (
+        coords.groupBy(*group_cols, "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cms_coords(df: DataFrame, col: str, keep: list[str],
+                depth: int, width: int, hash_fn: str) -> DataFrame:
+    """(keep..., row, bucket) coordinate rows, one per (input row, depth).
+
+    ``'xxhash64'`` hashes (value, row) JVM-side in one codegen pass — the
+    production path; ``'poly31'`` is the SQL-replayable chain (base fold
+    below the Generate, universal salt + fmix32 per depth row). Table
+    build and probes must agree."""
     from .dedup import POLY_P
 
+    idx = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    if hash_fn == "xxhash64":
+        rows = df.select(*dict.fromkeys([*keep, col]), idx)
+        bucket = F.pmod(F.xxhash64(F.col(col).cast("string"),
+                                   F.col("row")), F.lit(width))
+        return rows.select(*keep, "row", bucket.alias("bucket"))
     hashed = df.select(
-        *group_cols, poly31_hash(F.col(col).cast("string")).alias("_h"))
-    rows = hashed.select(
-        *group_cols, "_h",
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
+        *keep, poly31_hash(F.col(col).cast("string")).alias("_h"))
+    rows = hashed.select(*keep, "_h", idx)
     a = ((2 * F.col("row") + 1) * F.lit(2654435761)) % F.lit(POLY_P)
     b = (F.col("row") * F.lit(40503) + F.lit(12345)) % F.lit(POLY_P)
     bucket = _fmix32((a * F.col("_h") + b) % F.lit(POLY_P)) % F.lit(width)
-    return (
-        rows.select(*group_cols, "row", bucket.alias("bucket"))
-        .groupBy(*group_cols, "row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    return rows.select(*keep, "row", bucket.alias("bucket"))
 
 
 def cms_merge(
@@ -282,6 +298,7 @@ def cms_estimate(
     *,
     depth: int = 4,
     width: int = 1024,
+    hash_fn: str = "poly31",
 ) -> DataFrame:
     """Point-frequency estimates: probes.col -> (probes.*, est_cnt).
 
@@ -290,18 +307,10 @@ def cms_estimate(
     BROADCAST side, so any number of probes joins shuffle-free), and
     takes the min counter. A coordinate absent
     from the table means no input row ever hashed there: the min is 0.
+    ``hash_fn`` must match the table build.
     """
-    from .dedup import POLY_P
-
-    hashed = probes.select(
-        *probes.columns, poly31_hash(F.col(col).cast("string")).alias("_h"))
-    rows = hashed.select(
-        *probes.columns, "_h",
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
-    a = ((2 * F.col("row") + 1) * F.lit(2654435761)) % F.lit(POLY_P)
-    b = (F.col("row") * F.lit(40503) + F.lit(12345)) % F.lit(POLY_P)
-    bucket = _fmix32((a * F.col("_h") + b) % F.lit(POLY_P)) % F.lit(width)
-    coords = rows.select(*probes.columns, "row", bucket.alias("bucket"))
+    coords = _cms_coords(probes, col, list(probes.columns),
+                         depth, width, hash_fn)
     joined = coords.join(
         F.broadcast(table.select("row", "bucket", "cnt")),
         on=["row", "bucket"], how="left")

@@ -345,3 +345,20 @@ class TestBottomKGrouped:
                     df.filter(F.col("g") == g), "val", k=7).collect():
                 solo.add((g, r.rank, r.val, r.hv))
         assert grouped == solo
+
+
+class TestCountMinXxhash:
+    def test_xxhash_variant_never_undercounts_and_merges(self, spark):
+        df = _skewed(spark, n_heavy=200, n_tail=800)
+        t = sketches.cms_table(df, "val", width=128, hash_fn="xxhash64")
+        est = sketches.cms_estimate(t, df.distinct(), "val", width=128,
+                                    hash_fn="xxhash64")
+        true = {r.val: r["count"] for r in df.groupBy("val").count().collect()}
+        rows = est.collect()
+        assert len(rows) == 801
+        assert all(r.est_cnt >= true[r.val] for r in rows)
+        merged = sketches.cms_merge(t.unionAll(
+            sketches.cms_table(df, "val", width=128, hash_fn="xxhash64")))
+        doubled = sketches.cms_estimate(merged, df.distinct(), "val",
+                                        width=128, hash_fn="xxhash64")
+        assert all(r.est_cnt >= 2 * true[r.val] for r in doubled.collect())
