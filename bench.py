@@ -201,6 +201,10 @@ def main() -> None:
     run("cms_trigrams", lambda: qs["cms_trigrams"](spark, sf_dir))
     run("decontaminate", lambda: qs["decontaminate"](spark, sf_dir))
     run("quantized_topk", lambda: qs["quantized_topk"](spark, sf_dir))
+    run("bottomk_trigrams", lambda: qs["bottomk_trigrams"](spark, sf_dir))
+    run("value_histogram_quantiles",
+        lambda: qs["value_histogram_quantiles"](spark, sf_dir))
+    run("mixture_sample", lambda: qs["mixture_sample"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({

@@ -66,6 +66,20 @@ def main() -> None:
     ap.add_argument("--dsir-target", default=None, metavar="COL=VALUE",
                     help="keep only docs the DSIR importance weight "
                          "(target model fit on COL=VALUE) selects")
+    ap.add_argument("--decontaminate", default=None, metavar="EVAL_PATH",
+                    help="drop docs sharing any 8-gram with the eval-set "
+                         "parquet at EVAL_PATH (Bloom-prefiltered exact "
+                         "screen)")
+    ap.add_argument("--max-per-source", type=int, default=None,
+                    help="cap docs per source (largest n_chars kept)")
+    ap.add_argument("--source-weight", action="append", default=[],
+                    metavar="SOURCE=PER10K",
+                    help="mixture weight per source (with --token-budget)")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="total token budget for --source-weight mixing")
+    ap.add_argument("--stats-output", default=None, metavar="PATH",
+                    help="write a per-source corpus profile (docs, tokens, "
+                         "HLL distinct-word estimate) of the FINAL corpus")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -120,13 +134,35 @@ def main() -> None:
         survivors = survivors.join(ok.select("doc_id"), "doc_id",
                                    "left_semi")
 
-    # 2. language-mix rebalancing (optional)
+    # 1c. benchmark decontamination: remove any training doc sharing an
+    # 8-gram with the eval set (Bloom prefilter + lossless exact verify —
+    # the decontaminate gate entry)
+    if args.decontaminate:
+        from solarpos_spark.operators.text import decontaminate_ngrams
+        eval_df = spark.read.parquet(args.decontaminate)
+        hits = decontaminate_ngrams(survivors, eval_df)
+        survivors = survivors.join(hits.select("doc_id"), "doc_id",
+                                   "left_anti")
+
+    # 2. source/language balancing (each optional, in narrowing order:
+    # per-source cap -> language rates -> token-budget mixture)
+    if args.max_per_source:
+        from solarpos_spark.operators.curate import source_cap
+        survivors = source_cap(
+            survivors, args.max_per_source).drop("src_rank")
     rates = parse_rates(args.rate)
     if rates:
         # unlisted languages keep everything (default_rate=10000): --rate
         # only DOWN-samples the strata it names, it never silently drops
         # the rest of the corpus
         survivors = stratified_sample(survivors, rates, default_rate=10000)
+    if args.token_budget is not None:
+        from solarpos_spark.operators.curate import mixture_sample
+        weights = parse_rates(args.source_weight)
+        kept_mix = mixture_sample(survivors, weights, args.token_budget,
+                                  default_weight=0)
+        survivors = survivors.join(kept_mix.select("doc_id"), "doc_id",
+                                   "left_semi")
 
     # 3. deterministic split, THEN the packing layout per (split, source):
     # packing before split assignment would cut windows across splits — a
@@ -151,6 +187,28 @@ def main() -> None:
              .orderBy("split").collect())
     for r in stats:
         print(f"split={r['split']} docs={r['docs']} tokens={r['tokens']}")
+
+    # 4. optional corpus profile of the final output: per-source doc and
+    # token counts plus the HLL distinct-word estimate — the sketch makes
+    # the vocabulary column a metadata-sized aggregate at any corpus size
+    if args.stats_output:
+        from solarpos_spark.operators.sketches import hll_cardinality
+
+        final_docs = spark.read.parquet(args.output)
+        words = final_docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                              r"\s+")).alias("word"))
+        vocab = hll_cardinality(
+            words, "word", p=12, group_cols=("source",),
+            hash_fn="xxhash64").select(
+                "source", F.col("est_distinct").alias("est_vocab"))
+        profile = (final_docs.groupBy("source")
+                   .agg(F.count(F.lit(1)).alias("docs"),
+                        F.sum("n_tokens").alias("tokens"))
+                   .join(vocab, "source", "left"))
+        profile.coalesce(1).write.mode("overwrite") \
+            .parquet(args.stats_output)
     spark.stop()
 
 
