@@ -686,6 +686,135 @@ c{it} AS (
     return ",\n".join(parts)
 
 
+def _pq_sub_cents_cte(s: int, *, seed: int, lo: int, d_sub: int,
+                      K: int, n_iter: int) -> str:
+    """Per-subspace PQ codebook training chain ending in cents{s} — the
+    _ivf_trained_cents_cte construction over the sliced sub-vector, CTE
+    names prefixed so m chains coexist in one WITH."""
+    S = f"{float(1 << 20):.1f}"
+
+    def qt(d: int) -> str:
+        x = f"v[{d + 1}] * {S}"
+        return (f"CAST(CASE WHEN {x} < 0 THEN -floor(-({x}) + 0.5) "
+                f"ELSE floor({x} + 0.5) END AS BIGINT)")
+
+    sums = ",\n         ".join(f"sum({qt(d)}) AS s{d}" for d in range(d_sub))
+    mean = "[" + ", ".join(f"s.s{d} / ({S} * s.cnt)"
+                           for d in range(d_sub)) + "]"
+    p = f"q{s}"
+    parts = [f"""{p}corp AS (
+  SELECT vec_id, fv[{lo + 1}:{lo + d_sub}] AS v FROM corpus),
+{p}rnk AS (
+  SELECT vec_id, v,
+         ((x % 65536) * 2654435761
+          + ((x // 65536) * 2654435761) % 4294967296 * 65536)
+         % 4294967296 AS r
+  FROM (SELECT vec_id, v,
+               ((vec_id % 4294967296 + 4294967296) % 4294967296 + {seed})
+               % 4294967296 AS x
+        FROM {p}corp)),
+{p}c0 AS (
+  SELECT row_number() OVER (ORDER BY r, vec_id) - 1 AS cid, v AS c
+  FROM {p}rnk ORDER BY r, vec_id LIMIT {K})"""]
+    for it in range(1, n_iter + 1):
+        pr = it - 1
+        parts.append(f"""{p}cl{pr} AS (
+  SELECT list(c ORDER BY cid) AS cl,
+         list(sqrt(list_dot_product(c, c)) ORDER BY cid) AS cnl
+  FROM {p}c{pr}),
+{p}a{it} AS (
+  SELECT vec_id, v, list_indexof(sc, list_max(sc)) AS list_id
+  FROM (SELECT vec_id, v,
+               list_transform(range(1, {K + 1}),
+                              j -> list_dot_product(v, cl[j]) / cnl[j]) AS sc
+        FROM {p}corp, {p}cl{pr})),
+{p}s{it} AS (
+  SELECT list_id, count(*) AS cnt,
+         {sums}
+  FROM {p}a{it} GROUP BY list_id),
+{p}c{it} AS (
+  SELECT p.cid, CASE WHEN s.cnt IS NULL THEN p.c ELSE {mean} END AS c
+  FROM {p}c{pr} p LEFT JOIN {p}s{it} s ON s.list_id = p.cid + 1)""")
+    parts.append(f"""cents{s} AS (
+  SELECT cid, c, sqrt(list_dot_product(c, c)) AS cn FROM {p}c{n_iter})""")
+    return ",\n".join(parts)
+
+
+def _pq_topk_oracle(*, dim: int = 64, m: int = 8, K: int = 16,
+                    n_iter: int = 2, seed: int = 11, k: int = 3,
+                    shortlist: int = 50) -> str:
+    d_sub = dim // m
+    chains = ",\n".join(
+        _pq_sub_cents_cte(s, seed=seed + s, lo=s * d_sub, d_sub=d_sub,
+                          K=K, n_iter=n_iter)
+        for s in range(m))
+    encodes = "\nUNION ALL\n".join(f"""
+  SELECT vec_id, {s} AS sub, list_indexof(sc, list_max(sc)) - 1 AS code
+  FROM (SELECT vec_id,
+               list_transform(range(1, {K + 1}),
+                              j -> list_dot_product(v, cl[j]) / cnl[j]) AS sc
+        FROM q{s}corp,
+             (SELECT list(c ORDER BY cid) AS cl,
+                     list(sqrt(list_dot_product(c, c)) ORDER BY cid) AS cnl
+              FROM cents{s}))""" for s in range(m))
+    partials = "\nUNION ALL\n".join(f"""
+  SELECT query_id, qn, qv, {s} AS sub, cid AS code,
+         list_dot_product(qv[{s * d_sub + 1}:{(s + 1) * d_sub}], c)
+           AS partial,
+         cn * cn AS cn_sq
+  FROM q, cents{s}""" for s in range(m))
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS fv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS fn
+  FROM embeddings),
+{chains},
+codes AS ({encodes}),
+q AS (SELECT vec_id AS query_id, fv AS qv, fn AS qn FROM corpus
+      WHERE vec_id < 10),
+parts AS ({partials}),
+adc AS (
+  SELECT query_id, qn, vec_id,
+         round(list_sum(list(partial ORDER BY sub))
+               / (qn * sqrt(list_sum(list(cn_sq ORDER BY sub)))), 6)
+           AS score
+  FROM codes JOIN parts USING (sub, code)
+  WHERE vec_id <> query_id
+  GROUP BY query_id, qn, vec_id),
+sh AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id ASC) AS r FROM adc)
+  WHERE r <= {shortlist}),
+ex AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(qc.fv, cc.fv) / (qc.fn * cc.fn), 6)
+           AS score
+  FROM sh s JOIN corpus cc ON cc.vec_id = s.neighbor_id
+            JOIN corpus qc ON qc.vec_id = s.query_id)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank,
+       neighbor_id, score
+FROM ex
+QUALIFY rank <= {k}
+"""
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with refine (similarity.pq_topk): m=8
+    subspace codebooks trained by the deterministic fixed-point Lloyd
+    trainer (seed offset per subspace), corpus scanned as 8 int codes
+    per vector (ADC lookup-sums), ADC top-50 reranked on exact cosine.
+    The oracle re-derives ALL EIGHT trainings, the encoding, the ADC
+    table and the refine cut."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk(emb, q, dim=64, m=8, n_centroids=16,
+                              n_iter=2, seed=11, k=3, shortlist=50)
+
+
 def _ivf_topk_oracle() -> str:
     return f"""
 WITH {_ivf_trained_cents_cte()},
@@ -3331,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_arrow": _q_ivf_topk_arrow,
+        "pq_topk": _q_pq_topk,
         "semdedup": _q_semdedup,
         "ann_topk_multiprobe": _q_ann_topk_multiprobe,
         "lang_id": _q_lang_id,
@@ -3570,6 +3700,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": search.bm25_sql_oracle(_BM25_QUERY, k=15),
         "ivf_topk": _ivf_topk_oracle(),
         "ivf_topk_arrow": _ivf_topk_oracle(),
+        "pq_topk": _pq_topk_oracle(),
         "semdedup": _semdedup_oracle(),
         "repetition_stats": _REPETITION_STATS_ORACLE,
         "sequence_pack": _SEQUENCE_PACK_ORACLE,

@@ -205,6 +205,7 @@ def main() -> None:
     run("value_histogram_quantiles",
         lambda: qs["value_histogram_quantiles"](spark, sf_dir))
     run("mixture_sample", lambda: qs["mixture_sample"](spark, sf_dir))
+    run("pq_topk", lambda: qs["pq_topk"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({

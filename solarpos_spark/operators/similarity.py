@@ -568,6 +568,162 @@ def ivf_topk(
             .select("query_id", "rank", "neighbor_id", "score"))
 
 
+def pq_train(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    m: int = 4,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float], float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    splits into ``m`` subspaces of dim/m and each subspace trains its own
+    ``n_centroids``-entry codebook with the SAME deterministic fixed-point
+    Lloyd trainer as IVF (ivf_train_centroids, seed offset per subspace)
+    — so the full training replays bit-exactly in SQL, codebooks and all.
+    At corpus scale the caller trains on a sample, faiss-style."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.expr(f"slice({vec_col}, {s * d_sub + 1}, {d_sub})")
+             .alias(vec_col))
+        books.append(ivf_train_centroids(
+            sub, n_centroids=n_centroids, n_iter=n_iter, seed=seed + s,
+            id_col=id_col, vec_col=vec_col))
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[tuple[int, list[float], float]]],
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes as a relation: (id_col, sub, code) — m rows per vector,
+    log2(n_centroids)*m bits of storage at rest. Assignment per subspace
+    is the ivf search rule (argmax dot/||c||, first index on ties), so
+    encode == the trainer's own final assignment."""
+    m = len(books)
+    d_sub = dim // m
+    parts = []
+    for s, book in enumerate(books):
+        sub_vec = F.expr(f"slice({vec_col}, {s * d_sub + 1}, {d_sub})")
+        scores = _centroid_scores(sub_vec, book)
+        parts.append(corpus.select(
+            F.col(id_col), F.lit(s).alias("sub"),
+            (F.array_position(scores, F.array_max(scores)) - 1)
+            .cast("int").alias("code")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    m: int = 4,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    seed: int = 11,
+    k: int = 3,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[tuple[int, list[float], float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance PQ search (faiss IndexPQ's ADC): corpus
+    vectors exist only as m small codes; each query precomputes a
+    (sub, code) -> partial-dot table against the codebooks (m *
+    n_centroids rows per query — the broadcast side), and a candidate's
+    score is one m-row lookup-sum, never a dim-length dot:
+
+        score(q, x) = sum_s dot(q_s, c[s][code_s(x)])
+                      / (||q|| * sqrt(sum_s ||c[s][code_s(x)]||^2))
+
+    i.e. exact cosine against the RECONSTRUCTED vector. The scan side
+    touches only the code relation (m ints/vector, ~dim*4/m bytes less
+    than float32); both per-candidate sums fold over the sub-sorted
+    struct list (deterministic accumulation order, the tfidf/ADVICE-r3
+    rule), so results hash identically under any shuffle.
+
+    ``shortlist=N`` adds the faiss "refine" stage: the per-query ADC
+    top-N joins back to the retained float vectors via the tiny
+    broadcast shortlist and the final k is cut on EXACT cosine — pure
+    ADC ranks strong neighbors (near-identical vectors share codes) but
+    blurs weak ones at a few dozen bits/vector; the refine pass fixes
+    weak-neighbor ordering while the wide scan stays in code space.
+    Output: (query_id, rank, neighbor_id, score) — the family schema.
+    """
+    if books is None:
+        books = pq_train(corpus, dim=dim, m=m, n_centroids=n_centroids,
+                         n_iter=n_iter, seed=seed, id_col=id_col,
+                         vec_col=vec_col)
+    d_sub = dim // m
+    codes = pq_encode(corpus, books, dim=dim, id_col=id_col,
+                      vec_col=vec_col)
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(
+        [(s, cid, [float(x) for x in c], float(cn))
+         for s, book in enumerate(books) for (cid, c, cn) in book],
+        "sub int, code int, c array<double>, cn double")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"))
+    parts = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "_qn", "sub", "code",
+        _dot(F.expr(f"slice(qvec, sub * {d_sub} + 1, {d_sub})"),
+             F.col("c")).alias("partial"),
+        (F.col("cn") * F.col("cn")).alias("cn_sq"))
+    joined = codes.join(F.broadcast(parts), ["sub", "code"]) \
+        .filter(F.col(id_col) != F.col("query_id"))
+    agg = joined.groupBy("query_id", "_qn", F.col(id_col)).agg(
+        F.array_sort(F.collect_list(
+            F.struct("sub", "partial", "cn_sq"))).alias("_ps"))
+    dsum = F.aggregate(F.col("_ps"), F.lit(0.0),
+                       lambda acc, x: acc + x["partial"])
+    nsq = F.aggregate(F.col("_ps"), F.lit(0.0),
+                      lambda acc, x: acc + x["cn_sq"])
+    scored = agg.select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        F.round(dsum / (F.col("_qn") * F.sqrt(nsq)), 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if shortlist is None:
+        return (ranked.filter(F.col("rank") <= k)
+                .select("query_id", "rank", "neighbor_id", "score"))
+    short = (ranked.filter(F.col("rank") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    cvecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cvec"),
+                          _norm(F.col(vec_col)).alias("_cn"))
+    qvecs = q.select("query_id", F.col("qvec").alias("qvec2"), "_qn")
+    exact = (
+        cvecs.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "neighbor_id",
+                F.round(_dot(F.col("qvec2"), F.col("cvec"))
+                        / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))
+
+
 def semdedup(
     corpus: DataFrame,
     *,

@@ -1425,3 +1425,57 @@ class TestQuantizedTopk:
                    if "WindowGroupLimit" in l and "row_number(), 10" in l)
         gap = "\n".join(lines[win:win + 2])
         assert "approx" in gap and "cvec" not in gap and "qvec2" not in gap
+
+
+class TestProductQuantization:
+    @pytest.fixture()
+    def emb(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(9)
+        base = rng.randn(80, 64).astype("float32")
+        base[40] = base[12] * 0.99 + 0.002  # plant 12's near-twin
+        rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_codes_shape_and_determinism(self, spark, emb):
+        from solarpos_spark.operators import similarity
+
+        books = similarity.pq_train(emb, dim=64, m=8, n_centroids=8,
+                                    n_iter=2)
+        assert len(books) == 8 and all(len(b) == 8 for b in books)
+        codes = similarity.pq_encode(emb, books, dim=64)
+        rows = codes.collect()
+        assert len(rows) == 80 * 8
+        assert all(0 <= r.code < 8 for r in rows)
+        again = similarity.pq_encode(emb.repartition(7), books, dim=64)
+        assert sorted(map(tuple, again.collect())) == \
+            sorted(map(tuple, rows))
+
+    def test_planted_twin_shares_codes_and_ranks_first(self, spark, emb):
+        """Near-identical vectors land in the same cell of every
+        subspace, so pure ADC (no rerank) puts the twin at rank 1 —
+        the strong-neighbor guarantee PQ actually makes."""
+        from solarpos_spark.operators import similarity
+
+        books = similarity.pq_train(emb, dim=64, m=8, n_centroids=8,
+                                    n_iter=2)
+        codes = {(r.vec_id, r.sub): r.code
+                 for r in similarity.pq_encode(emb, books, dim=64).collect()}
+        assert all(codes[(12, s)] == codes[(40, s)] for s in range(8))
+        q = emb.filter(F.col("vec_id") == 12)
+        top = similarity.pq_topk(emb, q, dim=64, m=8, n_centroids=8,
+                                 n_iter=2, k=1, books=books).collect()[0]
+        assert top.neighbor_id == 40
+
+    def test_rerank_matches_exact_on_shortlist_hits(self, spark, emb):
+        """With shortlist covering the whole corpus, PQ+refine IS
+        brute_force_topk (same arithmetic, same rounding)."""
+        from solarpos_spark.operators import similarity
+
+        q = emb.filter(F.col("vec_id") < 4)
+        pq = similarity.pq_topk(emb, q, dim=64, m=8, n_centroids=8,
+                                n_iter=2, k=3, shortlist=100)
+        exact = similarity.brute_force_topk(emb, q, k=3)
+        assert sorted(map(tuple, pq.collect())) == \
+            sorted(map(tuple, exact.collect()))
