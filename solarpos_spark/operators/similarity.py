@@ -580,24 +580,102 @@ def pq_train(
     vec_col: str = "embedding",
 ) -> list[list[tuple[int, list[float], float]]]:
     """Product-quantization codebooks (Jégou et al. 2011): the vector
-    splits into ``m`` subspaces of dim/m and each subspace trains its own
-    ``n_centroids``-entry codebook with the SAME deterministic fixed-point
-    Lloyd trainer as IVF (ivf_train_centroids, seed offset per subspace)
-    — so the full training replays bit-exactly in SQL, codebooks and all.
-    At corpus scale the caller trains on a sample, faiss-style."""
+    splits into ``m`` subspaces of dim/m and each subspace gets its own
+    ``n_centroids``-entry codebook from the SAME deterministic
+    fixed-point Lloyd arithmetic as ivf_train_centroids (Knuth-hash init
+    with a seed offset per subspace, literal-codebook argmax assignment,
+    int64 quantized update sums) — so the full training replays
+    bit-exactly in SQL, codebooks and all.
+
+    All m codebooks train TOGETHER: the sub-vector relation unions the m
+    slices (m x rows, dim/m wide — same total bytes as one corpus pass),
+    assignment is one projection whose argmax expression CASEs on the
+    sub column, and a single (sub, list)-keyed fixed-point sum table
+    crosses to the driver per round. One distributed pass per Lloyd
+    round for every codebook — not m sequential trainings (24 -> 3 jobs
+    at m=8, n_iter=2; the shape a 100 TB training sample wants). At
+    corpus scale the caller trains on a sample, faiss-style."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d_sub = dim // m
-    books = []
-    for s in range(m):
-        sub = corpus.select(
-            F.col(id_col),
-            F.expr(f"slice({vec_col}, {s * d_sub + 1}, {d_sub})")
-             .alias(vec_col))
-        books.append(ivf_train_centroids(
-            sub, n_centroids=n_centroids, n_iter=n_iter, seed=seed + s,
-            id_col=id_col, vec_col=vec_col))
+    from .curate import hash_bucket
+
+    parts = [corpus.select(
+        F.lit(s).alias("sub"), F.col(id_col).alias("_id"),
+        F.expr(f"slice({vec_col}, {s * d_sub + 1}, {d_sub})").alias("_v"),
+        hash_bucket(F.col(id_col), seed=seed + s,
+                    denom=2**32).alias("_r")) for s in range(m)]
+    subs = parts[0]
+    for p in parts[1:]:
+        subs = subs.unionAll(p)
+    subs = subs.persist()
+    wk = Window.partitionBy("sub").orderBy("_r", "_id")
+    seed_rows = (subs.withColumn("_rk", F.row_number().over(wk))
+                 .filter(F.col("_rk") <= n_centroids)
+                 .select("sub", "_rk", "_v").collect())
+    books: list[list[tuple[int, list[float], float]]] = \
+        [[None] * n_centroids for _ in range(m)]  # type: ignore[list-item]
+    for r in seed_rows:
+        v = [float(x) for x in r["_v"]]
+        books[int(r["sub"])][int(r["_rk"]) - 1] = (
+            int(r["_rk"]) - 1, v, _fold_norm(v))
+    scale = float(1 << 20)
+
+    def _q(d: int) -> Column:
+        x = F.element_at(F.col("_v"), d + 1).cast("double") * F.lit(scale)
+        return F.when(x < 0, -F.floor(-x + F.lit(0.5))) \
+                .otherwise(F.floor(x + F.lit(0.5))).cast("long")
+
+    for _ in range(n_iter):
+        # relational argmax against the broadcast codebook RELATION: a
+        # literal-expression codebook (the ivf path) stacks m*K
+        # interpreted dot-folds into one tree and Catalyst
+        # analysis/codegen time dwarfs the data at small K*dim — the
+        # join+rank form keeps the plan O(1) in m*K. row_number over
+        # (score desc, cid asc) == array_position-of-max (first index on
+        # FP ties): same doubles, same tie rule, bit-identical codebooks
+        # (the gate oracle re-derives training and still hash-matches).
+        assigned = _pq_assign(subs, books)
+        sums = assigned.groupBy("sub", "list_id").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(_q(d)).alias(f"s{d}") for d in range(d_sub)]).collect()
+        by_key = {(int(r["sub"]), int(r["list_id"])): r for r in sums}
+        for s in range(m):
+            nxt = []
+            for cid, vec, nrm in books[s]:
+                r = by_key.get((s, cid + 1))
+                if r is None:        # empty list: keep previous centroid
+                    nxt.append((cid, vec, nrm))
+                    continue
+                denom = scale * float(r["cnt"])
+                nxt.append((cid, [r[f"s{d}"] / denom
+                                  for d in range(d_sub)], 0.0))
+            books[s] = [(cid, nv, _fold_norm(nv)) for cid, nv, _ in nxt]
+        # recompute norms only for updated entries is equivalent: _fold_norm
+        # of an unchanged vec reproduces the stored norm bit-for-bit
+    subs.unpersist()
     return books
+
+
+def _pq_assign(subs: DataFrame,
+               books: list[list[tuple[int, list[float], float]]]) -> DataFrame:
+    """(sub, _v, list_id) — argmax dot(v, c)/||c|| per (sub, row) via a
+    broadcast codebook join + rank-1 window (1-based list_id, lowest cid
+    on FP ties: the array_position rule)."""
+    spark = subs.sparkSession
+    cb = spark.createDataFrame(
+        [(s, cid, [float(x) for x in c], float(cn))
+         for s, book in enumerate(books) for (cid, c, cn) in book],
+        "sub int, cid int, c array<double>, cn double")
+    scored = subs.join(F.broadcast(cb), "sub").select(
+        "sub", "_id", "_v", "cid",
+        (_dot(F.col("_v"), F.col("c")) / F.col("cn")).alias("_sc"))
+    wa = Window.partitionBy("sub", "_id").orderBy(
+        F.col("_sc").desc(), F.col("cid").asc())
+    return (scored.withColumn("_rk", F.row_number().over(wa))
+            .filter(F.col("_rk") == 1)
+            .select("sub", "_id", "_v",
+                    (F.col("cid") + 1).alias("list_id")))
 
 
 def pq_encode(
@@ -610,22 +688,21 @@ def pq_encode(
 ) -> DataFrame:
     """PQ codes as a relation: (id_col, sub, code) — m rows per vector,
     log2(n_centroids)*m bits of storage at rest. Assignment per subspace
-    is the ivf search rule (argmax dot/||c||, first index on ties), so
-    encode == the trainer's own final assignment."""
+    is the trainer's own rule (argmax dot/||c||, lowest cid on ties) via
+    the same broadcast-codebook join (_pq_assign), so encode == the
+    final training assignment and the plan stays O(1) in m*K."""
     m = len(books)
     d_sub = dim // m
-    parts = []
-    for s, book in enumerate(books):
-        sub_vec = F.expr(f"slice({vec_col}, {s * d_sub + 1}, {d_sub})")
-        scores = _centroid_scores(sub_vec, book)
-        parts.append(corpus.select(
-            F.col(id_col), F.lit(s).alias("sub"),
-            (F.array_position(scores, F.array_max(scores)) - 1)
-            .cast("int").alias("code")))
-    out = parts[0]
+    parts = [corpus.select(
+        F.lit(s).alias("sub"), F.col(id_col).alias("_id"),
+        F.expr(f"slice({vec_col}, {s * d_sub + 1}, {d_sub})").alias("_v"))
+        for s in range(m)]
+    subs = parts[0]
     for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        subs = subs.unionAll(p)
+    return _pq_assign(subs, books).select(
+        F.col("_id").alias(id_col), "sub",
+        (F.col("list_id") - 1).cast("int").alias("code"))
 
 
 def pq_topk(
