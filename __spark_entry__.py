@@ -1239,6 +1239,62 @@ GROUP BY ngram, true_cnt
 """
 
 
+_HTML_WRAP_PREFIX = ('<html><head><style>p{color:red}</style></head>'
+                     '<body><p>')
+_HTML_WRAP_SUFFIX = ('<script type="text/javascript">var x = 1 &amp;&amp; '
+                     '2;</script><div>Tom &amp; Jerry &lt;3</div>'
+                     '</body></html>')
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style HTML -> text extraction (text.extract_html_text): each
+    doc is wrapped in deterministic HTML (style/script subtrees,
+    doc_id%4 nav links, entity-escaped text) and the extractor must
+    recover the clean text plus link-density boilerplate signals."""
+    docs = _docs(spark, sf_dir)
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_WRAP_PREFIX), F.col("text"), F.lit("</p>"),
+            F.expr("repeat('<a href=\"u\">go</a>', "
+                   "CAST(doc_id % 4 AS INT))"),
+            F.lit(_HTML_WRAP_SUFFIX),
+        ).alias("text"))
+    return text.extract_html_text(html)
+
+
+_HTML_EXTRACT_ORACLE = rf"""
+WITH h AS (
+  SELECT doc_id,
+         '{_HTML_WRAP_PREFIX}' || text || '</p>'
+         || repeat('<a href="u">go</a>', CAST(doc_id % 4 AS INT))
+         || '{_HTML_WRAP_SUFFIX}' AS text
+  FROM documents),
+n AS (
+  SELECT doc_id, text,
+         CAST((length(text) - length(replace(text, '<a ', ''))) / 3
+              AS BIGINT) AS n_links
+  FROM h),
+c AS (
+  SELECT doc_id, n_links,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS t
+  FROM n)
+SELECT doc_id, t AS text, n_links,
+       round(n_links / greatest(1, length(t)), 6) AS link_density
+FROM c
+"""
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered benchmark decontamination
     (text.decontaminate_ngrams): every 29th doc plays the eval set; the
@@ -3480,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_estimate": _q_bottomk_estimate,
         "bottomk_per_lang": _q_bottomk_per_lang,
         "decontaminate": _q_decontaminate,
+        "html_extract": _q_html_extract,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
         "event_quantiles": _q_event_quantiles,
@@ -3681,6 +3738,7 @@ def oracle_sql() -> dict[str, str]:
         "bottomk_estimate": _BOTTOMK_ESTIMATE_ORACLE,
         "bottomk_per_lang": _bottomk_per_lang_oracle(),
         "decontaminate": _DECONTAMINATE_ORACLE,
+        "html_extract": _HTML_EXTRACT_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
         "event_quantiles": _EVENT_QUANTILES_ORACLE,

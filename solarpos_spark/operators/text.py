@@ -343,6 +343,45 @@ def _bloom_hashed(df: DataFrame, col: str, keep: list[str],
         *keep, _bloom_positions("_h", "_i", m_bits).alias("pos"))
 
 
+#: entity decode order matters: &amp; LAST, or '&amp;lt;' would double-decode
+_HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def extract_html_text(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Raw-web text extraction: the WET-style HTML -> text step a crawl
+    corpus needs before any quality/dedup stage. Conservative and fully
+    relational (no parser dependency): drop script/style subtrees, strip
+    remaining tags, decode the common entities, collapse whitespace —
+    plus the boilerplate signals used for filtering (link count and link
+    density, the readability/jusText heuristic: navigation chrome is
+    link-dense, article text is not).
+
+    Every pattern sits in the Java-regex/RE2 common subset with inline
+    (?is) flags (the pii_scrub portability rule), so the DuckDB oracle
+    replays extraction byte-for-byte. Counting uses CHARACTER lengths on
+    both engines (DuckDB length(), never strlen — the byte/char oracle
+    invariant). Zero shuffle: one projection.
+
+    Output: (doc_id, text, n_links, link_density) — text is the
+    extracted clean text.
+    """
+    raw = F.col(text_col)
+    n_links = ((F.length(raw)
+                - F.length(F.replace(raw, F.lit("<a "), F.lit(""))))
+               / F.lit(3)).cast("long")
+    t = F.regexp_replace(raw, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(
+        "doc_id", t.alias("text"), n_links.alias("n_links"),
+        F.round(n_links / F.greatest(F.lit(1), F.length(t)), 6)
+         .alias("link_density"))
+
+
 def bloom_bits(
     df: DataFrame, col: str, *, m_bits: int = 1 << 20, k: int = 3,
     hash_fn: str = "xxhash64",

@@ -1479,3 +1479,45 @@ class TestProductQuantization:
         exact = similarity.brute_force_topk(emb, q, k=3)
         assert sorted(map(tuple, pq.collect())) == \
             sorted(map(tuple, exact.collect()))
+
+
+class TestHtmlExtract:
+    def test_extraction_and_signals(self, spark):
+        from solarpos_spark.operators.text import extract_html_text
+
+        rows = [
+            (1, '<html><head><style>p{x}</style><script>if(a<b){}\n'
+                'more</script></head><body><h1>Title</h1>'
+                '<p>Tom &amp; Jerry say &lt;hi&gt; &quot;loud&quot;</p>'
+                '<a href="x">nav</a> <a href="y">bar</a></body></html>'),
+            (2, 'plain text, no markup'),
+            (3, '<p>&nbsp;&#39;quoted&#39;&nbsp;</p>'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in extract_html_text(df).collect()}
+        assert out[1].text == 'Title Tom & Jerry say <hi> "loud" nav bar'
+        assert out[1].n_links == 2
+        assert out[1].link_density == round(
+            2 / len(out[1].text), 6)
+        assert out[2].text == "plain text, no markup"
+        assert out[2].n_links == 0
+        assert out[3].text == "'quoted'"
+
+    def test_script_with_angle_brackets_fully_removed(self, spark):
+        """The (?s) non-greedy subtree patterns must swallow script
+        bodies containing < and newlines — a bare tag-stripper would
+        leak 'if(a' fragments into the text."""
+        from solarpos_spark.operators.text import extract_html_text
+
+        df = spark.createDataFrame(
+            [(1, '<script>\nvar s = "<p>not text</p>";\n</script>ok')],
+            "doc_id long, text string")
+        assert extract_html_text(df).collect()[0].text == "ok"
+
+    def test_entity_decode_order(self, spark):
+        """&amp;lt; decodes to the literal '&lt;' (amp last), never '<'."""
+        from solarpos_spark.operators.text import extract_html_text
+
+        df = spark.createDataFrame([(1, "x &amp;lt; y")],
+                                   "doc_id long, text string")
+        assert extract_html_text(df).collect()[0].text == "x &lt; y"
