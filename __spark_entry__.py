@@ -3084,6 +3084,72 @@ v AS (
   WHERE (usec // 3600) * 3600 + 3600 <= (SELECT max(usec) FROM v0) - 3600)"""
 
 
+def _q_stream_cms_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequency sketch, gate-hashed: the stream maintains
+    per-hourly-window count-min counters (pipeline.windowed_cms_counts —
+    count is algebraic, state <= depth*width per window, commit
+    arrival-order independent), and point estimates for users 0..9 run
+    batch-side over the committed counters (min over depth rows, absent
+    coordinate = 0). Same watermark release as the other windowed
+    entries; the oracle replays counters + probes under that cut."""
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.operators.sketches import _cms_coords
+    from solarpos_spark.streaming import pipeline as sp
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamcms_")
+    _astro_token_df(spark, sf_dir).repartition(8) \
+        .write.mode("overwrite").parquet(in_dir)
+    stream = tokens.read_token_stream(spark, in_dir,
+                                      max_files_per_trigger=1000)
+    dec = sp.decoded_stream(stream, watermark="1 hour")
+    keyed = dec.withColumn("user", F.col("doc_id").cast("long") % 500)
+    cms = sp.windowed_cms_counts(keyed, "user", depth=4, width=64)
+    q = exactly_once_parquet_sink(cms, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    tbl = spark.read.parquet(out_dir).select(
+        F.unix_timestamp("window_start").alias("ws"), "row", "bucket",
+        "cnt")
+    probes = spark.range(10).select(F.col("id").alias("user"))
+    coords = _cms_coords(probes, "user", ["user"], 4, 64, "poly31")
+    allc = tbl.select("ws").distinct().crossJoin(F.broadcast(coords))
+    return (allc.join(tbl, ["ws", "row", "bucket"], "left")
+            .groupBy("ws", "user")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("long").alias("est_cnt")))
+
+
+def _stream_cms_oracle() -> str:
+    return f"""
+WITH v0 AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS usec, event_id % 500 AS u
+  FROM events WHERE event_id < 20000),
+v AS (
+  SELECT (usec // 3600) * 3600 AS ws, CAST(u AS VARCHAR) AS val
+  FROM v0
+  WHERE (usec // 3600) * 3600 + 3600 <= (SELECT max(usec) FROM v0) - 3600),
+p0 AS (SELECT ws, {_poly31_sql('val')} AS h0 FROM v),
+r0 AS (SELECT ws, h0, unnest(range(0, 4)) AS row FROM p0),
+s0 AS (SELECT ws, row, {_cms_salt_sql('h0', 'row')} AS h1 FROM r0),
+t AS (SELECT ws, row, {sketches.fmix32_sql('h1')} % 64 AS bucket,
+             count(*) AS cnt
+      FROM s0 GROUP BY ws, row, bucket),
+q0 AS (SELECT unnest(range(0, 10)) AS "user"),
+q1 AS (SELECT "user", {_poly31_sql('CAST("user" AS VARCHAR)')} AS h0
+       FROM q0),
+q2 AS (SELECT "user", h0, unnest(range(0, 4)) AS row FROM q1),
+q3 AS (SELECT "user", row, {_cms_salt_sql('h0', 'row')} AS h1 FROM q2),
+q4 AS (SELECT "user", row, {sketches.fmix32_sql('h1')} % 64 AS bucket
+       FROM q3),
+wsd AS (SELECT DISTINCT ws FROM t)
+SELECT wsd.ws, CAST("user" AS BIGINT) AS "user",
+       CAST(min(coalesce(t.cnt, 0)) AS BIGINT) AS est_cnt
+FROM wsd CROSS JOIN q4
+LEFT JOIN t ON t.ws = wsd.ws AND t.row = q4.row AND t.bucket = q4.bucket
+GROUP BY wsd.ws, "user"
+"""
+
+
 def _q_stream_window_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-batch watermarked windows with REAL cross-batch late drops,
     gate-hashed. Token rows are split into 4 files by event-time quartile
@@ -3579,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_curate_committed": _q_stream_curate_committed,
         "stream_window_committed": _q_stream_window_committed,
         "stream_hll_committed": _q_stream_hll_committed,
+        "stream_cms_committed": _q_stream_cms_committed,
         "stream_window_multibatch": _q_stream_window_multibatch,
         "stream_join_committed": _q_stream_join_committed,
         "stream_funnel_committed": _q_stream_funnel_committed,
@@ -3781,6 +3848,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_committed": _STREAM_WINDOW_ORACLE,
         "stream_hll_committed": _hll_oracle(_STREAM_HLL_SRC, p=10,
                                             group="ws"),
+        "stream_cms_committed": _stream_cms_oracle(),
         "stream_window_multibatch": _STREAM_WINDOW_MULTIBATCH_ORACLE,
         "stream_join_committed": _stream_join_oracle(),
         "stream_funnel_committed": _STREAM_FUNNEL_ORACLE,

@@ -206,6 +206,7 @@ def main() -> None:
         lambda: qs["value_histogram_quantiles"](spark, sf_dir))
     run("mixture_sample", lambda: qs["mixture_sample"](spark, sf_dir))
     run("pq_topk", lambda: qs["pq_topk"](spark, sf_dir))
+    run("html_extract", lambda: qs["html_extract"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({

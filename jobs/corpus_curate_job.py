@@ -51,6 +51,9 @@ def main() -> None:
                     metavar="LANG=PER10K",
                     help="per-language keep rate (default: keep all)")
     ap.add_argument("--repartition", type=int, default=None)
+    ap.add_argument("--extract-html", action="store_true",
+                    help="treat input text as raw HTML: extract clean "
+                         "text (WET-style) before every other stage")
     ap.add_argument("--line-dedup", type=int, default=None,
                     metavar="MAX_COUNT",
                     help="remove lines occurring > MAX_COUNT times "
@@ -97,6 +100,10 @@ def main() -> None:
     # 0. optional text-cleaning stages, BEFORE dedup/quality so their
     # signals see the cleaned text (boilerplate lines otherwise dominate
     # shingles; PII placeholders tokenize stably)
+    if args.extract_html:
+        from solarpos_spark.operators.text import extract_html_text
+        extracted = extract_html_text(docs).select("doc_id", "text")
+        docs = docs.drop("text").join(extracted, "doc_id")
     if args.line_dedup is not None:
         from solarpos_spark.operators.dedup import line_dedup
         cleaned = line_dedup(docs, max_line_count=args.line_dedup) \

@@ -120,6 +120,32 @@ def hourly_distinct_registers(
     )
 
 
+def windowed_cms_counts(
+    decoded: DataFrame, value_col: str, *, depth: int = 4,
+    width: int = 256, hash_fn: str = "poly31",
+) -> DataFrame:
+    """Streaming count-min maintenance: per hourly event-time window the
+    depth x width counter relation of ``value_col`` — the frequency
+    companion to hourly_distinct_registers. count is algebraic, so state
+    per window is bounded by depth*width counters whatever the rate, the
+    committed relation is arrival-order independent (sum commutes), and
+    point estimates run batch-side over the committed counters
+    (sketches.cms_estimate semantics: min over rows, absent
+    coordinate = 0). Output: (window_start, row, bucket, cnt)."""
+    from ..operators.sketches import _cms_coords
+
+    coords = _cms_coords(
+        decoded.select("event_time", F.col(value_col)), value_col,
+        ["event_time"], depth, width, hash_fn)
+    return (
+        coords.groupBy(F.window("event_time", "1 hour").alias("w"),
+                       "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "row", "bucket",
+                "cnt")
+    )
+
+
 def sliding_window_counts(decoded: DataFrame, *, duration: str = "1 hour",
                           slide: str = "15 minutes") -> DataFrame:
     return (

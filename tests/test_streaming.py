@@ -707,3 +707,40 @@ class TestStreamingHll:
         for r in est.collect():
             assert r.n_set + r.n_zero == 256
             assert r.est_distinct > 0
+
+
+class TestStreamingCms:
+    def test_counters_match_batch_any_batching(self, spark, tmp_path):
+        """Streaming CMS counters == the batch sketch grouped by window,
+        at any micro-batch granularity (count commutes)."""
+        from solarpos_spark.operators import sketches
+
+        src = str(tmp_path / "tok")
+        make_token_files(spark, src, n_docs=80, files=8)
+
+        def run_mem(trigger_files: int, name: str):
+            stream = tokens.read_token_stream(
+                spark, src, max_files_per_trigger=trigger_files)
+            dec = pipeline.decoded_stream(stream, watermark="1 hour")
+            cms = pipeline.windowed_cms_counts(dec, "doc_id", depth=3,
+                                               width=32)
+            q = (cms.writeStream.outputMode("complete")
+                 .format("memory").queryName(name)
+                 .trigger(availableNow=True).start())
+            drain(q)
+            return sorted((r.window_start, r.row, r.bucket, r.cnt)
+                          for r in spark.table(name).collect())
+
+        a = run_mem(1, "cms_a")
+        b = run_mem(8, "cms_b")
+        assert a == b and len(a) > 0
+
+        batch = tokens.decode_tokens(spark.read.parquet(src)).select(
+            F.date_trunc("hour", F.timestamp_seconds(F.col("unix_sec")))
+             .alias("w"), "doc_id")
+        expect = sorted(
+            (r.w, r.row, r.bucket, r.cnt)
+            for r in sketches.cms_table(batch, "doc_id", depth=3,
+                                        width=32,
+                                        group_cols=("w",)).collect())
+        assert a == expect
