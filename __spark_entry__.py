@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from solarpos_spark import oracle_sql as _osql
 from solarpos_spark.operators import (
-    dedup, search, similarity, sketches, text, windows)
+    dedup, search, similarity, sketches, text, urls, windows)
 from solarpos_spark.operators.position import position
 from solarpos_spark.operators.sunrise import sunrise
 from solarpos_spark.sources import inputs, tokens
@@ -951,6 +951,173 @@ SELECT doc_id,
        CAST(sum(CASE WHEN key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_lines_removed
 FROM m GROUP BY doc_id
+"""
+
+
+#: both engines derive the SAME deterministic URL per doc from integer
+#: arithmetic on doc_id (documents carry no URL column): mixed
+#: subdomains, a second-level-suffix TLD (co.uk), a nonstandard port,
+#: tracking params in emitter order, and fragments — every branch of the
+#: parser/normalizer is exercised.
+_URL_TLDS = ("com", "org", "co.uk", "de", "io")
+
+
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    sub = (F.when(did % 3 == 0, "www.").when(did % 3 == 1, "m.")
+           .otherwise(""))
+    tld = F.element_at(F.array(*[F.lit(t) for t in _URL_TLDS]),
+                       (did % 5 + 1).cast("int"))
+    host = F.concat(sub, F.lit("site"), (did % 97).cast("string"),
+                    F.lit("."), tld)
+    scheme = F.when(did % 4 == 0, "http").otherwise("https")
+    port = F.when(did % 13 == 0, ":8080").otherwise("")
+    path = F.concat(F.lit("/p/"), F.expr("doc_id div 7").cast("string"))
+    query = (
+        F.when(did % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&id="), did.cast("string")))
+        .when(did % 3 == 1,
+              F.concat(F.lit("?ref=x&id="), did.cast("string")))
+        .otherwise(""))
+    frag = (F.when(did % 11 == 0,
+                   F.concat(F.lit("#s"), (did % 5).cast("string")))
+            .otherwise(""))
+    url = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    return d.select("doc_id", "lang", "source", "n_chars",
+                    url.alias("url"))
+
+
+_URL_SUF2_SQL = "[" + ", ".join(f"'{s}'" for s in urls.PUBLIC_SUFFIX_2) + "]"
+_URL_TRACK_PRED = " OR ".join(
+    f"starts_with(x, '{p}')" for p in urls.TRACKING_PARAM_PREFIXES)
+
+#: WITH-body fragment: u (the derived URL view) -> r (components +
+#: labels) -> parsed (typed, normalized columns). Shared by the three
+#: URL oracles; mirrors operators/urls.py expression by expression.
+_URL_PARSED_CTE = r"""
+u AS (
+  SELECT doc_id, lang, source, n_chars,
+         (CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+               WHEN doc_id % 3 = 1 THEN 'm.' ELSE '' END) ||
+         'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+         (['com','org','co.uk','de','io'])[CAST(doc_id % 5 + 1 AS INT)] ||
+         (CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END) ||
+         '/p/' || CAST(doc_id // 7 AS VARCHAR) ||
+         (CASE WHEN doc_id % 3 = 0
+               THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 3 = 1
+               THEN '?ref=x&id=' || CAST(doc_id AS VARCHAR)
+               ELSE '' END) ||
+         (CASE WHEN doc_id % 11 = 0
+               THEN '#s' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+  FROM documents),
+p0 AS (
+  SELECT *, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              AS scheme,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+              AS auth,
+         regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path0,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u),
+r AS (
+  SELECT *, lower(regexp_extract(auth, '^([^:]+)', 1)) AS host,
+         regexp_extract(auth, ':([0-9]+)$', 1) AS port_s,
+         string_split(lower(regexp_extract(auth, '^([^:]+)', 1)), '.')
+           AS labels,
+         len(string_split(lower(regexp_extract(auth, '^([^:]+)', 1)), '.'))
+           AS n
+  FROM p0),
+parsed AS (
+  SELECT doc_id, lang, source, n_chars, url, scheme, host, port_s,
+         labels, n,
+         CASE WHEN port_s = '' THEN NULL
+              ELSE CAST(port_s AS BIGINT) END AS port,
+         CASE WHEN n >= 3 AND list_contains(__SUF2__,
+                   array_to_string(labels[n-1:n], '.'))
+              THEN array_to_string(labels[n-2:n], '.')
+              WHEN n >= 2 THEN array_to_string(labels[n-1:n], '.')
+              ELSE host END AS registered_domain,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         coalesce(array_to_string(list_sort(list_filter(
+             string_split(query, '&'),
+             x -> x <> '' AND NOT (__TRACK__))), '&'), '') AS query_norm
+  FROM r),
+canon AS (
+  SELECT *, scheme || '://' || host ||
+         (CASE WHEN port_s <> ''
+                    AND NOT (scheme = 'http' AND port_s = '80')
+                    AND NOT (scheme = 'https' AND port_s = '443')
+               THEN ':' || port_s ELSE '' END) ||
+         path ||
+         (CASE WHEN query_norm <> '' THEN '?' || query_norm
+               ELSE '' END) AS url_norm
+  FROM parsed)
+""".replace("__SUF2__", _URL_SUF2_SQL).replace("__TRACK__",
+                                               _URL_TRACK_PRED)
+
+
+def _q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse + canonicalization (urls.url_parse): scheme/host/port/
+    registered-domain/path extraction plus the C4/CCNet normal form
+    (tracking params stripped, params sorted, default ports and
+    fragments dropped) — one zero-shuffle JVM regexp projection."""
+    return urls.url_parse(_url_docs(spark, sf_dir))
+
+
+_URL_PARSE_ORACLE = f"""
+WITH {_URL_PARSED_CTE}
+SELECT doc_id, url, scheme, host, port, registered_domain, path,
+       query_norm, url_norm
+FROM canon
+"""
+
+
+def _q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup (urls.domain_stats): docs/hosts/langs/
+    chars per registrable domain — the profile a curation run consults
+    before setting domain caps. Integer-exact aggregates; the key
+    cardinality is #domains so the shuffle carries combined partials."""
+    parsed = urls.url_parse(_url_docs(spark, sf_dir),
+                            keep_cols=("doc_id", "lang", "n_chars"))
+    return urls.domain_stats(parsed)
+
+
+_URL_DOMAIN_STATS_ORACLE = f"""
+WITH {_URL_PARSED_CTE}
+SELECT registered_domain AS domain, count(*) AS n_docs,
+       count(DISTINCT host) AS n_hosts,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM canon GROUP BY 1
+"""
+
+_URL_BLOCKLIST = ("co.uk", "site13.com", "site5.org", "m.site20.io")
+
+
+def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subdomain-aware domain blocklist (urls.blocklist_filter): hosts
+    explode into their dot-suffixes which equi-join the broadcast
+    blocklist (cost O(rows x labels), independent of blocklist size);
+    matched docs anti-join away. The list blocks a whole public-suffix
+    zone (co.uk), two registered domains, and one exact subdomain."""
+    parsed = urls.url_parse(_url_docs(spark, sf_dir))
+    surv = urls.blocklist_filter(parsed, _URL_BLOCKLIST)
+    return surv.select("doc_id", "host", "registered_domain", "url_norm")
+
+
+_URL_BLOCKLIST_SQL = (
+    "[" + ", ".join(f"'{b}'" for b in _URL_BLOCKLIST) + "]")
+
+_URL_BLOCKLIST_ORACLE = f"""
+WITH {_URL_PARSED_CTE}
+SELECT doc_id, host, registered_domain, url_norm
+FROM canon
+WHERE len(list_filter(range(1, n + 1),
+      k -> list_contains({_URL_BLOCKLIST_SQL},
+          array_to_string(labels[CAST(n - k + 1 AS BIGINT):n], '.')))) = 0
 """
 
 
@@ -3589,6 +3756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_v2": _q_lang_id_v2,
         "lang_id_v2_margin": _q_lang_id_v2_margin,
         "line_dedup": _q_line_dedup,
+        "url_parse": _q_url_parse,
+        "url_domain_stats": _q_url_domain_stats,
+        "url_blocklist": _q_url_blocklist,
         "dup_spans": _q_dup_spans,
         "quality_classifier": _q_quality_classifier,
         "dsir_select": _q_dsir_select,
@@ -3792,6 +3962,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_v2": _lang_id_v2_oracle(),
         "lang_id_v2_margin": _lang_id_v2_oracle(min_margin=25),
         "line_dedup": _LINE_DEDUP_ORACLE,
+        "url_parse": _URL_PARSE_ORACLE,
+        "url_domain_stats": _URL_DOMAIN_STATS_ORACLE,
+        "url_blocklist": _URL_BLOCKLIST_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
         "quality_classifier": _QUALITY_CLASSIFIER_ORACLE,
         "dsir_select": _DSIR_SELECT_ORACLE,

@@ -1521,3 +1521,81 @@ class TestHtmlExtract:
         df = spark.createDataFrame([(1, "x &amp;lt; y")],
                                    "doc_id long, text string")
         assert extract_html_text(df).collect()[0].text == "x &lt; y"
+
+
+class TestUrlOps:
+    """URL/domain curation family (operators/urls.py)."""
+
+    URLS = [
+        (1, "https://m.Site7.co.uk:8080/p/3?utm_source=f&ref=x&id=9#frag"),
+        (2, "http://site13.com:80/a"),
+        (3, "https://www.site5.org"),
+        (4, "not a url"),
+        (5, "https://localhost/x?a=1"),
+        (6, "https://ads.site13.com/z?gclid=abc&b=2"),
+        (7, "HTTPS://UPPER.example.COM/Mixed/Case?z=1&a=2"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def parsed(self, spark):
+        from solarpos_spark.operators import urls
+
+        df = spark.createDataFrame(self.URLS, "doc_id long, url string")
+        return urls.url_parse(df).cache()
+
+    def test_components(self, parsed):
+        by = {r.doc_id: r for r in parsed.collect()}
+        assert by[1].scheme == "https" and by[1].host == "m.site7.co.uk"
+        assert by[1].port == 8080
+        assert by[1].registered_domain == "site7.co.uk"  # PSL 2-level
+        assert by[1].path == "/p/3"
+        assert by[1].query_norm == "id=9&ref=x"  # utm dropped, sorted
+        assert by[1].url_norm == \
+            "https://m.site7.co.uk:8080/p/3?id=9&ref=x"
+        # default port stripped from the canonical form, kept as value
+        assert by[2].port == 80
+        assert by[2].url_norm == "http://site13.com/a"
+        # empty path -> '/'
+        assert by[3].path == "/" and by[3].url_norm.endswith(".org/")
+        # malformed rows parse to empty components, no error
+        assert by[4].scheme == "" and by[4].host == ""
+        # single-label host is its own registrable domain
+        assert by[5].registered_domain == "localhost"
+        # subdomain resolves to the registered domain
+        assert by[6].registered_domain == "site13.com"
+        assert by[6].query_norm == "b=2"  # gclid dropped
+        # case-normalized scheme + host, path case preserved
+        assert by[7].scheme == "https"
+        assert by[7].host == "upper.example.com"
+        assert by[7].path == "/Mixed/Case"
+        assert by[7].query_norm == "a=2&z=1"
+
+    def test_blocklist_subdomain_semantics(self, parsed):
+        from solarpos_spark.operators import urls
+
+        surv = urls.blocklist_filter(parsed, ["co.uk", "site13.com"])
+        kept = sorted(r.doc_id for r in surv.collect())
+        # 1 blocked via public-suffix zone, 2 exact, 6 as subdomain
+        assert kept == [3, 4, 5, 7]
+        # blocking a subdomain does NOT block its parent domain
+        surv2 = urls.blocklist_filter(parsed, ["ads.site13.com"])
+        kept2 = sorted(r.doc_id for r in surv2.collect())
+        assert 2 in kept2 and 6 not in kept2
+
+    def test_blocklist_plan_broadcasts(self, parsed):
+        """The suffix join must broadcast the blocklist relation — a
+        shuffled join on the suffix key would move the whole corpus."""
+        from solarpos_spark.operators import urls
+
+        surv = urls.blocklist_filter(parsed, ["co.uk"])
+        plan = surv._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+    def test_domain_stats(self, spark, parsed):
+        from solarpos_spark.operators import urls
+
+        stats = {r.domain: r for r in
+                 urls.domain_stats(parsed, lang_col=None, chars_col=None)
+                 .collect()}
+        assert stats["site13.com"].n_docs == 2
+        assert stats["site13.com"].n_hosts == 2
