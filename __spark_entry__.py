@@ -2493,6 +2493,38 @@ FROM s GROUP BY split
 """
 
 
+def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (curate.shuffle_shards): every doc
+    gets (shard, pos) from the full 32-bit Knuth-mixed key — a
+    seed-reproducible random permutation into reader shards, one hash
+    shuffle + per-shard sort (vs orderBy(rand()) which is neither
+    partitioning-stable nor replayable). The oracle replays the hash and
+    the rank."""
+    from solarpos_spark.operators.curate import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf_dir), 8).select(
+        "doc_id", "shard", "pos")
+
+
+_SHUFFLE_SHARDS_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % 4294967296 + 4294967296) % 4294967296 + 5)
+           % 4294967296 AS x
+  FROM documents),
+k AS (
+  SELECT doc_id,
+         ((x % 65536) * 2654435761
+          + ((x // 65536) * 2654435761) % 4294967296 * 65536)
+         % 4294967296 AS key
+  FROM h)
+SELECT doc_id, CAST(key % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY key % 8
+                               ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+FROM k
+"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic downsampling (curate.stratified_sample):
     the training-mix rebalancer. Hash-bucket projection + pushed filter —
@@ -3806,6 +3838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_incident_window": _q_events_incident_window,
         "lineitem_rollup": _q_lineitem_rollup,
         "corpus_split": _q_corpus_split,
+        "shuffle_shards": _q_shuffle_shards,
         "events_value_stats": _q_events_value_stats,
         "events_pivot": _q_events_pivot,
         "user_running_value": _q_user_running_value,
@@ -4011,6 +4044,7 @@ def oracle_sql() -> dict[str, str]:
         "events_incident_window": _EVENTS_INCIDENT_ORACLE,
         "lineitem_rollup": _LINEITEM_ROLLUP_ORACLE,
         "corpus_split": _CORPUS_SPLIT_ORACLE,
+        "shuffle_shards": _SHUFFLE_SHARDS_ORACLE,
         "events_value_stats": _EVENTS_VALUE_STATS_ORACLE,
         "events_pivot": _EVENTS_PIVOT_ORACLE,
         "user_running_value": _USER_RUNNING_VALUE_ORACLE,

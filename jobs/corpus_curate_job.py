@@ -51,6 +51,12 @@ def main() -> None:
                     metavar="LANG=PER10K",
                     help="per-language keep rate (default: keep all)")
     ap.add_argument("--repartition", type=int, default=None)
+    ap.add_argument("--shuffle-shards", type=int, default=None,
+                    metavar="N",
+                    help="deterministically shuffle survivors into N "
+                         "shards and pack per (split, shard) in "
+                         "shuffled order instead of (split, source) "
+                         "in id order")
     ap.add_argument("--extract-html", action="store_true",
                     help="treat input text as raw HTML: extract clean "
                          "text (WET-style) before every other stage")
@@ -177,9 +183,20 @@ def main() -> None:
     # counting tokens of docs in OTHER splits, leaving holes in every pack.
     # Per-(split, source) layouts are self-contained: each split's packs
     # reconstruct from that split's partition alone.
+    # With --shuffle-shards N the layout unit becomes (split, shard) in
+    # shuffled order: docs are permuted by the seeded Knuth key so pack
+    # neighbors are decorrelated from crawl/id order — the real training
+    # layout (split -> shuffle -> pack), still fully deterministic.
     assigned = split_assign(survivors)
-    layout = sequence_pack(assigned, capacity=args.capacity,
-                           shard_col=("split", "source"))
+    if args.shuffle_shards:
+        from solarpos_spark.operators.curate import shuffle_shards
+        assigned = shuffle_shards(assigned, args.shuffle_shards)
+        layout = sequence_pack(assigned, capacity=args.capacity,
+                               shard_col=("split", "shard"),
+                               order_col="pos")
+    else:
+        layout = sequence_pack(assigned, capacity=args.capacity,
+                               shard_col=("split", "source"))
     final = assigned.join(
         layout.select("doc_id", "n_tokens", "offset", "pack_id",
                       "pack_pos", "spans_boundary"), "doc_id")

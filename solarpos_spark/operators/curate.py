@@ -179,6 +179,40 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 5,
+) -> DataFrame:
+    """Deterministic global shuffle into reader shards — the reproducible
+    random permutation a training run applies before sequence packing, so
+    consecutive documents in a shard are decorrelated from crawl order.
+
+    Each row gets the full 32-bit Knuth-mixed key of its id
+    (``hash_bucket(id, seed, 2**32)``); ``shard = key mod n_shards`` and
+    ``pos`` is the rank of ``(key, id)`` within the shard (0-based). A
+    reader streaming shard s in pos order sees a pseudo-random,
+    seed-reproducible document order; changing ``seed`` reshuffles.
+    Content- and partitioning-independent, unlike ``df.orderBy(rand())``
+    whose sample is seeded per-partition and melts under repartitioning.
+
+    Scale shape: ONE hash shuffle on ``shard`` + per-shard sort (the
+    window is partitionBy(shard) — Spark plans exchange + in-partition
+    sort, spilling if a shard exceeds memory). Size ``n_shards`` so a
+    shard fits an executor's spill budget (corpus / n_shards ≈ 1-4 GB);
+    key ties (ids equal mod 2^32) break by id, keeping the order total.
+    """
+    key = hash_bucket(F.col(id_col), seed, 2**32)
+    d = df.select("*", key.alias("_k")).withColumn(
+        "shard", F.pmod(F.col("_k"), F.lit(int(n_shards))).cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col("_k"), F.col(id_col))
+    return (d.withColumn(
+        "pos", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .drop("_k"))
+
+
 def source_cap(
     df: DataFrame,
     max_per_source: int,
@@ -276,6 +310,7 @@ def sequence_pack(
     shard_col: str | tuple[str, ...] = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Training-sequence packing layout: concatenate documents in id order
     and cut fixed-``capacity`` token windows; emit each document's placement.
@@ -294,6 +329,11 @@ def sequence_pack(
     split — a layout computed over the union has windows whose token
     accounting spans docs a split-pruned reader never sees.
 
+    ``order_col`` overrides the within-shard layout order (id stays the
+    tiebreak): pass shuffle_shards' ``pos`` to pack in the shuffled
+    order instead of crawl/id order — the composition a real training
+    layout uses (split -> shuffle -> pack).
+
     Output per doc: (doc_id, <shard cols>, n_tokens, offset, pack_id,
     pack_pos, spans_boundary) where offset is the running token start
     within the shard, pack_id = offset // capacity, pack_pos = offset %
@@ -311,12 +351,17 @@ def sequence_pack(
     else:
         shard_out = [F.col(c) for c in shard_col]
         shard_names = list(shard_col)
+    order_out = ([F.col(order_col).alias("_ord")]
+                 if order_col is not None else [])
     base = df.select(
         F.col(id_col).alias("doc_id"),
         *shard_out,
+        *order_out,
         subword_token_count(words, n_punct).alias("n_tokens"),
     )
-    w = (Window.partitionBy(*shard_names).orderBy("doc_id")
+    order_by = (["_ord", "doc_id"] if order_col is not None
+                else ["doc_id"])
+    w = (Window.partitionBy(*shard_names).orderBy(*order_by)
          .rowsBetween(Window.unboundedPreceding, -1))
     placed = base.withColumn(
         "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))

@@ -1599,3 +1599,73 @@ class TestUrlOps:
                  .collect()}
         assert stats["site13.com"].n_docs == 2
         assert stats["site13.com"].n_hosts == 2
+
+
+class TestShuffleShards:
+    def test_permutation_properties(self, spark, docs):
+        """Every doc appears exactly once; pos is contiguous 0..n-1
+        within each shard (a valid shard-local total order)."""
+        from solarpos_spark.operators.curate import shuffle_shards
+
+        out = shuffle_shards(docs, 4).select("doc_id", "shard", "pos")
+        rows = out.collect()
+        assert len(rows) == docs.count()
+        assert len({r.doc_id for r in rows}) == len(rows)
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss)))
+
+    def test_partitioning_independent_and_seeded(self, spark, docs):
+        """Same assignment on any input partitioning (the property
+        orderBy(rand()) lacks); a different seed reshuffles."""
+        from solarpos_spark.operators.curate import shuffle_shards
+
+        a = sorted((r.doc_id, r.shard, r.pos) for r in
+                   shuffle_shards(docs, 4).select(
+                       "doc_id", "shard", "pos").collect())
+        b = sorted((r.doc_id, r.shard, r.pos) for r in
+                   shuffle_shards(docs.repartition(13), 4).select(
+                       "doc_id", "shard", "pos").collect())
+        assert a == b
+        c = sorted((r.doc_id, r.shard, r.pos) for r in
+                   shuffle_shards(docs, 4, seed=99).select(
+                       "doc_id", "shard", "pos").collect())
+        assert a != c
+
+    def test_order_decorrelated_from_id(self, spark, docs):
+        """The shard-local order must not be id order — check that at
+        least one shard reads ids non-monotonically."""
+        from solarpos_spark.operators.curate import shuffle_shards
+
+        out = shuffle_shards(docs, 2).select("doc_id", "shard", "pos")
+        by_shard = {}
+        for r in out.collect():
+            by_shard.setdefault(r.shard, []).append((r.pos, r.doc_id))
+        monotone = all(
+            [i for _, i in sorted(v)] == sorted(i for _, i in v)
+            for v in by_shard.values())
+        assert not monotone
+
+    def test_pack_follows_shuffled_order(self, spark, docs):
+        """sequence_pack(order_col='pos') lays tokens out in shuffle
+        order: each doc's offset equals the running token sum of the
+        docs BEFORE it in (pos) order, not id order."""
+        from solarpos_spark.operators.curate import (sequence_pack,
+                                                     shuffle_shards)
+
+        shuffled = shuffle_shards(docs.limit(0).unionByName(docs), 2)
+        layout = sequence_pack(shuffled, capacity=64, shard_col="shard",
+                               order_col="pos")
+        joined = layout.join(
+            shuffled.select("doc_id", "pos"), "doc_id").collect()
+        by_shard = {}
+        for r in joined:
+            by_shard.setdefault(r.shard, []).append(r)
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r.pos)
+            running = 0
+            for r in rows:
+                assert r.offset == running
+                running += r.n_tokens
