@@ -962,8 +962,9 @@ FROM m GROUP BY doc_id
 _URL_TLDS = ("com", "org", "co.uk", "de", "io")
 
 
-def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+def _with_url(d: DataFrame, *extra_cols: str) -> DataFrame:
+    """Append the deterministic synthetic ``url`` column to any relation
+    carrying ``doc_id`` (batch or streaming — pure projection)."""
     did = F.col("doc_id")
     sub = (F.when(did % 3 == 0, "www.").when(did % 3 == 1, "m.")
            .otherwise(""))
@@ -984,8 +985,11 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.concat(F.lit("#s"), (did % 5).cast("string")))
             .otherwise(""))
     url = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
-    return d.select("doc_id", "lang", "source", "n_chars",
-                    url.alias("url"))
+    return d.select("doc_id", *extra_cols, url.alias("url"))
+
+
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_url(_docs(spark, sf_dir), "lang", "source", "n_chars")
 
 
 _URL_SUF2_SQL = "[" + ", ".join(f"'{s}'" for s in urls.PUBLIC_SUFFIX_2) + "]"
@@ -993,11 +997,14 @@ _URL_TRACK_PRED = " OR ".join(
     f"starts_with(x, '{p}')" for p in urls.TRACKING_PARAM_PREFIXES)
 
 #: WITH-body fragment: u (the derived URL view) -> r (components +
-#: labels) -> parsed (typed, normalized columns). Shared by the three
-#: URL oracles; mirrors operators/urls.py expression by expression.
-_URL_PARSED_CTE = r"""
+#: labels) -> parsed (typed, normalized columns). Shared by the URL
+#: oracles; mirrors operators/urls.py expression by expression.
+#: ``src`` is any relation exposing doc_id (+ ``extra`` passthrough
+#: columns) — documents for the batch entries, the events-derived doc
+#: set for the streaming one.
+_URL_CTE_TMPL = r"""
 u AS (
-  SELECT doc_id, lang, source, n_chars,
+  SELECT doc_id, __EXTRA__
          (CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END) || '://' ||
          (CASE WHEN doc_id % 3 = 0 THEN 'www.'
                WHEN doc_id % 3 = 1 THEN 'm.' ELSE '' END) ||
@@ -1012,7 +1019,7 @@ u AS (
                ELSE '' END) ||
          (CASE WHEN doc_id % 11 = 0
                THEN '#s' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
-  FROM documents),
+  FROM __SRC__),
 p0 AS (
   SELECT *, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
               AS scheme,
@@ -1031,7 +1038,7 @@ r AS (
            AS n
   FROM p0),
 parsed AS (
-  SELECT doc_id, lang, source, n_chars, url, scheme, host, port_s,
+  SELECT doc_id, __EXTRA__ url, scheme, host, port_s,
          labels, n,
          CASE WHEN port_s = '' THEN NULL
               ELSE CAST(port_s AS BIGINT) END AS port,
@@ -1057,6 +1064,15 @@ canon AS (
   FROM parsed)
 """.replace("__SUF2__", _URL_SUF2_SQL).replace("__TRACK__",
                                                _URL_TRACK_PRED)
+
+
+def _url_parsed_cte(src: str = "documents",
+                    extra: str = "lang, source, n_chars, ") -> str:
+    return _URL_CTE_TMPL.replace("__SRC__", src).replace("__EXTRA__",
+                                                         extra)
+
+
+_URL_PARSED_CTE = _url_parsed_cte()
 
 
 def _q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3605,6 +3621,56 @@ _STREAM_CURATE_RATES = {"en": 5000, "de": 10000, "fr": 10000,
                         "es": 10000, "zh": 10000}
 
 
+def _q_stream_url_blocklist_committed(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Stateless stream-static URL blocklist, gate-hashed: the documents
+    table streams in over micro-batches, each row derives its URL and
+    runs the zero-shuffle parse projection, and survivors of a broadcast
+    LEFT ANTI join against the static registered-domain blocklist are
+    committed exactly-once — the online ingestion guard that keeps
+    blocked publishers out of a live crawl feed. No state, no
+    watermark: verdicts are pure per-row functions joined against a
+    static dimension, so the committed set is file- and batch-order
+    independent and the oracle is the identical batch SQL.
+
+    Granularity note: the streaming form blocks at REGISTERED-DOMAIN
+    equality (an entry blocks its whole registrable domain — the
+    broadcast equi-join shape a stream supports statelessly); host-level
+    suffix semantics need the batch operator's suffix explode + distinct,
+    which is a stateful aggregation under streaming."""
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamurl_")
+    _docs(spark, sf_dir).repartition(8).write.mode("overwrite") \
+        .parquet(in_dir)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("maxFilesPerTrigger", 2)
+              .parquet(in_dir))
+    parsed = urls.url_parse(_with_url(stream))
+    blocked = spark.createDataFrame(
+        [(b,) for b in _URL_BLOCKLIST], "blocked_domain string")
+    surv = parsed.join(
+        F.broadcast(blocked),
+        parsed["registered_domain"] == blocked["blocked_domain"],
+        "left_anti")
+    q = exactly_once_parquet_sink(
+        surv.select("doc_id", "host", "registered_domain", "url_norm"),
+        out_dir, ckpt, trigger_available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "host", "registered_domain", "url_norm")
+
+
+_STREAM_URL_BLOCKLIST_ORACLE = f"""
+WITH {_URL_PARSED_CTE}
+SELECT doc_id, host, registered_domain, url_norm
+FROM canon
+WHERE NOT list_contains({_URL_BLOCKLIST_SQL}, registered_domain)
+"""
+
+
 def _q_stream_curate_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateless streaming curation, gate-hashed: the documents table
     streams in over multiple micro-batches, each doc passes the quality
@@ -3846,6 +3912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_position_committed": _q_stream_position_committed,
         "stream_dedup_committed": _q_stream_dedup_committed,
         "stream_curate_committed": _q_stream_curate_committed,
+        "stream_url_blocklist_committed": _q_stream_url_blocklist_committed,
         "stream_window_committed": _q_stream_window_committed,
         "stream_hll_committed": _q_stream_hll_committed,
         "stream_cms_committed": _q_stream_cms_committed,
@@ -4052,6 +4119,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_position_committed": _stream_pos_oracle(),
         "stream_dedup_committed": _STREAM_DEDUP_ORACLE,
         "stream_curate_committed": _STREAM_CURATE_ORACLE,
+        "stream_url_blocklist_committed": _STREAM_URL_BLOCKLIST_ORACLE,
         "stream_window_committed": _STREAM_WINDOW_ORACLE,
         "stream_hll_committed": _hll_oracle(_STREAM_HLL_SRC, p=10,
                                             group="ws"),
