@@ -3617,6 +3617,72 @@ WHERE (a_us + 600 * 1000000) // 1000 < mx // 1000 - 3600 * 1000
 """
 
 
+def _q_stream_quota_committed(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming per-key admission quota via applyInPandasWithState
+    (streaming/stateful.py first_n_per_key), gate-hashed: every user's 5
+    EARLIEST events (event-time order, id tiebreak) are admitted, the
+    rest rejected — the online source_cap. Events arrive in 4
+    time-quartile files (pinned order, maxFilesPerTrigger=1); rows
+    buffer in per-key state until the watermark strictly passes their
+    event time, then admit against the running count, so cross-batch
+    disorder cannot change the admitted set. In-order quartiles mean no
+    row is late-dropped; the committed set is the per-key (ts, id) rank
+    cut at the final watermark (Spark tracks event time in ms, hence the
+    //1000 truncations in the oracle)."""
+    import glob
+    import os
+
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming.stateful import first_n_per_key
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamquota_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_id") < 10000) \
+        .select("event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id") \
+        .withColumn("_us", F.unix_micros(F.col("ts")))
+    bounds = ev.agg(F.min("_us"), F.max("_us")).collect()[0]
+    tmin, tmax = int(bounds[0]), int(bounds[1])
+    width = (tmax - tmin) // 4 + 1
+    written: set[str] = set()
+    for i in range(4):
+        ev.filter((F.col("_us") - tmin) / width >= i) \
+          .filter((F.col("_us") - tmin) / width < i + 1) \
+          .drop("_us").coalesce(1).write.mode("append").parquet(in_dir)
+        new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+        for p in new:
+            os.utime(p, (1_500_000_000 + 10 * i, 1_500_000_000 + 10 * i))
+        written.update(new)
+    schema = ev.drop("_us").schema
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+        .withWatermark("ts", "1 hour")
+    out = first_n_per_key(stream, 5)
+    q = exactly_once_parquet_sink(out, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir) \
+        .select("user_id", "event_id", "event_usec", "rank")
+
+
+_STREAM_QUOTA_ORACLE = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+           FROM events WHERE event_id < 10000),
+wm AS (SELECT max(us) AS mx FROM e),
+rel AS (SELECT e.* FROM e, wm
+        WHERE us // 1000 < mx // 1000 - 3600 * 1000),
+rk AS (SELECT user_id, event_id, us,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS rank
+       FROM rel)
+SELECT user_id, event_id, CAST(us AS BIGINT) AS event_usec,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+
 _STREAM_CURATE_RATES = {"en": 5000, "de": 10000, "fr": 10000,
                         "es": 10000, "zh": 10000}
 
@@ -3920,6 +3986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_committed": _q_stream_join_committed,
         "stream_funnel_committed": _q_stream_funnel_committed,
         "stream_funnel_first_committed": _q_stream_funnel_first_committed,
+        "stream_quota_committed": _q_stream_quota_committed,
     }
 
 
@@ -4128,6 +4195,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_join_committed": _stream_join_oracle(),
         "stream_funnel_committed": _STREAM_FUNNEL_ORACLE,
         "stream_funnel_first_committed": _STREAM_FUNNEL_FIRST_ORACLE,
+        "stream_quota_committed": _STREAM_QUOTA_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """

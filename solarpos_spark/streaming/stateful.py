@@ -102,6 +102,106 @@ def sweep_progress(decoded: DataFrame, *, expected: int = 8,
     )
 
 
+QUOTA_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("event_usec", LongType()),
+    StructField("rank", LongType()),
+])
+
+#: admitted-count tombstone + buffered (id, us) rows awaiting release
+QUOTA_STATE_SCHEMA = StructType([
+    StructField("n_admitted", LongType()),
+    StructField("ids", ArrayType(LongType())),
+    StructField("uss", ArrayType(LongType())),
+])
+
+
+def _make_quota(n: int):
+    def run(key: tuple, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n_adm, ids, uss = state.get
+            n_adm, ids, uss = int(n_adm), list(ids), list(uss)
+        else:
+            n_adm, ids, uss = 0, [], []
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            for eid, eus in zip(pdf["event_id"], us):
+                ids.append(int(eid))
+                uss.append(int(eus))
+
+        # release: a buffered row is admissible only once the watermark
+        # strictly passed its event time (no earlier-timed row can still
+        # arrive in-watermark); admit released rows in (us, id) order
+        # while quota remains, silently reject the rest
+        wm_ms = state.getCurrentWatermarkMs()
+        ready = sorted((u, i) for i, u in zip(ids, uss)
+                       if u // 1000 < wm_ms)
+        pend = [(i, u) for i, u in zip(ids, uss) if u // 1000 >= wm_ms]
+        out = []
+        for u, i in ready:
+            if n_adm < n:
+                n_adm += 1
+                out.append({"user_id": user_id, "event_id": i,
+                            "event_usec": u, "rank": n_adm})
+        ids = [i for i, _ in pend]
+        uss = [u for _, u in pend]
+        # the admitted count persists even with an empty buffer —
+        # removing state would RESET the quota for a key whose next row
+        # arrives later. Residual state is one counter per key, the same
+        # O(#keys) floor any per-key quota fundamentally needs.
+        state.update((n_adm, ids, uss))
+        if uss:  # wake when the earliest buffered row becomes releasable
+            state.setTimeoutTimestamp(max(min(uss) // 1000 + 1,
+                                          wm_ms + 1))
+        if out:
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def first_n_per_key(
+    events: DataFrame,
+    n: int,
+    *,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming per-key admission quota: admit the ``n`` EARLIEST rows
+    per key in event-time order ((ts, id) lexicographic), reject the
+    rest — the online form of curate.source_cap for a live ingestion
+    feed (cap each publisher/source while the crawl runs).
+
+    A stream cannot admit on arrival: a later batch may deliver an
+    earlier-timed row that deserves the slot. So rows buffer in state
+    until the event-time watermark strictly passes their event time,
+    then admit in (event_time, id) order against the running count —
+    cross-batch disorder within the watermark horizon cannot change the
+    admitted set. Rows arriving after the watermark passed their time
+    (the SPARK-40925 two-watermark gap) append in arrival order,
+    best-effort, like every watermarked operator.
+
+    State per key: the admitted count + the in-flight buffer (bounded by
+    rows inside the watermark horizon); EventTimeTimeout wakes idle keys
+    exactly when their earliest buffered row becomes releasable. The
+    count survives as a one-scalar tombstone after the buffer drains.
+    Output: (user_id, event_id, event_usec, rank) with rank 1..n.
+
+    ``events`` must already carry an event-time watermark on ``ts``.
+    """
+    return events.groupBy(key_col).applyInPandasWithState(
+        _make_quota(int(n)),
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 FUNNEL_OUTPUT_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("a_event_id", LongType()),

@@ -744,3 +744,69 @@ class TestStreamingCms:
                                         width=32,
                                         group_cols=("w",)).collect())
         assert a == expect
+
+
+class TestFirstNPerKey:
+    def test_admission_equals_batch_rank_under_disorder(self, spark,
+                                                        tmp_path):
+        """first_n_per_key must admit EXACTLY the n earliest events per
+        key in (ts, id) order, under shuffled multi-batch delivery —
+        rows buffer until the watermark passes them, so arrival order
+        cannot steal a slot from an earlier-timed row."""
+        import glob
+        import os
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming.stateful import first_n_per_key
+
+        t0 = datetime(2024, 7, 1, 8, 0, 0)
+        s = timedelta(seconds=1)
+        rows, eid = [], 0
+        for u in range(4):
+            for j in range(6):
+                # deliberately non-monotone ids vs times within a user
+                rows.append((eid, u, t0 + (u * 100 + (5 - j) * 7) * s))
+                eid += 1
+        # same-ts tiebreak: two rows at one instant — lower id wins the slot
+        rows.append((eid, 7, t0 + 20 * s)); eid += 1
+        rows.append((eid, 7, t0 + 20 * s)); eid += 1
+        sentinel_id = eid
+        rows.append((eid, 9, t0 + timedelta(hours=10))); eid += 1
+
+        ev = spark.createDataFrame(rows,
+                                   "event_id long, user_id long, ts timestamp")
+        in_dir = str(tmp_path / "in")
+        written: set = set()
+        for f in range(3):  # shuffled delivery; sentinel rides last
+            part = ev.filter(
+                ((F.col("event_id") % 3 == f)
+                 & (F.col("event_id") != sentinel_id))
+                | (F.lit(f == 2) & (F.col("event_id") == sentinel_id)))
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+            for p in new:
+                os.utime(p, (2_000_000_000 + 10 * f,) * 2)
+            written.update(new)
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+            .withWatermark("ts", "2 hours")
+        out = first_n_per_key(stream, 3)
+        q = exactly_once_parquet_sink(out, str(tmp_path / "out"),
+                                      str(tmp_path / "ckpt"),
+                                      trigger_available_now=True)
+        q.awaitTermination()
+        got = {(r.user_id, r.event_id, r.rank)
+               for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+        # batch expectation: rank over (ts, id) per user, rank <= 3,
+        # sentinel unreleased (watermark never passes its own time)
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        want = {(r.user_id, r.event_id, r.rank)
+                for r in ev.filter(F.col("event_id") != sentinel_id)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 3).collect()}
+        assert got == want and len(got) == 4 * 3 + 2
+        # the same-ts pair: lower id got the better rank
+        u7 = sorted((eid_, rk) for (u, eid_, rk) in got if u == 7)
+        assert u7[0][1] < u7[1][1]
