@@ -608,18 +608,29 @@ class TestFunnelFirstMatch:
             rows, "event_id long, user_id long, event_type string, ts timestamp")
         in_dir = str(tmp_path / "in")
         written: set = set()
-        # file 0: all errors; file 1: all purchases; file 2: sentinel —
-        # every pending-A state must cross the file-0/1 boundary
+        # file 0: all errors; file 1: all purchases — every pending-A
+        # state must cross the file-0/1 boundary. The sentinel file is
+        # written only AFTER the phase-1 kill: if it were present during
+        # phase 1, the kill could land after its offsets are logged but
+        # before its commit, and the phase-2 availableNow restart — all
+        # source offsets already committed — can terminate without the
+        # watermark-advancing no-data batch, emitting nothing (observed
+        # 2026-08-17 as an empty-sink flake). Deferring the sentinel
+        # guarantees phase 2 has new data, so emission always runs.
         parts = [ev.filter((F.col("event_type") == "error")),
                  ev.filter((F.col("event_type") == "purchase")
-                           & (F.col("event_id") != sentinel_id)),
-                 ev.filter(F.col("event_id") == sentinel_id)]
-        for f, part in enumerate(parts):
+                           & (F.col("event_id") != sentinel_id))]
+
+        def write_part(part, f):
+            nonlocal written
             part.coalesce(1).write.mode("append").parquet(in_dir)
             new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
             for p in new:
                 os.utime(p, (2_100_000_000 + 10 * f, 2_100_000_000 + 10 * f))
             written.update(new)
+
+        for f, part in enumerate(parts):
+            write_part(part, f)
 
         def build_stream():
             return spark.readStream.schema(ev.schema) \
@@ -633,7 +644,9 @@ class TestFunnelFirstMatch:
             funnel_first_match(build_stream(), first_type="error",
                                then_type="purchase", within_seconds=120),
             out_dir, ckpt)
-        deadline = time.monotonic() + 120
+        # generous deadline: only binds when micro-batch scheduling is
+        # pathologically slow (shared-host tenant load); quiet wall ~5 s
+        deadline = time.monotonic() + 420
         commits = os.path.join(ckpt, "commits")
         seen = 0
         while seen < 2 and time.monotonic() < deadline:
@@ -644,6 +657,7 @@ class TestFunnelFirstMatch:
         assert seen >= 2, "no micro-batch committed before kill"
         q.stop()
         q.awaitTermination(60)
+        write_part(ev.filter(F.col("event_id") == sentinel_id), 2)
 
         # phase 2: resume from the checkpoint and drain
         q2 = exactly_once_parquet_sink(
