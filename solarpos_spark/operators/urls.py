@@ -115,6 +115,12 @@ def url_parse(
     ``scheme://``) parse to empty components rather than erroring — a
     100 TB crawl always contains junk rows, and a filter on
     ``scheme != ''`` downstream is cheaper than a task retry storm.
+
+    Deliberate non-goals (keeps the regexes in the Java==RE2 portable
+    subset): no userinfo (``user:pass@host`` folds into the host
+    field), no bracketed IPv6 hosts, no percent-decoding. Crawl-scale
+    corpora are overwhelmingly plain http(s) authorities; rows outside
+    that profile parse conservatively rather than erroring.
     """
     url = F.col(url_col)
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))

@@ -1669,3 +1669,82 @@ class TestShuffleShards:
             for r in rows:
                 assert r.offset == running
                 running += r.n_tokens
+
+
+def test_url_cross_engine_parse_parity(spark):
+    """The parser's regex/list chain must behave identically under
+    Java regex (Spark) and RE2 (DuckDB) — the invariant every gate
+    oracle rests on — over adversarial in-profile inputs: deep
+    subdomains, suffix-2 TLDs, empty queries, '&&' runs, '=' in
+    values, trailing '?', '#' before '?', and malformed rows."""
+    import duckdb
+
+    from solarpos_spark.operators import urls
+    from solarpos_spark.operators.urls import (
+        _AUTH_RE, _HOST_RE, _PATH_RE, _PORT_RE, _QUERY_RE,
+        _SCHEME_RE)
+
+    cases = [
+        "https://a.b.c.d.site.co.uk:9999/x/y/z?b=2&&a=1&utm_x=9&",
+        "http://h.de/?",
+        "https://h.io/p#frag?notquery=1",
+        "https://h.com/p?k=v=w&k2",
+        "ftp://files.example.org:21/pub",
+        "https://single",
+        "", "no scheme at all", "://broken",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)],
+        "doc_id long, url string")
+    got = {r.doc_id: (r.scheme, r.host, r.port, r.registered_domain,
+                      r.path, r.query_norm, r.url_norm)
+           for r in urls.url_parse(df).collect()}
+
+    suf2 = "[" + ", ".join(f"'{s}'" for s in urls.PUBLIC_SUFFIX_2) + "]"
+    track = " OR ".join(f"starts_with(x, '{p}')"
+                        for p in urls.TRACKING_PARAM_PREFIXES)
+    vals = ", ".join(f"({i}, '{u}')" for i, u in enumerate(cases))
+    sql = f"""
+WITH u AS (SELECT * FROM (VALUES {vals}) t(doc_id, url)),
+p0 AS (
+  SELECT *, lower(regexp_extract(url, '{_SCHEME_RE}', 1)) AS scheme,
+     regexp_extract(url, '{_AUTH_RE}', 1) AS auth,
+     regexp_extract(url, '{_PATH_RE}', 1) AS path0,
+     regexp_extract(url, '{_QUERY_RE}', 1) AS query
+  FROM u),
+r AS (
+  SELECT *, lower(regexp_extract(auth, '{_HOST_RE}', 1)) AS host,
+     regexp_extract(auth, '{_PORT_RE}', 1) AS port_s,
+     string_split(lower(regexp_extract(auth, '{_HOST_RE}', 1)), '.')
+       AS labels,
+     len(string_split(lower(regexp_extract(auth, '{_HOST_RE}', 1)),
+         '.')) AS n
+  FROM p0),
+parsed AS (
+  SELECT doc_id, scheme, host, port_s,
+     CASE WHEN port_s = '' THEN NULL
+          ELSE CAST(port_s AS BIGINT) END AS port,
+     CASE WHEN n >= 3 AND list_contains({suf2},
+               array_to_string(labels[n-1:n], '.'))
+          THEN array_to_string(labels[n-2:n], '.')
+          WHEN n >= 2 THEN array_to_string(labels[n-1:n], '.')
+          ELSE host END AS registered_domain,
+     CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+     coalesce(array_to_string(list_sort(list_filter(
+         string_split(query, '&'),
+         x -> x <> '' AND NOT ({track}))), '&'), '') AS query_norm
+  FROM r)
+SELECT doc_id, scheme, host, port, registered_domain, path, query_norm,
+   scheme || '://' || host ||
+   (CASE WHEN port_s <> ''
+              AND NOT (scheme = 'http' AND port_s = '80')
+              AND NOT (scheme = 'https' AND port_s = '443')
+         THEN ':' || port_s ELSE '' END) ||
+   path ||
+   (CASE WHEN query_norm <> '' THEN '?' || query_norm
+         ELSE '' END) AS url_norm
+FROM parsed
+"""
+    con = duckdb.connect()
+    want = {int(r[0]): tuple(r[1:]) for r in con.sql(sql).fetchall()}
+    assert got == want
