@@ -2471,6 +2471,33 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization (relational.sessionize): per-user session
+    ordinals by 30-minute inactivity gaps — one keyed shuffle +
+    in-partition sort, lag + boundary-flag running sum, all integer
+    microseconds. The row-assignment complement of window_session."""
+    from solarpos_spark.operators.relational import sessionize
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    return sessionize(ev, gap_minutes=30)
+
+
+_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS event_usec,
+         epoch_us(ts) - lag(epoch_us(ts), 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_usec
+  FROM events WHERE user_id < 20)
+SELECT user_id, event_id, event_usec, gap_usec,
+       CAST(sum(CASE WHEN gap_usec IS NULL
+                       OR gap_usec > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM g
+"""
+
+
 def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test splitter (operators/curate.py
     split_assign): Knuth-hash bucket of doc_id, pure projection (zero
@@ -3974,6 +4001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_stats": _q_events_value_stats,
         "events_pivot": _q_events_pivot,
         "user_running_value": _q_user_running_value,
+        "sessionize": _q_sessionize,
         "orders_cube": _q_orders_cube,
         "stream_position_committed": _q_stream_position_committed,
         "stream_dedup_committed": _q_stream_dedup_committed,
@@ -4182,6 +4210,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_stats": _EVENTS_VALUE_STATS_ORACLE,
         "events_pivot": _EVENTS_PIVOT_ORACLE,
         "user_running_value": _USER_RUNNING_VALUE_ORACLE,
+        "sessionize": _SESSIONIZE_ORACLE,
         "orders_cube": _ORDERS_CUBE_ORACLE,
         "stream_position_committed": _stream_pos_oracle(),
         "stream_dedup_committed": _STREAM_DEDUP_ORACLE,

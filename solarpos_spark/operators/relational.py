@@ -276,6 +276,48 @@ def histogram_quantiles(
         (F.col("_b.cum") - F.col("_b.cnt")).cast("long").alias("n_below"))
 
 
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Row-level sessionization: assign every event its per-user session
+    ordinal, where a new session starts after ``gap_minutes`` of
+    inactivity — the analytics primitive behind funnels/retention, and
+    the ROW-ASSIGNMENT complement of the aggregated session windows
+    (operators/windows.py session_window gives per-session rollups; this
+    keeps the events and labels them).
+
+    One keyed shuffle + in-partition sort (the same Window shape as
+    user_running_value): ``lag`` finds each event's gap to its
+    predecessor in (ts, id) order, a boundary flag marks gaps above the
+    threshold, and the running sum of flags is the session ordinal —
+    O(rows) per user, whole-stage-codegen window functions end to end,
+    all integer microsecond arithmetic (hash-stable). Skewed users
+    follow the asof_join playbook if one key dominates.
+
+    Output: (user_col, id_col, event_usec, gap_usec nullable,
+    session_seq 1-based).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).alias("gap_usec")
+    new_s = F.when(
+        gap.isNull() | (gap > F.lit(int(gap_minutes) * 60_000_000)),
+        1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return events.select(
+        F.col(user_col),
+        F.col(id_col),
+        us.alias("event_usec"),
+        gap,
+        F.sum(new_s).over(run).cast("long").alias("session_seq"),
+    )
+
+
 def sequence_pattern(
     events: DataFrame,
     *,

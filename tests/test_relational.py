@@ -339,3 +339,33 @@ class TestHistogramQuantiles:
         out = histogram_quantiles(df, "v", qs=(1.0,), n_bins=4).collect()[0]
         # q=1.0 -> the max (9.0) must be inside the reported bin
         assert out.bin_lo - 1e-9 <= 9.0 <= out.bin_hi + 1e-9
+
+
+class TestSessionize:
+    def test_gap_semantics(self, spark):
+        """Gap strictly greater than the threshold starts a new session;
+        a gap of exactly the threshold does NOT; first event of a user
+        always opens session 1; same-instant events stay together
+        (id tiebreak keeps the order total)."""
+        from solarpos_spark.operators.relational import sessionize
+
+        t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+        m = dt.timedelta(minutes=1)
+        rows = [
+            (1, 7, t0),                 # s1
+            (2, 7, t0 + 10 * m),        # s1 (10 min)
+            (3, 7, t0 + 40 * m),        # s1 (exactly 30 min gap)
+            (4, 7, t0 + 71 * m),        # s2 (31 min gap)
+            (5, 7, t0 + 71 * m),        # s2 (same instant, id after 4)
+            (6, 8, t0),                 # other user: own s1
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp")
+        out = {r.event_id: (r.session_seq, r.gap_usec)
+               for r in sessionize(df, gap_minutes=30).collect()}
+        assert out[1] == (1, None)
+        assert out[2][0] == 1
+        assert out[3][0] == 1 and out[3][1] == 30 * 60 * 1_000_000
+        assert out[4][0] == 2
+        assert out[5] == (2, 0)
+        assert out[6] == (1, None)
