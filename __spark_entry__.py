@@ -1137,6 +1137,36 @@ WHERE len(list_filter(range(1, n + 1),
 """
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (text.chunk_documents):
+    32-word chunks, 8-word overlap (stride 24) — posexplode words,
+    integer chunk-range explode (fan-out <= 2 per word), order-pinned
+    fold rebuild per (doc, chunk). The oracle replays the identical
+    integer arithmetic and rebuild."""
+    return text.chunk_documents(_docs(spark, sf_dir), chunk_words=32,
+                                overlap_words=8)
+
+
+_DOC_CHUNKS_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents),
+l AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS word
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+a AS (
+  SELECT doc_id, pos, word,
+         unnest(range(greatest(0, (pos - 32 + 24) // 24),
+                      pos // 24 + 1)) AS chunk_idx
+  FROM l)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       string_agg(word, ' ' ORDER BY pos) AS text,
+       count(*) AS n_words,
+       CAST(min(pos) AS BIGINT) AS start_pos
+FROM a GROUP BY doc_id, chunk_idx
+"""
+
+
 def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (text.dsir_scores — Xie et al. 2023):
     hashed-unigram log-likelihood ratio of the lang='de' target model vs
@@ -3947,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_v2": _q_lang_id_v2,
         "lang_id_v2_margin": _q_lang_id_v2_margin,
         "line_dedup": _q_line_dedup,
+        "doc_chunks": _q_doc_chunks,
         "url_parse": _q_url_parse,
         "url_domain_stats": _q_url_domain_stats,
         "url_blocklist": _q_url_blocklist,
@@ -4157,6 +4188,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_v2": _lang_id_v2_oracle(),
         "lang_id_v2_margin": _lang_id_v2_oracle(min_margin=25),
         "line_dedup": _LINE_DEDUP_ORACLE,
+        "doc_chunks": _DOC_CHUNKS_ORACLE,
         "url_parse": _URL_PARSE_ORACLE,
         "url_domain_stats": _URL_DOMAIN_STATS_ORACLE,
         "url_blocklist": _URL_BLOCKLIST_ORACLE,

@@ -881,6 +881,67 @@ def top_ngrams(
         F.col("n_docs").cast("long").alias("n_docs"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_words: int = 64,
+    overlap_words: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-size chunking — the context-window splitter an
+    embedding/RAG/pretraining prep stage runs over every document:
+    chunk k covers word positions [k*stride, k*stride + chunk_words)
+    with stride = chunk_words - overlap_words, so consecutive chunks
+    share ``overlap_words`` words and no content is lost at boundaries.
+
+    Fully relational: posexplode the words, compute each word's chunk
+    range [k_lo, k_hi] with integer arithmetic (k_hi = pos div stride;
+    k_lo clamps at 0 — Spark's truncating div and an oracle's floor div
+    agree wherever the clamp doesn't already win), explode the range
+    (fan-out <= ceil(chunk/stride) per word — a constant), and rebuild
+    each chunk with the order-pinned fold (array_sort(collect_list(
+    struct(pos, word)))) — deterministic under any shuffle order, the
+    line_dedup idiom. One exchange keyed by (doc, chunk): O(words x
+    overlap-factor) total, no per-doc serialization, scales with the
+    corpus not the document count.
+
+    Word-based, not token-based, by design: words are a deterministic
+    engine-portable unit (split on whitespace); a token-budget variant
+    composes by multiplying ``chunk_words`` by the corpus's measured
+    words-per-token ratio. Output: (doc_id, chunk_idx, text, n_words,
+    start_pos).
+    """
+    chunk = int(chunk_words)
+    stride = chunk - int(overlap_words)
+    if stride <= 0:
+        raise ValueError("overlap_words must be < chunk_words")
+    words = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+         .alias("pos", "word"))
+    k_lo = F.greatest(
+        F.lit(0), F.expr(f"(pos - {chunk} + {stride}) div {stride}"))
+    k_hi = F.expr(f"pos div {stride}")
+    assigned = words.select(
+        "doc_id", "pos", "word",
+        F.explode(F.sequence(k_lo.cast("int"), k_hi.cast("int")))
+         .alias("chunk_idx"))
+    return (
+        assigned.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"]),
+                " ").alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.min("pos").cast("long").alias("start_pos"),
+        )
+        .select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                "text", "n_words", "start_pos")
+    )
+
+
 #: (name, regex) PII patterns — conservative, engine-portable subset (the
 #: same expression must compile identically under Java regex (Spark) and
 #: RE2 (DuckDB): no backrefs, no lookaround). Order matters: emails are

@@ -1748,3 +1748,47 @@ FROM parsed
     con = duckdb.connect()
     want = {int(r[0]): tuple(r[1:]) for r in con.sql(sql).fetchall()}
     assert got == want
+
+
+class TestChunkDocuments:
+    def test_overlap_and_coverage(self, spark):
+        from solarpos_spark.operators.text import chunk_documents
+
+        words = [f"w{i}" for i in range(100)]
+        df = spark.createDataFrame([(1, " ".join(words))],
+                                   "doc_id long, text string")
+        out = {r.chunk_idx: r for r in
+               chunk_documents(df, chunk_words=32, overlap_words=8)
+               .collect()}
+        # stride 24: chunks start at 0, 24, 48, 72, 96
+        assert sorted(out) == [0, 1, 2, 3, 4]
+        assert out[0].text.split() == words[0:32]
+        assert out[1].text.split() == words[24:56]
+        assert out[4].text.split() == words[96:100]  # trailing partial
+        assert out[1].start_pos == 24 and out[4].n_words == 4
+        # consecutive full chunks share exactly overlap_words words
+        assert out[0].text.split()[-8:] == out[1].text.split()[:8]
+        # coverage: every word appears in at least one chunk
+        seen = {w for r in out.values() for w in r.text.split()}
+        assert seen == set(words)
+
+    def test_short_doc_single_chunk(self, spark):
+        from solarpos_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")],
+                                   "doc_id long, text string")
+        rows = chunk_documents(df, chunk_words=32, overlap_words=8) \
+            .collect()
+        assert len(rows) == 1
+        assert rows[0].text == "a b c" and rows[0].n_words == 3
+
+    def test_partitioning_independent(self, spark, docs):
+        from solarpos_spark.operators.text import chunk_documents
+
+        a = sorted((r.doc_id, r.chunk_idx, r.text) for r in
+                   chunk_documents(docs, chunk_words=32, overlap_words=8)
+                   .collect())
+        b = sorted((r.doc_id, r.chunk_idx, r.text) for r in
+                   chunk_documents(docs.repartition(13), chunk_words=32,
+                                   overlap_words=8).collect())
+        assert a == b
