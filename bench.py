@@ -208,6 +208,7 @@ def main() -> None:
     run("pq_topk", lambda: qs["pq_topk"](spark, sf_dir))
     run("html_extract", lambda: qs["html_extract"](spark, sf_dir))
     run("url_blocklist", lambda: qs["url_blocklist"](spark, sf_dir))
+    run("doc_chunks", lambda: qs["doc_chunks"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     print(json.dumps({
