@@ -964,14 +964,30 @@ _URL_TLDS = ("com", "org", "co.uk", "de", "io")
 
 def _with_url(d: DataFrame, *extra_cols: str) -> DataFrame:
     """Append the deterministic synthetic ``url`` column to any relation
-    carrying ``doc_id`` (batch or streaming — pure projection)."""
+    carrying ``doc_id`` (batch or streaming — pure projection). The
+    host mix exercises every PSL tier: plain 1/2-label suffixes,
+    private suffixes (github.io), a wildcard zone (*.kawasaki.jp, both
+    at and below the wildcard depth), both exception rules
+    (city.kawasaki.jp, www.ck), and a '?' inside a fragment (the
+    query-vs-fragment edge)."""
     did = F.col("doc_id")
     sub = (F.when(did % 3 == 0, "www.").when(did % 3 == 1, "m.")
            .otherwise(""))
     tld = F.element_at(F.array(*[F.lit(t) for t in _URL_TLDS]),
                        (did % 5 + 1).cast("int"))
-    host = F.concat(sub, F.lit("site"), (did % 97).cast("string"),
-                    F.lit("."), tld)
+    host = (
+        F.when(did % 17 == 3, F.concat(F.lit("proj"),
+                                       (did % 29).cast("string"),
+                                       F.lit(".github.io")))
+        .when(did % 17 == 5, F.concat(F.lit("w"),
+                                      (did % 13).cast("string"),
+                                      F.lit(".a.kawasaki.jp")))
+        .when(did % 17 == 7, F.lit("city.kawasaki.jp"))
+        .when(did % 17 == 11, F.concat(F.lit("x"),
+                                       (did % 7).cast("string"),
+                                       F.lit(".www.ck")))
+        .otherwise(F.concat(sub, F.lit("site"), (did % 97).cast("string"),
+                            F.lit("."), tld)))
     scheme = F.when(did % 4 == 0, "http").otherwise("https")
     port = F.when(did % 13 == 0, ":8080").otherwise("")
     path = F.concat(F.lit("/p/"), F.expr("doc_id div 7").cast("string"))
@@ -983,6 +999,7 @@ def _with_url(d: DataFrame, *extra_cols: str) -> DataFrame:
         .otherwise(""))
     frag = (F.when(did % 11 == 0,
                    F.concat(F.lit("#s"), (did % 5).cast("string")))
+            .when(did % 11 == 5, F.lit("#sec?x=1"))
             .otherwise(""))
     url = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
     return d.select("doc_id", *extra_cols, url.alias("url"))
@@ -992,24 +1009,34 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_url(_docs(spark, sf_dir), "lang", "source", "n_chars")
 
 
-_URL_SUF2_SQL = "[" + ", ".join(f"'{s}'" for s in urls.PUBLIC_SUFFIX_2) + "]"
 _URL_TRACK_PRED = " OR ".join(
     f"starts_with(x, '{p}')" for p in urls.TRACKING_PARAM_PREFIXES)
+_URL_PS_SQL, _URL_PRIV_SQL = urls.psl_resolution_sql()
 
 #: WITH-body fragment: u (the derived URL view) -> r (components +
-#: labels) -> parsed (typed, normalized columns). Shared by the URL
-#: oracles; mirrors operators/urls.py expression by expression.
-#: ``src`` is any relation exposing doc_id (+ ``extra`` passthrough
-#: columns) — documents for the batch entries, the events-derived doc
-#: set for the streaming one.
+#: labels) -> psl (public-suffix resolution, generated from the same
+#: rule rows + precedence order as the Spark join chain) -> parsed
+#: (typed, normalized columns). Shared by the URL oracles; mirrors
+#: operators/urls.py expression by expression. ``src`` is any relation
+#: exposing doc_id (+ ``extra`` passthrough columns) — documents for
+#: the batch entries, the events-derived doc set for the streaming one.
 _URL_CTE_TMPL = r"""
 u AS (
   SELECT doc_id, __EXTRA__
          (CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END) || '://' ||
-         (CASE WHEN doc_id % 3 = 0 THEN 'www.'
-               WHEN doc_id % 3 = 1 THEN 'm.' ELSE '' END) ||
-         'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
-         (['com','org','co.uk','de','io'])[CAST(doc_id % 5 + 1 AS INT)] ||
+         (CASE WHEN doc_id % 17 = 3
+               THEN 'proj' || CAST(doc_id % 29 AS VARCHAR) || '.github.io'
+               WHEN doc_id % 17 = 5
+               THEN 'w' || CAST(doc_id % 13 AS VARCHAR) || '.a.kawasaki.jp'
+               WHEN doc_id % 17 = 7 THEN 'city.kawasaki.jp'
+               WHEN doc_id % 17 = 11
+               THEN 'x' || CAST(doc_id % 7 AS VARCHAR) || '.www.ck'
+               ELSE
+                 (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                       WHEN doc_id % 3 = 1 THEN 'm.' ELSE '' END) ||
+                 'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+                 (['com','org','co.uk','de','io'])[CAST(doc_id % 5 + 1 AS INT)]
+          END) ||
          (CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END) ||
          '/p/' || CAST(doc_id // 7 AS VARCHAR) ||
          (CASE WHEN doc_id % 3 = 0
@@ -1018,7 +1045,9 @@ u AS (
                THEN '?ref=x&id=' || CAST(doc_id AS VARCHAR)
                ELSE '' END) ||
          (CASE WHEN doc_id % 11 = 0
-               THEN '#s' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+               THEN '#s' || CAST(doc_id % 5 AS VARCHAR)
+               WHEN doc_id % 11 = 5 THEN '#sec?x=1'
+               ELSE '' END) AS url
   FROM __SRC__),
 p0 AS (
   SELECT *, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -1027,7 +1056,8 @@ p0 AS (
               AS auth,
          regexp_extract(url,
               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path0,
-         regexp_extract(url, '\?([^#]*)', 1) AS query
+         regexp_extract(regexp_extract(url, '^[^#]*', 0),
+                        '\?([^#]*)', 1) AS query
   FROM u),
 r AS (
   SELECT *, lower(regexp_extract(auth, '^([^:]+)', 1)) AS host,
@@ -1037,21 +1067,22 @@ r AS (
          len(string_split(lower(regexp_extract(auth, '^([^:]+)', 1)), '.'))
            AS n
   FROM p0),
+psl AS (
+  SELECT *, __PS__ AS ps, __PRIV__ AS is_private_suffix
+  FROM r),
 parsed AS (
   SELECT doc_id, __EXTRA__ url, scheme, host, port_s,
-         labels, n,
+         labels, n, is_private_suffix,
          CASE WHEN port_s = '' THEN NULL
               ELSE CAST(port_s AS BIGINT) END AS port,
-         CASE WHEN n >= 3 AND list_contains(__SUF2__,
-                   array_to_string(labels[n-1:n], '.'))
-              THEN array_to_string(labels[n-2:n], '.')
-              WHEN n >= 2 THEN array_to_string(labels[n-1:n], '.')
+         CASE WHEN n > ps THEN array_to_string(labels[n-ps:n], '.')
               ELSE host END AS registered_domain,
+         array_to_string(labels[n-ps+1:n], '.') AS public_suffix,
          CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
          coalesce(array_to_string(list_sort(list_filter(
              string_split(query, '&'),
              x -> x <> '' AND NOT (__TRACK__))), '&'), '') AS query_norm
-  FROM r),
+  FROM psl),
 canon AS (
   SELECT *, scheme || '://' || host ||
          (CASE WHEN port_s <> ''
@@ -1062,8 +1093,8 @@ canon AS (
          (CASE WHEN query_norm <> '' THEN '?' || query_norm
                ELSE '' END) AS url_norm
   FROM parsed)
-""".replace("__SUF2__", _URL_SUF2_SQL).replace("__TRACK__",
-                                               _URL_TRACK_PRED)
+""".replace("__TRACK__", _URL_TRACK_PRED) \
+   .replace("__PS__", _URL_PS_SQL).replace("__PRIV__", _URL_PRIV_SQL)
 
 
 def _url_parsed_cte(src: str = "documents",
@@ -1077,16 +1108,19 @@ _URL_PARSED_CTE = _url_parsed_cte()
 
 def _q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL parse + canonicalization (urls.url_parse): scheme/host/port/
-    registered-domain/path extraction plus the C4/CCNet normal form
-    (tracking params stripped, params sorted, default ports and
-    fragments dropped) — one zero-shuffle JVM regexp projection."""
+    path extraction plus the C4/CCNet normal form (tracking params
+    stripped, params sorted, default ports and fragments dropped), and
+    PSL-table-driven registered-domain / public-suffix / private-tier
+    resolution (wildcard + exception + private rules, broadcast join
+    chain — zero exchange). The oracle's CASE chain is generated from
+    the same rule rows and precedence order."""
     return urls.url_parse(_url_docs(spark, sf_dir))
 
 
 _URL_PARSE_ORACLE = f"""
 WITH {_URL_PARSED_CTE}
-SELECT doc_id, url, scheme, host, port, registered_domain, path,
-       query_norm, url_norm
+SELECT doc_id, url, scheme, host, port, registered_domain,
+       public_suffix, is_private_suffix, path, query_norm, url_norm
 FROM canon
 """
 

@@ -1534,6 +1534,15 @@ class TestUrlOps:
         (5, "https://localhost/x?a=1"),
         (6, "https://ads.site13.com/z?gclid=abc&b=2"),
         (7, "HTTPS://UPPER.example.COM/Mixed/Case?z=1&a=2"),
+        # PSL tiers: private suffix, wildcard zone (below / at depth),
+        # exception rules, '?' inside a fragment
+        (8, "https://proj.github.io/x"),
+        (9, "https://a.b.kawasaki.jp/x"),
+        (10, "https://b.kawasaki.jp/x"),
+        (11, "https://sub.city.kawasaki.jp/x"),
+        (12, "https://foo.www.ck/x"),
+        (13, "https://foo.bar.ck/x"),
+        (14, "https://h.example.com/p#sec?x=1"),
     ]
 
     @pytest.fixture(scope="class")
@@ -1570,13 +1579,55 @@ class TestUrlOps:
         assert by[7].path == "/Mixed/Case"
         assert by[7].query_norm == "a=2&z=1"
 
+    def test_psl_tiers(self, parsed):
+        """PSL resolution: private suffixes, wildcard zones, exception
+        rules (the publicsuffix.org algorithm, table-driven)."""
+        by = {r.doc_id: r for r in parsed.collect()}
+        # private tier: github.io is a (private) public suffix
+        assert by[8].registered_domain == "proj.github.io"
+        assert by[8].public_suffix == "github.io"
+        assert by[8].is_private_suffix is True
+        assert by[1].is_private_suffix is False
+        # wildcard *.kawasaki.jp: one host label joins the suffix
+        assert by[9].public_suffix == "b.kawasaki.jp"
+        assert by[9].registered_domain == "a.b.kawasaki.jp"
+        # host AT wildcard depth is itself the public suffix
+        assert by[10].public_suffix == "b.kawasaki.jp"
+        assert by[10].registered_domain == "b.kawasaki.jp"
+        # exception !city.kawasaki.jp cancels the wildcard
+        assert by[11].public_suffix == "kawasaki.jp"
+        assert by[11].registered_domain == "city.kawasaki.jp"
+        # exception !www.ck under *.ck
+        assert by[12].public_suffix == "ck"
+        assert by[12].registered_domain == "www.ck"
+        # plain *.ck wildcard otherwise
+        assert by[13].public_suffix == "bar.ck"
+        assert by[13].registered_domain == "foo.bar.ck"
+        # '?' inside a fragment is NOT a query
+        assert by[14].query_norm == ""
+        assert by[14].url_norm == "https://h.example.com/p"
+
+    def test_parse_plan_exchange_free(self, spark):
+        """The PSL join chain must stay broadcast — an Exchange in
+        url_parse would shuffle the whole corpus at scan level."""
+        from solarpos_spark.operators import urls
+
+        df = spark.createDataFrame(self.URLS, "doc_id long, url string")
+        plan = urls.url_parse(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for shuffle in ("Exchange hashpartitioning",
+                        "Exchange rangepartitioning",
+                        "Exchange SinglePartition"):
+            assert shuffle not in plan
+        assert "BroadcastHashJoin" in plan
+
     def test_blocklist_subdomain_semantics(self, parsed):
         from solarpos_spark.operators import urls
 
         surv = urls.blocklist_filter(parsed, ["co.uk", "site13.com"])
         kept = sorted(r.doc_id for r in surv.collect())
         # 1 blocked via public-suffix zone, 2 exact, 6 as subdomain
-        assert kept == [3, 4, 5, 7]
+        assert kept == [3, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14]
         # blocking a subdomain does NOT block its parent domain
         surv2 = urls.blocklist_filter(parsed, ["ads.site13.com"])
         kept2 = sorted(r.doc_id for r in surv2.collect())
@@ -1692,15 +1743,27 @@ def test_url_cross_engine_parse_parity(spark):
         "ftp://files.example.org:21/pub",
         "https://single",
         "", "no scheme at all", "://broken",
+        # PSL edges: private, wildcard at/below depth, exceptions,
+        # 4-label private wildcard (*.compute.amazonaws.com)
+        "https://user.blogspot.com/post",
+        "https://deep.proj.github.io/x",
+        "https://x.y.z.kawasaki.jp/",
+        "https://kawasaki.jp/",
+        "https://city.kawasaki.jp/",
+        "https://www.ck/",
+        "https://ck/",
+        "https://ec2-1-2-3-4.us-east-1.compute.amazonaws.com/api",
+        "https://s3.amazonaws.com/bucket",
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(cases)],
         "doc_id long, url string")
     got = {r.doc_id: (r.scheme, r.host, r.port, r.registered_domain,
+                      r.public_suffix, r.is_private_suffix,
                       r.path, r.query_norm, r.url_norm)
            for r in urls.url_parse(df).collect()}
 
-    suf2 = "[" + ", ".join(f"'{s}'" for s in urls.PUBLIC_SUFFIX_2) + "]"
+    ps_sql, priv_sql = urls.psl_resolution_sql()
     track = " OR ".join(f"starts_with(x, '{p}')"
                         for p in urls.TRACKING_PARAM_PREFIXES)
     vals = ", ".join(f"({i}, '{u}')" for i, u in enumerate(cases))
@@ -1710,7 +1773,8 @@ p0 AS (
   SELECT *, lower(regexp_extract(url, '{_SCHEME_RE}', 1)) AS scheme,
      regexp_extract(url, '{_AUTH_RE}', 1) AS auth,
      regexp_extract(url, '{_PATH_RE}', 1) AS path0,
-     regexp_extract(url, '{_QUERY_RE}', 1) AS query
+     regexp_extract(regexp_extract(url, '^[^#]*', 0),
+                    '{_QUERY_RE}', 1) AS query
   FROM u),
 r AS (
   SELECT *, lower(regexp_extract(auth, '{_HOST_RE}', 1)) AS host,
@@ -1720,21 +1784,23 @@ r AS (
      len(string_split(lower(regexp_extract(auth, '{_HOST_RE}', 1)),
          '.')) AS n
   FROM p0),
+psl AS (
+  SELECT *, {ps_sql} AS ps, {priv_sql} AS is_private_suffix
+  FROM r),
 parsed AS (
-  SELECT doc_id, scheme, host, port_s,
+  SELECT doc_id, scheme, host, port_s, is_private_suffix,
      CASE WHEN port_s = '' THEN NULL
           ELSE CAST(port_s AS BIGINT) END AS port,
-     CASE WHEN n >= 3 AND list_contains({suf2},
-               array_to_string(labels[n-1:n], '.'))
-          THEN array_to_string(labels[n-2:n], '.')
-          WHEN n >= 2 THEN array_to_string(labels[n-1:n], '.')
+     CASE WHEN n > ps THEN array_to_string(labels[n-ps:n], '.')
           ELSE host END AS registered_domain,
+     array_to_string(labels[n-ps+1:n], '.') AS public_suffix,
      CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
      coalesce(array_to_string(list_sort(list_filter(
          string_split(query, '&'),
          x -> x <> '' AND NOT ({track}))), '&'), '') AS query_norm
-  FROM r)
-SELECT doc_id, scheme, host, port, registered_domain, path, query_norm,
+  FROM psl)
+SELECT doc_id, scheme, host, port, registered_domain, public_suffix,
+   is_private_suffix, path, query_norm,
    scheme || '://' || host ||
    (CASE WHEN port_s <> ''
               AND NOT (scheme = 'http' AND port_s = '80')
