@@ -1517,21 +1517,23 @@ WITH h AS (
          || repeat('<a href="u">go</a>', CAST(doc_id % 4 AS INT))
          || '{_HTML_WRAP_SUFFIX}' AS text
   FROM documents),
-n AS (
-  SELECT doc_id, text,
-         CAST((length(text) - length(replace(text, '<a ', ''))) / 3
-              AS BIGINT) AS n_links
+s AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text,
+             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS stripped
   FROM h),
+n AS (
+  SELECT doc_id, stripped,
+         CAST(len(regexp_extract_all(stripped, '(?i)<a[\s>]'))
+              AS BIGINT) AS n_links
+  FROM s),
 c AS (
   SELECT doc_id, n_links,
          trim(regexp_replace(
            replace(replace(replace(replace(replace(replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(text,
-                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-               '(?s)<[^>]*>', ' ', 'g'),
+             regexp_replace(stripped, '(?s)<[^>]*>', ' ', 'g'),
              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
              '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
            '\s+', ' ', 'g')) AS t
@@ -1748,7 +1750,7 @@ h AS (
          ELSE least(255, CAST(floor(((value - s.lo) / (s.hi - s.lo))
                                     * 256.0) AS INT)) END AS bin,
          count(*) AS cnt
-  FROM events, s GROUP BY bin),
+  FROM events, s WHERE value IS NOT NULL GROUP BY bin),
 c AS (
   SELECT bin, cnt,
          CAST(sum(cnt) OVER (ORDER BY bin

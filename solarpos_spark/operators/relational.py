@@ -239,7 +239,13 @@ def histogram_quantiles(
     All arithmetic is engine-portable: min/max/count are order
     independent, the bucket map is pure double ops on identical inputs,
     cumulative sums are exact int64.
+
+    NULLs are excluded up front (ADVICE r4): count(col) already ignored
+    them, but a NULL bin in the histogram would shift the cumulative
+    ranks — and Spark windows order NULL bins first while DuckDB orders
+    them last, so the engines would diverge on null-bearing columns.
     """
+    df = df.filter(F.col(col).isNotNull())
     stats = df.agg(
         F.min(F.col(col)).alias("_lo"), F.max(F.col(col)).alias("_hi"),
         F.count(F.col(col)).alias("_n"))

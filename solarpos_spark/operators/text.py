@@ -367,12 +367,16 @@ def extract_html_text(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     extracted clean text.
     """
     raw = F.col(text_col)
-    n_links = ((F.length(raw)
-                - F.length(F.replace(raw, F.lit("<a "), F.lit(""))))
-               / F.lit(3)).cast("long")
-    t = F.regexp_replace(raw, r"(?is)<script[^>]*>.*?</script>", " ")
-    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
-    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    stripped = F.regexp_replace(raw, r"(?is)<script[^>]*>.*?</script>",
+                                " ")
+    stripped = F.regexp_replace(stripped,
+                                r"(?is)<style[^>]*>.*?</style>", " ")
+    # anchors counted AFTER the script/style strip (ADVICE r4): '<a>' /
+    # '<a\nhref' forms match, anchors inside removed subtrees don't —
+    # the signal now counts links that survive into the extracted text
+    n_links = F.regexp_count(
+        stripped, F.lit(r"(?i)<a[\s>]")).cast("long")
+    t = F.regexp_replace(stripped, r"(?s)<[^>]*>", " ")
     for ent, ch in _HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
@@ -591,11 +595,15 @@ def quality_classifier(
          .alias("word"))
     hashed = tok.select(
         "doc_id", (poly31_hash(F.col("word")) % n_buckets).alias("bucket"))
+    # LEFT join + zero-fill (ADVICE r4): a caller-supplied TRAINED weight
+    # table need not cover every bucket; uncovered words must score 0,
+    # not silently drop from n_words (or erase whole docs). The default
+    # table covers all buckets, so gate hashes are unchanged.
     scored = (
-        hashed.join(F.broadcast(weights), "bucket")
+        hashed.join(F.broadcast(weights), "bucket", "left")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_words"),
-             F.sum("wt").alias("score"))
+             F.sum(F.coalesce(F.col("wt"), F.lit(0))).alias("score"))
     )
     t = F.col("score") / (F.col("n_words") * F.lit(1000.0))
     return scored.select(

@@ -333,6 +333,20 @@ def funnel_first_match(
     State per key is O(in-flight windows); EventTimeTimeout wakes idle
     keys exactly when their earliest window closes.
 
+    Two-watermark (SPARK-40925) soundness: batch f late-filters inputs
+    with wm(<=f-2) but evicts state with wm(<=f-1), so rows can arrive
+    in the gap between the two. This operator stays exact because (a)
+    eviction in batch g uses wm(<=g-1), which IS batch g+1's late-filter
+    threshold — any filter-surviving future A has a_us >= that line, and
+    every B it could match satisfies b_us >= a_us, so no such B is ever
+    evicted early; (b) within a batch, inputs fold into state BEFORE
+    eviction/window-close run, so a gap A still scans B's the same
+    batch's eviction is about to drop; (c) an A-window closed at
+    wm(<=f-1) can never be completed by a later B, whose time must
+    exceed that same line and hence the window end. The adversarial gap
+    test (test_streaming.py, watermark_gap_arrival) pins (a)+(b) with a
+    first-match B retained exactly on the eviction boundary.
+
     Watermark caveat: Catalyst pushes the A/B type restriction BELOW the
     EventTimeWatermark node (into the scan), so rows of OTHER event types
     do not advance the watermark through this operator — only A/B event

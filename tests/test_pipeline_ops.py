@@ -1098,6 +1098,27 @@ class TestQualityClassifier:
                        quality_classifier(docs, weights=explicit).collect()))
         assert a == b and len(a) > 0
 
+    def test_sparse_weight_table_scores_missing_as_zero(self, spark):
+        """ADVICE r4: a trained table rarely covers every bucket —
+        uncovered words must contribute 0 (and still count in n_words);
+        a doc whose words ALL miss must survive with score 0/keep."""
+        from solarpos_spark.operators.text import quality_classifier
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta beta")],
+            "doc_id long, text string")
+        # a table holding ONLY alpha's bucket: beta scores 0 everywhere
+        from solarpos_spark.operators.dedup import poly31_hash
+        wt = df.sparkSession.createDataFrame(
+            [("alpha",)], "word string").select(
+            (poly31_hash(F.col("word")) % 4096).alias("bucket"),
+            F.lit(7).alias("wt"))
+        out = {r["doc_id"]: r
+               for r in quality_classifier(df, weights=wt).collect()}
+        assert out[1]["n_words"] == 2 and out[1]["score"] == 7
+        assert out[2]["n_words"] == 2 and out[2]["score"] == 0
+        assert out[2]["label"] == "keep"
+
     def test_prob_is_softsign_of_mean_weight(self, spark):
         from solarpos_spark.operators.text import quality_classifier
 
@@ -1502,6 +1523,22 @@ class TestHtmlExtract:
         assert out[2].text == "plain text, no markup"
         assert out[2].n_links == 0
         assert out[3].text == "'quoted'"
+
+    def test_link_count_edges(self, spark):
+        """ADVICE r4: '<a>' and '<a\\nhref' anchors count; anchors
+        inside script/style subtrees (removed from the text) don't;
+        '<abbr>' must not count as an anchor."""
+        from solarpos_spark.operators.text import extract_html_text
+
+        rows = [
+            (1, '<a>bare</a> <A\nhref="x">nl</A> <abbr>ab</abbr>'),
+            (2, '<script>var s = "<a href=x>y</a>";</script>'
+                '<style>a{}</style><a href="z">real</a>'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in extract_html_text(df).collect()}
+        assert out[1].n_links == 2
+        assert out[2].n_links == 1
 
     def test_script_with_angle_brackets_fully_removed(self, spark):
         """The (?s) non-greedy subtree patterns must swallow script

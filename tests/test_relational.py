@@ -332,6 +332,21 @@ class TestHistogramQuantiles:
         assert out.est_value == 7.5 == out.bin_lo == out.bin_hi
         assert out.n_below == 0
 
+    def test_nulls_excluded(self, spark):
+        """ADVICE r4: NULLs must not form a bin that shifts cumulative
+        ranks (Spark orders NULL bins first, DuckDB last — engines would
+        diverge); quantiles over a null-bearing column equal the
+        null-free result exactly."""
+        from solarpos_spark.operators.relational import histogram_quantiles
+
+        df = spark.range(1000).select(
+            F.when(F.col("id") % 3 == 0, None)
+             .otherwise((F.col("id") % 97).cast("double")).alias("v"))
+        clean = df.filter(F.col("v").isNotNull())
+        a = sorted(map(tuple, histogram_quantiles(df, "v").collect()))
+        b = sorted(map(tuple, histogram_quantiles(clean, "v").collect()))
+        assert a == b
+
     def test_max_value_lands_in_last_bin(self, spark):
         from solarpos_spark.operators.relational import histogram_quantiles
 

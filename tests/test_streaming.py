@@ -580,6 +580,80 @@ class TestFunnelFirstMatch:
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
 
+    def test_watermark_gap_arrival_matches_batch(self, spark, tmp_path):
+        """The SPARK-40925 two-watermark gap, adversarially (ADVICE r4):
+        batch f late-filters with wm(<=f-2) while state eviction in batch
+        f-1 used wm(<=f-2) too — eviction in batch g uses exactly batch
+        g+1's late-filter threshold, so a gap-arriving A (event time in
+        (wm(<=f-2), wm(<=f-1)]) must still find every B it could match
+        retained in state. Construction: B's arrive in batch 1, a
+        watermark pusher advances time in batch 2 (evicting a decoy B
+        below the gap and PROVING eviction ran), the gap A's arrive in
+        batch 3 after their matches, and the sentinel closes windows.
+        Committed rows must equal the batch fixpoint exactly."""
+        import glob
+        import os
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.operators.relational import sequence_pattern
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming.stateful import funnel_first_match
+
+        t0 = datetime(2024, 7, 3, 8, 0, 0)
+
+        def ts(sec):
+            return t0 + timedelta(seconds=sec)
+
+        # delay 60 s, within 120 s. Watermarks: wm(<=batch0) = 520-60 =
+        # 460; wm(<=batch1) = 600-60 = 540. Batch 2's two watermarks:
+        # late filter 460, eviction 540 — the gap is (460, 540].
+        files = [
+            # batch 0: user-1 B's — a decoy below the coming eviction
+            # line (@90) and first-match candidates just above it
+            [(0, 1, "purchase", ts(90)), (1, 1, "purchase", ts(462)),
+             (2, 1, "purchase", ts(510)), (3, 9, "purchase", ts(520))],
+            # batch 1: pusher + a user-1 row so the key's eviction RUNS
+            # with wm=460 (removes the @90 decoy; @462/@510 survive by
+            # exactly the eviction==next-late-filter alignment)
+            [(4, 9, "purchase", ts(580)), (5, 1, "purchase", ts(600))],
+            # batch 2: gap A's (460 < a <= 540) — each arrives AFTER its
+            # first-match B, already behind the eviction watermark
+            [(6, 1, "error", ts(461)),   # window [461,581]: first B @462
+             (7, 1, "error", ts(470))],  # window [470,590]: first B @510
+            # batch 3: sentinel closes every window
+            [(8, 9, "purchase", ts(36000))],
+        ]
+        rows = [r for f in files for r in f]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts timestamp")
+        in_dir = str(tmp_path / "in")
+        written: set = set()
+        for f, batch in enumerate(files):
+            ids = [r[0] for r in batch]
+            ev.filter(F.col("event_id").isin(ids)) \
+                .coalesce(1).write.mode("append").parquet(in_dir)
+            new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+            for p in new:
+                os.utime(p, (2_200_000_000 + 10 * f,) * 2)
+            written.update(new)
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+            .withWatermark("ts", "60 seconds")
+        out = funnel_first_match(stream, first_type="error",
+                                 then_type="purchase", within_seconds=120)
+        q = exactly_once_parquet_sink(out, str(tmp_path / "out"),
+                                      str(tmp_path / "ckpt"),
+                                      trigger_available_now=True)
+        q.awaitTermination()
+        got = spark.read.parquet(str(tmp_path / "out")) \
+            .select("user_id", "a_event_id", "b_event_id", "gap_usec")
+        want = sequence_pattern(ev, first_type="error",
+                                then_type="purchase", within_seconds=120)
+        assert got.count() == 2  # both gap A's found their true first B
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
     def test_resume_from_checkpoint_preserves_state(self, spark, tmp_path):
         """Kill the stateful funnel mid-stream and resume from the same
         checkpoint: pending-window state (array-encoded in the state
