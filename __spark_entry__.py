@@ -1643,6 +1643,82 @@ FROM s
 """
 
 
+def _q_quality_classifier_trained(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Deterministic classifier FIT + score
+    (text.quality_classifier_trained): batch perceptron over the hashed
+    bag-of-words relation, int64 updates to convergence (<= 60 rounds;
+    the template corpus separates at ~49/41 rounds at sf0.001/0.01, and
+    converged rounds are no-ops), labels from the deterministic
+    predicate "doc contains the token 'spark'". The oracle re-derives
+    the FULL training — every round unrolled as MATERIALIZED CTEs (w_t
+    is referenced twice per round; inlining would expand the plan
+    exponentially) — the same total-reconstruction discipline as the
+    IVF/PQ oracles."""
+    docs = _docs(spark, sf_dir)
+    label = F.array_contains(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "spark")
+    return text.quality_classifier_trained(docs, label, rounds=60)
+
+
+def _perceptron_trained_oracle(n_buckets: int = 4096,
+                               rounds: int = 60) -> str:
+    """Unrolled-training DuckDB oracle for quality_classifier_trained:
+    w1 = the all-docs update (round 0 weights are zero, so every doc is
+    misclassified), then per round t: score with w(t-1), take the
+    y*score <= 0 set, fold the per-bucket delta, full-outer-merge into
+    w(t). Mirrors text.train_quality_classifier int-for-int."""
+    poly = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(1, length(word) + 1), "
+            "i -> CAST(ascii(substr(word, i, 1)) AS BIGINT))), "
+            f"(acc, c) -> (acc * 31 + c) % 2147483647) % {n_buckets}")
+    ctes = [
+        ("d", r"SELECT doc_id, string_split_regex(lower(trim(text)), "
+              r"'\s+') AS ws FROM documents"),
+        ("y", "SELECT doc_id, CASE WHEN list_contains(ws, 'spark') "
+              "THEN 1 ELSE -1 END AS y FROM d"),
+        ("tok", "SELECT doc_id, unnest(ws) AS word FROM d"),
+        ("tb", f"SELECT doc_id, {poly} AS bucket, count(*) AS cnt "
+               f"FROM tok GROUP BY 1, 2 UNION ALL "
+               f"SELECT doc_id, {n_buckets} AS bucket, 1 AS cnt FROM d"),
+        ("w1", "SELECT bucket, sum(y.y * tb.cnt) AS wt "
+               "FROM tb JOIN y USING (doc_id) GROUP BY bucket"),
+    ]
+    for t in range(2, rounds + 1):
+        ctes += [
+            (f"s{t}", f"SELECT tb.doc_id, sum(tb.cnt * "
+                      f"coalesce(w{t - 1}.wt, 0)) AS score FROM tb "
+                      f"LEFT JOIN w{t - 1} USING (bucket) "
+                      f"GROUP BY tb.doc_id"),
+            (f"m{t}", f"SELECT y.doc_id, y.y FROM y JOIN s{t} "
+                      f"USING (doc_id) WHERE y.y * s{t}.score <= 0"),
+            (f"d{t}", f"SELECT bucket, sum(m{t}.y * tb.cnt) AS dw "
+                      f"FROM tb JOIN m{t} USING (doc_id) "
+                      f"GROUP BY bucket"),
+            (f"w{t}", f"SELECT coalesce(a.bucket, b.bucket) AS bucket, "
+                      f"coalesce(a.wt, 0) + coalesce(b.dw, 0) AS wt "
+                      f"FROM w{t - 1} a FULL JOIN d{t} b "
+                      f"ON a.bucket = b.bucket"),
+        ]
+    ctes.append(
+        ("sf", f"SELECT tb.doc_id, "
+               f"CAST(sum(CASE WHEN tb.bucket < {n_buckets} "
+               f"THEN tb.cnt ELSE 0 END) AS BIGINT) AS n_words, "
+               f"CAST(sum(tb.cnt * coalesce(wf.wt, 0)) AS BIGINT) "
+               f"AS score FROM tb LEFT JOIN w{rounds} wf "
+               f"ON tb.bucket = wf.bucket GROUP BY tb.doc_id"))
+    body = ",\n".join(
+        f"{name} AS MATERIALIZED ({sql})"
+        if name == "tb" or name.startswith("w")
+        else f"{name} AS ({sql})"
+        for name, sql in ctes)
+    return (f"WITH {body}\n"
+            f"SELECT sf.doc_id, n_words, score, "
+            f"CAST(y.y AS BIGINT) AS y, "
+            f"CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) "
+            f"AS pred FROM sf JOIN y USING (doc_id)")
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate spans (dedup.dup_span_windows — the
     window-hash approximation of Lee et al. 2022 suffix-array dedup):
@@ -4019,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": _q_url_blocklist,
         "dup_spans": _q_dup_spans,
         "quality_classifier": _q_quality_classifier,
+        "quality_classifier_trained": _q_quality_classifier_trained,
         "dsir_select": _q_dsir_select,
         "perplexity_buckets": _q_perplexity_buckets,
         "top_ngrams": _q_top_ngrams,
@@ -4230,6 +4307,7 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": _URL_BLOCKLIST_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
         "quality_classifier": _QUALITY_CLASSIFIER_ORACLE,
+        "quality_classifier_trained": _perceptron_trained_oracle(),
         "dsir_select": _DSIR_SELECT_ORACLE,
         "perplexity_buckets": _PERPLEXITY_BUCKETS_ORACLE,
         "top_ngrams": _TOP_NGRAMS_ORACLE,

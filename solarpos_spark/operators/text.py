@@ -617,6 +617,130 @@ def quality_classifier(
     )
 
 
+def _hashed_bag(df: DataFrame, label: Column, *, n_buckets: int,
+                text_col: str) -> DataFrame:
+    """(doc_id, y, bucket, cnt) hashed bag-of-words rows plus one bias
+    row per doc at bucket == n_buckets — the feature relation both the
+    perceptron fit and the trained scorer consume (identical hashing to
+    :func:`quality_classifier`). The ±1 target ``y`` rides along from
+    the start: deriving it here instead of joining a label relation
+    later keeps the training loop free of tb-vs-derived-from-tb
+    self-joins (see train_quality_classifier's plan note)."""
+    from .dedup import poly31_hash, spread_input
+
+    docs = spread_input(df.select(
+        "doc_id",
+        F.when(label, F.lit(1)).otherwise(F.lit(-1))
+         .cast("long").alias("y"),
+        text_col))
+    tok = docs.select(
+        "doc_id", "y",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+         .alias("word"))
+    bag = (tok.select(
+        "doc_id", "y",
+        (poly31_hash(F.col("word")) % n_buckets).alias("bucket"))
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    bias = docs.select(
+        "doc_id", "y", F.lit(n_buckets).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("cnt"))
+    return bag.unionByName(bias)
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label: Column,
+    *,
+    n_buckets: int = 4096,
+    rounds: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic FIT stage for the hashed linear classifier: batch
+    perceptron over the hashed bag-of-words relation, fixed ``rounds``
+    iterations of pure int64 arithmetic (the ivf_train_centroids loop
+    discipline — only a bounded weight-delta relation ever crosses to
+    the driver, <= n_buckets + 1 ints per round).
+
+    Per round: score every doc against the current weights (broadcast
+    sparse relation, missing buckets = 0), take the misclassified set
+    (y * score <= 0 — round 0 has zero weights, so every doc updates),
+    and fold the batch update w[b] += sum(y * cnt) over misclassified
+    docs. All sums are int64 over ints — order-independent, so the
+    trained weights are bit-identical under any partitioning, and a
+    DuckDB oracle re-derives the FULL training by unrolling the same
+    rounds (``_perceptron_oracle`` in __spark_entry__.py).
+
+    ``label`` is a deterministic boolean Column over ``df`` (+1/-1
+    target). A bias feature rides at bucket == n_buckets. Converged
+    rounds (empty misclassified set) are no-ops, so extra rounds never
+    change the answer. Returns the sparse (bucket, wt) weight relation
+    (zero weights dropped; safe because scoring coalesces misses to 0).
+
+    Plan note: the per-round misclassified set is computed with a
+    window sum over the SAME single pass that feeds the bucket
+    aggregate — never as ``tb.join(aggregate-of-tb)``. Besides saving a
+    shuffle, that self-join shape silently DUPLICATED every matched row
+    once per union branch of tb under Spark 4.1's self-join
+    deduplication (observed 2x deltas, 2026-08-17); the window form has
+    one unambiguous lineage.
+    """
+    spark = df.sparkSession
+    tb = _hashed_bag(df, label, n_buckets=n_buckets, text_col=text_col)
+    wts: dict[int, int] = {}
+    for _ in range(rounds):
+        if wts:
+            wdf = spark.createDataFrame(
+                sorted(wts.items()), "bucket long, wt long")
+            score = F.sum(
+                F.col("cnt") * F.coalesce(F.col("wt"), F.lit(0))
+            ).over(Window.partitionBy("doc_id"))
+            mis_rows = (tb.join(F.broadcast(wdf), "bucket", "left")
+                        .withColumn("_s", score)
+                        .filter(F.col("y") * F.col("_s") <= 0))
+        else:
+            mis_rows = tb  # zero weights score every doc 0 -> all update
+        delta = (mis_rows.groupBy("bucket")
+                 .agg(F.sum(F.col("y") * F.col("cnt")).alias("dw"))
+                 .collect())  # bounded: <= n_buckets + 1 int rows
+        if not delta:
+            break  # converged; remaining rounds are no-ops
+        for r in delta:
+            wts[r["bucket"]] = wts.get(r["bucket"], 0) + r["dw"]
+        wts = {b: w for b, w in wts.items() if w != 0}
+    return spark.createDataFrame(
+        sorted(wts.items()) or [(0, 0)], "bucket long, wt long")
+
+
+def quality_classifier_trained(
+    df: DataFrame,
+    label: Column,
+    *,
+    n_buckets: int = 4096,
+    rounds: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit (:func:`train_quality_classifier`) then score: each doc's
+    trained int64 score, its deterministic target y and the thresholded
+    prediction (score > 0 -> +1, ties negative — the same tie rule the
+    fit's misclassification test uses). Output: (doc_id, n_words,
+    score, y, pred), all int64 — bit-stable under any shuffle."""
+    w = train_quality_classifier(
+        df, label, n_buckets=n_buckets, rounds=rounds, text_col=text_col)
+    tb = _hashed_bag(df, label, n_buckets=n_buckets, text_col=text_col)
+    scored = (tb.join(F.broadcast(w), "bucket", "left")
+              .groupBy("doc_id", "y")
+              .agg(F.sum(F.when(F.col("bucket") < n_buckets, F.col("cnt"))
+                          .otherwise(F.lit(0))).cast("long")
+                    .alias("n_words"),
+                   F.sum(F.col("cnt") * F.coalesce(F.col("wt"), F.lit(0)))
+                    .cast("long").alias("score")))
+    return scored.select(
+        "doc_id", "n_words", "score", "y",
+        F.when(F.col("score") > 0, F.lit(1)).otherwise(F.lit(-1))
+         .cast("long").alias("pred"))
+
+
 def _dsir_buckets(df: DataFrame, target: Column, *, n_buckets: int,
                   text_col: str) -> DataFrame:
     """(doc_id, _tgt, bucket) token rows — shared fit/score derivation."""

@@ -1119,6 +1119,59 @@ class TestQualityClassifier:
         assert out[2]["n_words"] == 2 and out[2]["score"] == 0
         assert out[2]["label"] == "keep"
 
+    @staticmethod
+    def _auc(pairs):
+        """Mann-Whitney AUC with average ranks for ties."""
+        pairs = sorted(pairs)  # (score, y)
+        ranks, i = {}, 0
+        while i < len(pairs):
+            j = i
+            while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+                j += 1
+            r = (i + j + 1) / 2  # average 1-based rank of the tie block
+            for k in range(i, j):
+                ranks[k] = r
+            i = j
+        pos = [k for k, (_, y) in enumerate(pairs) if y > 0]
+        n_pos, n_neg = len(pos), len(pairs) - len(pos)
+        rank_sum = sum(ranks[k] for k in pos)
+        return (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+    def test_trained_beats_fixed_weights(self, spark):
+        """The perceptron fit must separate the deterministic label far
+        better than the fixed hash-derived weights — AUC on the template
+        corpus (the VERDICT r4 'done' condition)."""
+        from solarpos_spark.operators.text import (quality_classifier,
+                                                   quality_classifier_trained)
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        label = F.array_contains(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "spark")
+        trained = quality_classifier_trained(docs, label, rounds=60)
+        t_rows = trained.collect()
+        auc_t = self._auc([(r["score"], r["y"]) for r in t_rows])
+        y_by_doc = {r["doc_id"]: r["y"] for r in t_rows}
+        f_rows = quality_classifier(docs).collect()
+        auc_f = self._auc([(r["score"], y_by_doc[r["doc_id"]])
+                           for r in f_rows])
+        assert auc_t > 0.97
+        assert auc_t > auc_f + 0.2
+        # and the thresholded predictions are decent outright
+        acc = sum(r["pred"] == r["y"] for r in t_rows) / len(t_rows)
+        assert acc > 0.9
+
+    def test_training_deterministic_under_repartition(self, spark):
+        from solarpos_spark.operators.text import quality_classifier_trained
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        label = F.array_contains(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "spark")
+        a = sorted(map(tuple, quality_classifier_trained(
+            docs, label, rounds=4).collect()))
+        b = sorted(map(tuple, quality_classifier_trained(
+            docs.repartition(17), label, rounds=4).collect()))
+        assert a == b and len(a) > 0
+
     def test_prob_is_softsign_of_mean_weight(self, spark):
         from solarpos_spark.operators.text import quality_classifier
 
