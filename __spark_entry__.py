@@ -1890,6 +1890,79 @@ FROM events GROUP BY event_type
 """
 
 
+_CHAIN_TYPES = ("view", "click", "purchase")
+_CHAIN_WITHIN = 86400
+
+
+def _q_sequence_pattern_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step CEP chain (relational.sequence_pattern_chain): each view's
+    committed first click within 24 h, then THAT click's committed
+    first purchase within another 24 h — greedy MATCH_RECOGNIZE-style
+    steps with no backtracking, k-1 stacked window passes sharing ONE
+    exchange + sort. The oracle states the same fixpoint as per-step
+    first-match mappings joined on committed successors."""
+    from solarpos_spark.operators import relational
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return relational.sequence_pattern_chain(
+        ev, list(_CHAIN_TYPES), within_seconds=_CHAIN_WITHIN)
+
+
+def _sequence_chain_oracle(types: tuple[str, ...],
+                           within_seconds: int,
+                           *,
+                           id_below: int | None = None,
+                           wm_cut_delay_s: int | None = None) -> str:
+    """Stepwise-fixpoint DuckDB oracle for sequence_pattern_chain:
+    mapping m_i = each types[i] row's committed first types[i+1]
+    successor (row_number over (us, id)); a chain is the join of all
+    mappings on dst = next src, so it exists iff every committed link
+    exists — byte-identical semantics to the window implementation.
+
+    ``wm_cut_delay_s`` adds the streaming cut for
+    stream_funnel3_committed: only chains whose head horizon
+    (head_us + (k-1)*within) the FINAL watermark passed have emitted.
+    The watermark is driven by chain-type rows only (the type filter
+    pushes below the EventTimeWatermark node); Spark tracks it in ms,
+    hence the //1000 truncations."""
+    w_us = int(within_seconds) * 1_000_000
+    quoted = ", ".join(f"'{t}'" for t in types)
+    idf = f" AND event_id < {id_below}" if id_below is not None else ""
+    ctes = [("e", "SELECT user_id, event_id, event_type, epoch_us(ts) "
+                  f"AS us FROM events WHERE event_type IN ({quoted})"
+                  f"{idf}")]
+    for i in range(len(types) - 1):
+        ctes.append((f"l{i}",
+                     f"SELECT x.user_id, x.event_id AS src, x.us AS "
+                     f"src_us, y.event_id AS dst, y.us AS dst_us, "
+                     f"row_number() OVER (PARTITION BY x.event_id "
+                     f"ORDER BY y.us, y.event_id) AS rn "
+                     f"FROM e x JOIN e y ON y.user_id = x.user_id "
+                     f"AND x.event_type = '{types[i]}' "
+                     f"AND y.event_type = '{types[i + 1]}' "
+                     f"AND (y.us > x.us OR (y.us = x.us "
+                     f"AND y.event_id > x.event_id)) "
+                     f"AND y.us <= x.us + {w_us}"))
+        ctes.append((f"m{i}", f"SELECT user_id, src, src_us, dst, "
+                              f"dst_us FROM l{i} WHERE rn = 1"))
+    k = len(types)
+    cut = ""
+    if wm_cut_delay_s is not None:
+        ctes.append(("wm", "SELECT max(us) AS mx FROM e"))
+        cut = (f", wm WHERE (m0.src_us + {(k - 1) * w_us}) // 1000 "
+               f"< wm.mx // 1000 - {int(wm_cut_delay_s) * 1000}")
+    body = ",\n".join(f"{n} AS ({q})" for n, q in ctes)
+    joins = " ".join(
+        f"JOIN m{i} ON m{i}.src = m{i - 1}.dst" for i in range(1, k - 1))
+    steps = ["CAST(m0.src AS BIGINT) AS step1_id"] + [
+        f"CAST(m{i}.dst AS BIGINT) AS step{i + 2}_id"
+        for i in range(k - 1)]
+    return (f"WITH {body}\n"
+            f"SELECT m0.user_id, {', '.join(steps)}, "
+            f"CAST(m{k - 2}.dst_us - m0.src_us AS BIGINT) AS gap_usec "
+            f"FROM m0 {joins}{cut}")
+
+
 def _q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP funnel primitive (relational.sequence_pattern): first 'purchase'
     by the same user strictly after each 'error' and within 10 minutes —
@@ -3786,6 +3859,56 @@ WHERE (a_us + 600 * 1000000) // 1000 < mx // 1000 - 3600 * 1000
 """
 
 
+def _q_stream_funnel3_committed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming 3-step CEP chain via applyInPandasWithState
+    (streaming/stateful.py funnel_chain_first), gate-hashed:
+    view -> click -> purchase with committed 24 h links, events in 4
+    time-quartile files (pinned order, maxFilesPerTrigger=1). Per-user
+    state buffers the chain-type events inside the rolling 48 h
+    horizon; a chain emits exactly when the watermark passes its head's
+    horizon. In-order quartiles mean no late drops, so the committed
+    set is the batch sequence_pattern_chain fixpoint CUT at the final
+    watermark — the oracle states exactly that."""
+    import glob
+    import os
+
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming.stateful import funnel_chain_first
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamfunnel3_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter((F.col("event_id") < 10000)
+                & F.col("event_type").isin(*_CHAIN_TYPES)) \
+        .select("event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type") \
+        .withColumn("_us", F.unix_micros(F.col("ts")))
+    bounds = ev.agg(F.min("_us"), F.max("_us")).collect()[0]
+    tmin, tmax = int(bounds[0]), int(bounds[1])
+    width = (tmax - tmin) // 4 + 1
+    written: set[str] = set()
+    for i in range(4):
+        ev.filter((F.col("_us") - tmin) / width >= i) \
+          .filter((F.col("_us") - tmin) / width < i + 1) \
+          .drop("_us").coalesce(1).write.mode("append").parquet(in_dir)
+        new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+        for p in new:
+            os.utime(p, (1_520_000_000 + 10 * i, 1_520_000_000 + 10 * i))
+        written.update(new)
+    schema = ev.drop("_us").schema
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+        .withWatermark("ts", "1 hour")
+    out = funnel_chain_first(stream, list(_CHAIN_TYPES),
+                             within_seconds=_CHAIN_WITHIN)
+    q = exactly_once_parquet_sink(out, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "user_id", "step1_id", "step2_id", "step3_id", "gap_usec")
+
+
 def _q_stream_quota_committed(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Streaming per-key admission quota via applyInPandasWithState
@@ -4110,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
+        "sequence_pattern_3": _q_sequence_pattern_3,
         "event_quantiles": _q_event_quantiles,
         "value_histogram_quantiles": _q_value_histogram_quantiles,
         "multimodal_meta": _q_multimodal_meta,
@@ -4158,6 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_committed": _q_stream_join_committed,
         "stream_funnel_committed": _q_stream_funnel_committed,
         "stream_funnel_first_committed": _q_stream_funnel_first_committed,
+        "stream_funnel3_committed": _q_stream_funnel3_committed,
         "stream_quota_committed": _q_stream_quota_committed,
     }
 
@@ -4322,6 +4447,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _HTML_EXTRACT_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
+        "sequence_pattern_3": _sequence_chain_oracle(_CHAIN_TYPES, _CHAIN_WITHIN),
         "event_quantiles": _EVENT_QUANTILES_ORACLE,
         "value_histogram_quantiles": _VALUE_HISTOGRAM_QUANTILES_ORACLE,
         "multimodal_meta": _MULTIMODAL_ORACLE,
@@ -4370,6 +4496,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_join_committed": _stream_join_oracle(),
         "stream_funnel_committed": _STREAM_FUNNEL_ORACLE,
         "stream_funnel_first_committed": _STREAM_FUNNEL_FIRST_ORACLE,
+        "stream_funnel3_committed": _sequence_chain_oracle(
+            _CHAIN_TYPES, _CHAIN_WITHIN, id_below=10000,
+            wm_cut_delay_s=3600),
         "stream_quota_committed": _STREAM_QUOTA_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),

@@ -379,3 +379,87 @@ def sequence_pattern(
             (F.col("_nb.us") - F.col("_us")).alias("gap_usec"),
         )
     )
+
+
+def sequence_pattern_chain(
+    events: DataFrame,
+    types: Sequence[str],
+    *,
+    within_seconds: int,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """n-step CEP chain: for every ``types[0]`` event, its FIRST
+    ``types[1]`` successor within ``within_seconds``, then THAT row's
+    first ``types[2]`` successor within another ``within_seconds``, and
+    so on — iterated first-match composition of
+    :func:`sequence_pattern` (MATCH_RECOGNIZE's A B C ... pattern with
+    greedy committed steps: no backtracking, so a chain fails if the
+    first-match successor at any step has no onward match, exactly like
+    a committed greedy quantifier).
+
+    Plan shape: k-1 stacked window passes, all on the SAME
+    (partitionBy key, orderBy (event time, id)) spec, so Catalyst plans
+    ONE exchange + ONE sort and evaluates the Window operators back to
+    back — still no A x B join blow-up at any step. Each pass runs
+    back-to-front: a row of ``types[i]`` learns the first following
+    ``types[i+1]`` row that itself completed the rest of the chain, via
+    ``min(struct(us, id, ids, last_us))`` over the following frame
+    ((us, id) leads the struct and is unique, so the carried chain ids
+    never influence the ordering). Repeated types in the pattern are
+    fine: each step keeps its own chain column.
+
+    Output: (``by``, step1_id ... stepk_id, gap_usec) where gap_usec is
+    the exact microsecond span from the first to the last matched event
+    (integer — engine-portable).
+    """
+    types = list(types)
+    k = len(types)
+    if k < 2:
+        raise ValueError("sequence_pattern_chain needs >= 2 step types")
+    within_us = int(within_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = events.filter(F.col(type_col).isin(*set(types))).select(
+        F.col(by), F.col(id_col), F.col(type_col), us.alias("_us"))
+    w = (Window.partitionBy(by)
+         .orderBy(F.col("_us").asc(), F.col(id_col).asc())
+         .rowsBetween(1, Window.unboundedFollowing))
+    # _s{i} on a types[i] row = (us, id, chain ids from here to the end,
+    # last us) if the COMMITTED chain from this row completes, else null
+    e = e.withColumn(
+        f"_s{k - 1}",
+        F.when(F.col(type_col) == types[k - 1],
+               F.struct(F.col("_us").alias("us"),
+                        F.col(id_col).alias("id"),
+                        F.array(F.col(id_col)).alias("ids"),
+                        F.col("_us").alias("last_us"))))
+    for i in range(k - 2, -1, -1):
+        # committed semantics: the candidate is the first types[i+1] row
+        # REGARDLESS of whether its own suffix completed — its (possibly
+        # null) suffix rides inside the min struct behind the unique
+        # (us, id) prefix, and a null suffix kills the chain
+        nxt = F.min(
+            F.when(F.col(type_col) == types[i + 1],
+                   F.struct(F.col("_us").alias("us"),
+                            F.col(id_col).alias("id"),
+                            F.col(f"_s{i + 1}").alias("s")))).over(w)
+        e = e.withColumn(
+            f"_s{i}",
+            F.when((F.col(type_col) == types[i])
+                   & nxt.isNotNull()
+                   & (nxt["us"] <= F.col("_us") + F.lit(within_us))
+                   & nxt["s"].isNotNull(),
+                   F.struct(F.col("_us").alias("us"),
+                            F.col(id_col).alias("id"),
+                            F.concat(F.array(F.col(id_col)),
+                                     nxt["s"]["ids"]).alias("ids"),
+                            nxt["s"]["last_us"].alias("last_us"))))
+    done = e.filter(F.col("_s0").isNotNull())
+    return done.select(
+        F.col(by),
+        *[F.element_at(F.col("_s0.ids"), i + 1).alias(f"step{i + 1}_id")
+          for i in range(k)],
+        (F.col("_s0.last_us") - F.col("_s0.us")).alias("gap_usec"),
+    )

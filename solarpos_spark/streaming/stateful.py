@@ -202,6 +202,133 @@ def first_n_per_key(
     )
 
 
+#: chain state: one buffered event per array slot — (id, event usec,
+#: step-type index into the chain's type list)
+CHAIN_STATE_SCHEMA = StructType([
+    StructField("ids", ArrayType(LongType())),
+    StructField("uss", ArrayType(LongType())),
+    StructField("tps", ArrayType(LongType())),
+])
+
+
+def _make_chain(types: list[str], within_us: int):
+    import bisect
+
+    k = len(types)
+    tindex = {t: i for i, t in enumerate(types)}
+    horizon = (k - 1) * within_us
+    cols = (["user_id"] + [f"step{i + 1}_id" for i in range(k)]
+            + ["gap_usec"])
+
+    def run(key: tuple, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ids, uss, tps = [list(x) for x in state.get]
+        else:
+            ids, uss, tps = [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            for eid, etype, eus in zip(pdf["event_id"],
+                                       pdf["event_type"], us):
+                ti = tindex.get(etype)
+                if ti is not None:
+                    ids.append(int(eid))
+                    uss.append(int(eus))
+                    tps.append(ti)
+
+        wm_ms = state.getCurrentWatermarkMs()
+        order = sorted(range(len(ids)), key=lambda i: (uss[i], ids[i]))
+        by_type: dict[int, list] = {}
+        for i in order:
+            by_type.setdefault(tps[i], []).append((uss[i], ids[i]))
+        out = []
+        for i in order:
+            # a chain head is FINAL once the watermark passes its full
+            # horizon: every committed link lands at us <= head_us +
+            # (k-1)*within, and any later-arriving candidate would be
+            # late-filtered (the funnel_first_match alignment argument)
+            if tps[i] == 0 and wm_ms > (uss[i] + horizon) // 1000:
+                cur_us, cur_id = uss[i], ids[i]
+                chain = [ids[i]]
+                for step in range(1, k):
+                    cands = by_type.get(step, [])
+                    j = bisect.bisect_right(cands, (cur_us, cur_id))
+                    if j >= len(cands) or \
+                            cands[j][0] > cur_us + within_us:
+                        chain = None
+                        break
+                    cur_us, cur_id = cands[j]
+                    chain.append(cur_id)
+                if chain is not None:
+                    out.append([user_id, *chain, cur_us - uss[i]])
+        keep = [i for i in range(len(ids))
+                if wm_ms <= (uss[i] + horizon) // 1000]
+        ids = [ids[i] for i in keep]
+        uss = [uss[i] for i in keep]
+        tps = [tps[i] for i in keep]
+        if ids:
+            state.update((ids, uss, tps))
+            ts = min((u + horizon) // 1000 + 1 for u in uss)
+            state.setTimeoutTimestamp(max(ts, wm_ms + 1))
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return run
+
+
+def funnel_chain_first(
+    events: DataFrame,
+    types: list[str] | tuple[str, ...],
+    *,
+    within_seconds: int,
+) -> DataFrame:
+    """Streaming n-step CEP chain — the stateful complement of
+    relational.sequence_pattern_chain with the SAME committed greedy
+    semantics: each ``types[0]`` event's first ``types[1]`` successor
+    within the window, then THAT row's first ``types[2]`` successor,
+    and so on, no backtracking. One output row per completed chain,
+    emitted exactly when the event-time watermark passes the head's
+    full horizon ``head_us + (k-1)*within`` — by then every committed
+    link is immutable (a link-i candidate lands at most i*within past
+    the head, and anything arriving after the horizon is late-filtered
+    by the same eviction==next-late-filter alignment funnel_first_match
+    documents), so cross-batch out-of-order arrival cannot change the
+    committed set and batch == stream (pytest locks it under shuffled
+    delivery).
+
+    State per key: the buffered chain-type events inside the rolling
+    horizon (id, us, step index — O(events per key per (k-1)*within)),
+    evicted as the watermark passes their own horizon; emission is
+    computed before eviction in the same invocation, so a closing head
+    still sees every candidate. EventTimeTimeout wakes idle keys when
+    their earliest buffered row's horizon expires.
+
+    ``events`` must already carry an event-time watermark on ``ts``.
+    Output: (user_id, step1_id ... stepk_id, gap_usec).
+    """
+    types = list(types)
+    if len(types) < 2:
+        raise ValueError("funnel_chain_first needs >= 2 step types")
+    k = len(types)
+    schema = StructType(
+        [StructField("user_id", LongType())]
+        + [StructField(f"step{i + 1}_id", LongType()) for i in range(k)]
+        + [StructField("gap_usec", LongType())])
+    filtered = events.filter(events["event_type"].isin(*types))
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        _make_chain(types, int(within_seconds) * 1_000_000),
+        outputStructType=schema,
+        stateStructType=CHAIN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 FUNNEL_OUTPUT_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("a_event_id", LongType()),

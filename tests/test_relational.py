@@ -299,6 +299,82 @@ class TestSequencePattern:
         assert out[0]["b_event_id"] == 8 and out[0]["gap_usec"] == 0
 
 
+SF = "/root/testdata/sf0.001"
+
+
+class TestSequencePatternChain:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts timestamp")
+
+    def test_committed_no_backtracking(self, spark):
+        """The chain commits to the FIRST successor at each step: if
+        that row has no onward match, the chain fails — it must not
+        backtrack to a later successor that would have completed."""
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.operators.relational import (
+            sequence_pattern_chain)
+
+        t0 = datetime(2024, 7, 4, 8, 0, 0)
+        s = timedelta(seconds=1)
+        rows = [
+            (0, 1, "view", t0), (1, 1, "click", t0 + 10 * s),
+            (2, 1, "click", t0 + 100 * s),
+            (3, 1, "purchase", t0 + 200 * s),
+        ]
+        out = sequence_pattern_chain(
+            self._ev(spark, rows), ["view", "click", "purchase"],
+            within_seconds=120).collect()
+        assert out == []  # click@10 committed, its purchase is 190s away
+
+    def test_chain_and_gap(self, spark):
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.operators.relational import (
+            sequence_pattern_chain)
+
+        t0 = datetime(2024, 7, 4, 8, 0, 0)
+        s = timedelta(seconds=1)
+        rows = [
+            (0, 1, "view", t0), (1, 1, "click", t0 + 30 * s),
+            (2, 1, "purchase", t0 + 70 * s),
+            (3, 1, "click", t0 + 90 * s),  # later click ignored
+        ]
+        out = sequence_pattern_chain(
+            self._ev(spark, rows), ["view", "click", "purchase"],
+            within_seconds=120).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["step1_id"], r["step2_id"], r["step3_id"]) == (0, 1, 2)
+        assert r["gap_usec"] == 70_000_000
+
+    def test_2step_equals_sequence_pattern(self, spark):
+        from solarpos_spark.operators.relational import (
+            sequence_pattern, sequence_pattern_chain)
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        a = sorted(map(tuple, sequence_pattern_chain(
+            ev, ["error", "purchase"], within_seconds=600).collect()))
+        b = sorted(map(tuple, sequence_pattern(
+            ev, first_type="error", then_type="purchase",
+            within_seconds=600).collect()))
+        assert a == b and len(a) > 0
+
+    def test_single_exchange_plan(self, spark):
+        """k-1 window passes must share ONE exchange + ONE sort."""
+        from solarpos_spark.operators.relational import (
+            sequence_pattern_chain)
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        plan = sequence_pattern_chain(
+            ev, ["view", "click", "purchase"], within_seconds=86400
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Window") == 2
+
+
 class TestHistogramQuantiles:
     def test_within_one_bin_of_exact(self, spark):
         from solarpos_spark.operators.relational import histogram_quantiles

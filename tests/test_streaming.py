@@ -748,6 +748,96 @@ class TestFunnelFirstMatch:
         assert want.exceptAll(got).count() == 0
 
 
+class TestFunnelChain:
+    def test_stream_chain_equals_batch_under_shuffled_delivery(
+            self, spark, tmp_path):
+        """funnel_chain_first (n-step committed CEP) must commit EXACTLY
+        relational.sequence_pattern_chain's rows for the same input,
+        even with multi-batch shuffled delivery — links commit only
+        when the watermark passes the head's full horizon. Includes the
+        committed-semantics trap: a head whose FIRST successor has no
+        onward match must fail (no backtracking to the second)."""
+        import glob
+        import os
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.operators.relational import (
+            sequence_pattern_chain)
+        from solarpos_spark.sinks.exactly_once import (
+            exactly_once_parquet_sink)
+        from solarpos_spark.streaming.stateful import funnel_chain_first
+
+        t0 = datetime(2024, 7, 4, 8, 0, 0)
+        s = timedelta(seconds=1)
+        rows, eid = [], 0
+
+        def add(u, typ, sec):
+            nonlocal eid
+            rows.append((eid, u, typ, t0 + sec * s))
+            eid += 1
+
+        # user 0: clean chain A@0 -> B@30 -> C@70 (B@90 ignored)
+        add(0, "view", 0); add(0, "click", 30)
+        add(0, "click", 90); add(0, "purchase", 70)
+        # user 1: committed trap — first click@10 has no purchase within
+        # 120 s of it (purchase@200 > 10+120); click@100 would chain,
+        # but committed semantics must NOT backtrack: no match
+        add(1, "view", 5); add(1, "click", 10)
+        add(1, "click", 100); add(1, "purchase", 200)
+        # user 2: two heads commit to the SAME click->purchase tail
+        add(2, "view", 0); add(2, "view", 50)
+        add(2, "click", 60); add(2, "purchase", 150)
+        # user 3: same-ts tiebreak (click id > view id at equal ts)
+        add(3, "view", 40)
+        rows.append((eid, 3, "click", t0 + 40 * s)); eid += 1
+        add(3, "purchase", 41)
+        # sentinel: far-future tail-type row drives the final watermark
+        # past every horizon (tail type can't head a chain; 10 h away
+        # can't serve any 120 s link)
+        sentinel_id = eid
+        add(9, "purchase", 36000)
+
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts timestamp")
+        in_dir = str(tmp_path / "in")
+        written: set = set()
+        for f in range(3):  # shuffled delivery by id mod 3, sentinel last
+            part = ev.filter(
+                ((F.col("event_id") % 3 == f)
+                 & (F.col("event_id") != sentinel_id))
+                | (F.lit(f == 2) & (F.col("event_id") == sentinel_id)))
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+            for p in new:
+                os.utime(p, (2_300_000_000 + 10 * f,) * 2)
+            written.update(new)
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+            .withWatermark("ts", "2 hours")
+        out = funnel_chain_first(stream, ["view", "click", "purchase"],
+                                 within_seconds=120)
+        q = exactly_once_parquet_sink(out, str(tmp_path / "out"),
+                                      str(tmp_path / "ckpt"),
+                                      trigger_available_now=True)
+        q.awaitTermination()
+        got = spark.read.parquet(str(tmp_path / "out")) \
+            .select("user_id", "step1_id", "step2_id", "step3_id",
+                    "gap_usec")
+        want = sequence_pattern_chain(ev, ["view", "click", "purchase"],
+                                      within_seconds=120)
+        gd = {r["user_id"]: r for r in got.collect()}
+        # user 0 chains 0->1->3; user 1 must NOT match (committed trap);
+        # user 2: both heads commit to click@60 -> purchase@150;
+        # user 3 resolves the same-ts tiebreak
+        assert 1 not in gd and 0 in gd and 3 in gd
+        assert got.filter(F.col("user_id") == 2).count() == 2
+        assert (gd[0]["step1_id"], gd[0]["step2_id"], gd[0]["step3_id"]) \
+            == (0, 1, 3)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
 class TestStreamingHll:
     def test_registers_match_batch_and_batching_invariant(
             self, spark, tmp_path):
