@@ -3859,6 +3859,104 @@ WHERE (a_us + 600 * 1000000) // 1000 < mx // 1000 - 3600 * 1000
 """
 
 
+def _q_stream_session_committed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (F.session_window, the north_rule's
+    named stream primitive), gate-hashed: per-user 30-min-gap sessions
+    over events arriving in 4 time-quartile files (pinned order,
+    maxFilesPerTrigger=1), APPEND mode — a session commits only once
+    the 1 h watermark passes its end. Quartiles are disjoint time
+    ranges, so no row is late-dropped AND no committed session can ever
+    be extended (a continuing row would have to sit within the gap of a
+    session the watermark already passed — impossible when new rows
+    arrive above the previous file's max). Sessions STRADDLING quartile
+    boundaries merge in state across micro-batches — the semantics this
+    entry pins. The committed set is therefore the batch session
+    fixpoint CUT at the final watermark; the oracle states that cut
+    (Spark tracks event time in ms — the //1000 truncations). The money
+    column folds to integer cents so the hash is float-free."""
+    import glob
+    import os
+
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamsess_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_id") < 10000) \
+        .select("event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "value") \
+        .withColumn("_us", F.unix_micros(F.col("ts")))
+    bounds = ev.agg(F.min("_us"), F.max("_us")).collect()[0]
+    tmin, tmax = int(bounds[0]), int(bounds[1])
+    width = (tmax - tmin) // 4 + 1
+    written: set[str] = set()
+    for i in range(4):
+        ev.filter((F.col("_us") - tmin) / width >= i) \
+          .filter((F.col("_us") - tmin) / width < i + 1) \
+          .drop("_us").coalesce(1).write.mode("append").parquet(in_dir)
+        new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+        for p in new:
+            os.utime(p, (1_540_000_000 + 10 * i, 1_540_000_000 + 10 * i))
+        written.update(new)
+    schema = ev.drop("_us").schema
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+        .withWatermark("ts", "1 hour")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    sess = (stream.groupBy(
+                F.session_window(F.col("ts"), "30 minutes").alias("w"),
+                F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(cents).alias("value_cents"))
+            .select("user_id",
+                    F.unix_timestamp("w.start").alias("session_start"),
+                    F.unix_timestamp("w.end").alias("session_end"),
+                    "n_events",
+                    F.col("value_cents").cast("long")
+                     .alias("value_cents")))
+    q = exactly_once_parquet_sink(sess, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "user_id", "session_start", "session_end", "n_events",
+        "value_cents")
+
+
+_STREAM_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us
+  FROM events WHERE event_id < 10000),
+ordered AS (
+  SELECT user_id, us, value,
+         CASE WHEN us - lag(us)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   >= 1800000000
+              OR lag(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e),
+sess AS (
+  SELECT user_id, us, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered),
+agg AS (
+  SELECT user_id,
+         CAST(min(us) // 1000000 AS BIGINT) AS session_start,
+         CAST(max(us) // 1000000 + 1800 AS BIGINT) AS session_end,
+         count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         max(us) AS last_us
+  FROM sess GROUP BY user_id, sid),
+wm AS (SELECT max(us) // 1000 AS mx_ms FROM e)
+SELECT user_id, session_start, session_end, n_events, value_cents
+FROM agg, wm
+WHERE last_us // 1000 + 1800000 <= mx_ms - 3600000
+"""
+
+
 def _q_stream_funnel3_committed(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Streaming 3-step CEP chain via applyInPandasWithState
@@ -4279,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll_committed": _q_stream_hll_committed,
         "stream_cms_committed": _q_stream_cms_committed,
         "stream_window_multibatch": _q_stream_window_multibatch,
+        "stream_session_committed": _q_stream_session_committed,
         "stream_join_committed": _q_stream_join_committed,
         "stream_funnel_committed": _q_stream_funnel_committed,
         "stream_funnel_first_committed": _q_stream_funnel_first_committed,
@@ -4493,6 +4592,7 @@ def oracle_sql() -> dict[str, str]:
                                             group="ws"),
         "stream_cms_committed": _stream_cms_oracle(),
         "stream_window_multibatch": _STREAM_WINDOW_MULTIBATCH_ORACLE,
+        "stream_session_committed": _STREAM_SESSION_ORACLE,
         "stream_join_committed": _stream_join_oracle(),
         "stream_funnel_committed": _STREAM_FUNNEL_ORACLE,
         "stream_funnel_first_committed": _STREAM_FUNNEL_FIRST_ORACLE,

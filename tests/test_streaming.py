@@ -243,6 +243,60 @@ class TestWindowsAndLateData:
         assert gk.exceptAll(want).count() == 0
         assert want.exceptAll(gk).count() == 0
 
+    def test_append_session_merges_across_batches_and_cuts(
+            self, spark, tmp_path):
+        """APPEND-mode session windows (the stream_session_committed gate
+        shape): a session whose events arrive in DIFFERENT micro-batch
+        files must merge in state and commit as ONE row, and a session
+        the final watermark has not passed must NOT commit.
+
+        Data (gap 30 min, watermark 1 h, one file per trigger):
+          u1: T0+13800s (file 0) and T0+15000s (file 1) — 20 min apart,
+              straddles the file boundary at T0+4h -> one merged session
+              [13800, 16800).
+          u2: T0+100, T0+200 (file 0) -> one session [100, 2000).
+          u3: T0+39600 (file 2) — session end 41400 > final watermark.
+          u4: T0+43199 (file 2) — the max event; watermark = 43199-3600
+              = 39599, so u3/u4 are withheld. Committed = exactly u1+u2.
+        """
+        import glob
+
+        in_dir = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        rows_by_file = [
+            [("u1", 13800), ("u2", 100), ("u2", 200)],
+            [("u1", 15000)],
+            [("u3", 39600), ("u4", 43199)],
+        ]
+        written: set[str] = set()
+        for i, rows in enumerate(rows_by_file):
+            df = spark.createDataFrame(
+                [(u, T0 + off) for u, off in rows], "user string, sec long"
+            ).select("user", F.timestamp_seconds("sec").alias("ts"))
+            df.coalesce(1).write.mode("append").parquet(in_dir)
+            new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+            for p in new:
+                os.utime(p, (1_540_000_000 + 10 * i,) * 2)
+            written.update(new)
+        stream = (spark.readStream.schema("user string, ts timestamp")
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir)
+                  .withWatermark("ts", "1 hour"))
+        sess = (stream.groupBy(
+                    F.session_window("ts", "30 minutes").alias("w"), "user")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select("user", F.unix_timestamp("w.start").alias("s"),
+                        F.unix_timestamp("w.end").alias("e"), "n"))
+        q = exactly_once_parquet_sink(sess, out, ckpt,
+                                      trigger_available_now=True)
+        drain(q)
+        got = sorted(tuple(r) for r in spark.read.parquet(out)
+                     .select("user", "s", "e", "n").collect())
+        assert got == [
+            ("u1", T0 + 13800, T0 + 15000 + 1800, 2),  # straddles files 0/1
+            ("u2", T0 + 100, T0 + 200 + 1800, 2),
+        ]
+
 
 class TestStreamStreamJoin:
     def test_join_emits_one_row_per_record(self, spark, tmp_path):
