@@ -1264,6 +1264,94 @@ FROM c ORDER BY cnt DESC, ngram ASC LIMIT 20
 """
 
 
+def _q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword token accounting (operators/tokenizer.py): fit a
+    deterministic 48-piece WordPiece vocabulary on the corpus (substring
+    frequency top-k + single-char fallback), then greedy longest-match
+    segment every DISTINCT word via functional-graph pointer doubling
+    (O(log max_word_chars) self-joins, no per-row iteration, no Python)
+    and roll up per-document totals. Upgrades the est_bpe_tokens
+    heuristic to tokenizer-true counts for token-budget curation. The
+    oracle re-derives the FULL fit + a recursive-CTE greedy walk."""
+    from solarpos_spark.operators import tokenizer
+
+    docs = _docs(spark, sf_dir)
+    vocab = tokenizer.wordpiece_fit(docs, vocab_size=48, max_piece_chars=4)
+    return tokenizer.wordpiece_counts(docs, vocab, max_piece_chars=4)
+
+
+_WORDPIECE_ORACLE = r"""
+WITH RECURSIVE occ AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+  FROM documents),
+w AS (SELECT doc_id, word FROM occ WHERE word <> ''),
+wc AS (SELECT word, count(*) AS c FROM w
+       WHERE length(word) <= 16 GROUP BY word),
+fitpos AS (SELECT word, c,
+                  unnest(generate_series(0, length(word) - 1)) AS i
+           FROM wc),
+fitcand AS (SELECT word, c, i,
+                   unnest(generate_series(1, least(4, length(word) - i)))
+                     AS l
+            FROM fitpos),
+pcnt AS (SELECT CASE WHEN i = 0 THEN substr(word, 1, l)
+                     ELSE '##' || substr(word, i + 1, l) END AS piece,
+                sum(c) AS cnt
+         FROM fitcand GROUP BY 1),
+topv AS (SELECT piece FROM pcnt ORDER BY cnt DESC, piece ASC LIMIT 48),
+alpha AS (SELECT unnest(generate_series(97, 122)) AS x
+          UNION ALL SELECT unnest(generate_series(48, 57))),
+vocab AS (SELECT DISTINCT piece FROM (
+  SELECT piece FROM topv
+  UNION ALL SELECT chr(CAST(x AS INT)) FROM alpha
+  UNION ALL SELECT '##' || chr(CAST(x AS INT)) FROM alpha)),
+dw AS (SELECT DISTINCT word FROM w),
+sw AS (SELECT word FROM dw WHERE length(word) <= 16),
+pos AS (SELECT word, unnest(generate_series(0, length(word) - 1)) AS i
+        FROM sw),
+cand AS (SELECT word, i,
+                unnest(generate_series(1, least(4, length(word) - i))) AS l
+         FROM pos),
+m AS (SELECT c.word, c.i, max(c.l) AS adv
+      FROM cand c JOIN vocab v
+        ON v.piece = CASE WHEN c.i = 0 THEN substr(c.word, 1, c.l)
+                          ELSE '##' || substr(c.word, c.i + 1, c.l) END
+      GROUP BY c.word, c.i),
+f AS (SELECT p.word, p.i AS pos,
+             CASE WHEN m.adv IS NULL THEN length(p.word)
+                  ELSE p.i + m.adv END AS nxt,
+             CASE WHEN m.adv IS NULL THEN 0 ELSE 1 END AS step,
+             (m.adv IS NULL) AS unk
+      FROM pos p LEFT JOIN m ON m.word = p.word AND m.i = p.i),
+walk AS (
+  SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS steps,
+         FALSE AS unk
+  FROM sw
+  UNION ALL
+  SELECT wk.word, CAST(f.nxt AS BIGINT), wk.steps + f.step,
+         wk.unk OR f.unk
+  FROM walk wk JOIN f ON f.word = wk.word AND f.pos = wk.pos
+  WHERE wk.pos < length(wk.word)),
+wp AS (
+  SELECT word, CASE WHEN unk THEN 1 ELSE steps END AS n_pieces,
+         unk AS is_unk
+  FROM walk WHERE pos = length(word)
+  UNION ALL
+  SELECT word, 1, TRUE FROM dw WHERE length(word) > 16),
+per_doc AS (
+  SELECT w.doc_id, count(*) AS n_words, sum(wp.n_pieces) AS n_wp_tokens,
+         sum(CASE WHEN wp.is_unk THEN 1 ELSE 0 END) AS n_unk_words
+  FROM w JOIN wp USING (word) GROUP BY w.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(p.n_wp_tokens, 0) AS BIGINT) AS n_wp_tokens,
+       CAST(coalesce(p.n_unk_words, 0) AS BIGINT) AS n_unk_words
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def _q_hll_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-trigram estimate (sketches.hll_cardinality): the
     vocabulary-size probe of a curation run — one algebraic max-aggregate
@@ -2889,6 +2977,40 @@ WHERE b.bucket < r.rate
 """
 
 
+def _q_mixture_sample_wordpiece(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Mixture sampling budgeted in tokenizer-TRUE tokens: per-doc counts
+    come from the fitted WordPiece segmentation (wordpiece_tokens entry)
+    instead of the ceil(len/4) estimate — curate.mixture_sample's
+    token_counts hook. Oracle = the full wordpiece fit+walk composed with
+    the integer-exact mixture arithmetic."""
+    from solarpos_spark.operators import tokenizer
+    from solarpos_spark.operators.curate import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    vocab = tokenizer.wordpiece_fit(docs, vocab_size=48, max_piece_chars=4)
+    counts = tokenizer.wordpiece_counts(docs, vocab, max_piece_chars=4) \
+        .select("doc_id", F.col("n_wp_tokens").alias("n_tokens"))
+    return mixture_sample(
+        docs, {"src0": 2000, "src1": 1500, "src2": 1000},
+        5000, default_weight=100, token_counts=counts)
+
+
+def _mixture_wp_oracle() -> str:
+    """_WORDPIECE_ORACLE's CTE chain (through per_doc) + a wordpiece-count
+    base relation + _MIXTURE_SAMPLE_ORACLE's rate/hash/filter tail."""
+    head = _WORDPIECE_ORACLE.split("SELECT d.doc_id,")[0].rstrip()
+    assert head.endswith("GROUP BY w.doc_id)")
+    base = """,
+base AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(p.n_wp_tokens, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+"""
+    tail = "tot AS" + _MIXTURE_SAMPLE_ORACLE.split("\ntot AS", 1)[1]
+    return head + base + tail
+
+
 def _q_curate_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-exact curation: connected components over the near-dup pair
     graph + one canonical doc per cluster, instead of greedy drop-greater-id
@@ -4352,6 +4474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "perplexity_buckets": _q_perplexity_buckets,
         "top_ngrams": _q_top_ngrams,
+        "wordpiece_tokens": _q_wordpiece_tokens,
+        "mixture_sample_wordpiece": _q_mixture_sample_wordpiece,
         "hll_trigrams": _q_hll_trigrams,
         "hll_users_by_type": _q_hll_users_by_type,
         "hll_user_rollup": _q_hll_user_rollup,
@@ -4570,6 +4694,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _DSIR_SELECT_ORACLE,
         "perplexity_buckets": _PERPLEXITY_BUCKETS_ORACLE,
         "top_ngrams": _TOP_NGRAMS_ORACLE,
+        "wordpiece_tokens": _WORDPIECE_ORACLE,
+        "mixture_sample_wordpiece": _mixture_wp_oracle(),
         "hll_trigrams": _HLL_TRIGRAMS_ORACLE,
         "hll_users_by_type": _HLL_USERS_BY_TYPE_ORACLE,
         "hll_user_rollup": _HLL_USER_ROLLUP_ORACLE,

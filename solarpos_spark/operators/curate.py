@@ -247,6 +247,7 @@ def mixture_sample(
     text_col: str = "text",
     seed: int = 11,
     default_weight: int = 0,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Token-budget mixture sampling — the data-mixing step that turns
     "train on W% web, X% code, Y% wiki for T total tokens" into a kept
@@ -272,14 +273,28 @@ def mixture_sample(
     10000); expected kept tokens per source ~ min(tokens_s, T_s).
 
     Output: (id_col, source_col, n_tokens, rate) for surviving docs.
+
+    ``token_counts`` swaps the per-word subword ESTIMATE for real counts:
+    an (id_col, n_tokens) relation — e.g. tokenizer.wordpiece_counts
+    renamed — joined on id (docs absent from it count 0 tokens), so the
+    budget ledger uses tokenizer-true totals. Plan shape is unchanged:
+    the join keys on id before the small per-source aggregate.
     """
-    words = text.words_col(F.col(text_col))
-    n_punct = (F.length(F.col(text_col))
-               - F.length(F.regexp_replace(F.col(text_col),
-                                           r"[.,!?;:]", "")))
-    toks = df.select(
-        id_col, source_col,
-        text.subword_token_count(words, n_punct).alias("n_tokens"))
+    if token_counts is not None:
+        toks = (df.select(id_col, source_col)
+                .join(token_counts.select(id_col, "n_tokens"),
+                      id_col, "left")
+                .select(id_col, source_col,
+                        F.coalesce("n_tokens", F.lit(0)).cast("long")
+                         .alias("n_tokens")))
+    else:
+        words = text.words_col(F.col(text_col))
+        n_punct = (F.length(F.col(text_col))
+                   - F.length(F.regexp_replace(F.col(text_col),
+                                               r"[.,!?;:]", "")))
+        toks = df.select(
+            id_col, source_col,
+            text.subword_token_count(words, n_punct).alias("n_tokens"))
     wexpr = F.lit(int(default_weight))
     for s, wt in sorted(weights.items()):
         wexpr = F.when(F.col(source_col) == F.lit(s),

@@ -1,0 +1,117 @@
+"""WordPiece tokenizer: greedy longest-match semantics, fit determinism,
+per-doc counts. The distributed pointer-doubling segmentation is checked
+against a plain Python greedy reference over every distinct corpus word."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solarpos_spark.operators import tokenizer
+
+SF = "/root/testdata/sf0.001"
+
+
+def greedy_ref(word: str, vocab: set[str], max_piece: int,
+               max_word: int) -> tuple[int, bool]:
+    """The published WordPiece inference rule, restated imperatively."""
+    if len(word) > max_word:
+        return 1, True
+    i, n = 0, 0
+    while i < len(word):
+        for l in range(min(max_piece, len(word) - i), 0, -1):
+            piece = word[i:i + l] if i == 0 else "##" + word[i:i + l]
+            if piece in vocab:
+                i += l
+                n += 1
+                break
+        else:
+            return 1, True  # unmatched position -> [UNK]
+    return n, False
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+class TestWordTokens:
+    def test_longest_match_first(self, spark):
+        # 'unaffable' with {un, ##aff, ##able, una, ...}: greedy takes
+        # 'una' (longest initial), NOT the better 2-piece split.
+        vocab = spark.createDataFrame(
+            [("un",), ("una",), ("##aff",), ("##able",), ("##ffable",),
+             ("##f",), ("##a",), ("##b",), ("##l",), ("##e",)],
+            "piece string")
+        words = spark.createDataFrame([("unaffable",)], "word string")
+        got = tokenizer.wordpiece_word_tokens(
+            words, vocab, max_piece_chars=8).collect()[0]
+        # una | ##ffable  -> 2 pieces
+        assert (got["n_pieces"], got["is_unk"]) == (2, False)
+
+    def test_unk_without_fallback_and_overlong(self, spark):
+        vocab = spark.createDataFrame([("ab",)], "piece string")
+        words = spark.createDataFrame(
+            [("abxy",), ("ab",), ("x" * 20,)], "word string")
+        got = {r["word"]: (r["n_pieces"], r["is_unk"])
+               for r in tokenizer.wordpiece_word_tokens(
+                   words, vocab, max_word_chars=16).collect()}
+        assert got["ab"] == (1, False)
+        assert got["abxy"] == (1, True)     # no ##x piece -> [UNK]
+        assert got["x" * 20] == (1, True)   # overlong -> [UNK]
+
+    def test_matches_python_greedy_on_corpus_words(self, spark, docs):
+        vocab_df = tokenizer.wordpiece_fit(
+            docs, vocab_size=32, max_piece_chars=4)
+        vocab = {r["piece"] for r in vocab_df.collect()}
+        words = tokenizer._norm_words(
+            docs.select("text"), "text", None).distinct()
+        got = {r["word"]: (r["n_pieces"], r["is_unk"])
+               for r in tokenizer.wordpiece_word_tokens(
+                   words, vocab_df, max_piece_chars=4).collect()}
+        assert len(got) > 10
+        multi = 0
+        for w in got:
+            want = greedy_ref(w, vocab, 4, 16)
+            assert got[w] == want, w
+            multi += got[w][0] > 1
+        assert multi > 0  # the fit actually yields multi-piece words
+
+    def test_fit_deterministic_and_char_complete(self, spark, docs):
+        a = sorted(r["piece"] for r in tokenizer.wordpiece_fit(
+            docs, vocab_size=32, max_piece_chars=4).collect())
+        b = sorted(r["piece"] for r in tokenizer.wordpiece_fit(
+            docs.repartition(7), vocab_size=32, max_piece_chars=4).collect())
+        assert a == b
+        assert {"a", "##a", "z", "##z", "0", "##9"} <= set(a)
+
+
+class TestDocCounts:
+    def test_empty_doc_keeps_zero_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, "agg agg table"), (2, "...")], "doc_id long, text string")
+        vocab = tokenizer.char_fallback_vocab(spark)
+        got = {r["doc_id"]: (r["n_words"], r["n_wp_tokens"], r["n_unk_words"])
+               for r in tokenizer.wordpiece_counts(df, vocab).collect()}
+        # char-only vocab: every word splits into len(word) pieces
+        assert got[1] == (3, 3 + 3 + 5, 0)
+        assert got[2] == (0, 0, 0)
+
+    def test_corpus_totals_match_reference(self, spark, docs):
+        sub = docs.filter(F.col("doc_id") < 50)
+        vocab_df = tokenizer.wordpiece_fit(sub, vocab_size=32,
+                                           max_piece_chars=4)
+        vocab = {r["piece"] for r in vocab_df.collect()}
+        got = {r["doc_id"]: r for r in tokenizer.wordpiece_counts(
+            sub, vocab_df, max_piece_chars=4).collect()}
+        rows = sub.select("doc_id", "text").collect()
+        assert len(got) == len(rows)
+        for r in rows:
+            import re
+            ws = [w for w in re.sub(
+                "[^a-z0-9]+", " ", r["text"].lower()).split() if w]
+            n_tok = sum(greedy_ref(w, vocab, 4, 16)[0] for w in ws)
+            n_unk = sum(greedy_ref(w, vocab, 4, 16)[1] for w in ws)
+            g = got[r["doc_id"]]
+            assert (g["n_words"], g["n_wp_tokens"], g["n_unk_words"]) == \
+                (len(ws), n_tok, n_unk)
