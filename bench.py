@@ -209,6 +209,13 @@ def main() -> None:
     run("html_extract", lambda: qs["html_extract"](spark, sf_dir))
     run("url_blocklist", lambda: qs["url_blocklist"](spark, sf_dir))
     run("doc_chunks", lambda: qs["doc_chunks"](spark, sf_dir))
+    # round-5 additions: trained quality classifier, 3-step CEP chain,
+    # PSL-table registered domains, WordPiece fit+segment+count
+    run("quality_classifier_trained",
+        lambda: qs["quality_classifier_trained"](spark, sf_dir))
+    run("sequence_pattern_3", lambda: qs["sequence_pattern_3"](spark, sf_dir))
+    run("url_domain_stats", lambda: qs["url_domain_stats"](spark, sf_dir))
+    run("wordpiece_tokens", lambda: qs["wordpiece_tokens"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     # Diagnostics (per-query load averages + rep spreads) go on their OWN
