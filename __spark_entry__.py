@@ -629,13 +629,16 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_trained_cents_cte(n_centroids: int = 16, n_iter: int = 3,
                            seed: int = 11, dim: int = 64,
-                           quant_bits: int = 20) -> str:
+                           quant_bits: int = 20,
+                           with_corpus: bool = True) -> str:
     """Training CTE chain ending in cents(cid, c, cn) — the bit-exact SQL
     mirror of similarity.ivf_train_centroids. Init = K lowest Knuth-hash
     ranks (the stratified_sample oracle's overflow-safe construction,
     denom 2^32); each Lloyd round = argmax assignment + FIXED-POINT int64
     sums (order-independent, so DuckDB and Spark agree bit-for-bit) +
-    one IEEE double division per mean."""
+    one IEEE double division per mean. ``with_corpus=False`` omits the
+    leading corpus CTE so a composed oracle (ivfpq_topk) can provide a
+    corpus carrying BOTH this chain's (v, vn) and the PQ chains' fv."""
     K = n_centroids
     S = f"{float(1 << quant_bits):.1f}"
 
@@ -646,11 +649,12 @@ def _ivf_trained_cents_cte(n_centroids: int = 16, n_iter: int = 3,
 
     sums = ",\n         ".join(f"sum({qt(d)}) AS s{d}" for d in range(dim))
     mean = "[" + ", ".join(f"s.s{d} / ({S} * s.cnt)" for d in range(dim)) + "]"
-    parts = [f"""corpus AS (
+    corpus_cte = """corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
   FROM embeddings),
-rnk AS (
+""" if with_corpus else ""
+    parts = [f"""{corpus_cte}rnk AS (
   SELECT vec_id, v,
          ((x % 65536) * 2654435761
           + ((x // 65536) * 2654435761) % 4294967296 * 65536)
@@ -864,6 +868,113 @@ def _q_ivf_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            seed=11, assign="arrow")
     return similarity.ivf_topk(emb, q, k=3, n_centroids=16, nprobe=4,
                                centroids=cents, assign="arrow")
+
+
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (similarity.ivfpq_topk — the faiss IndexIVFPQ
+    shape): the coarse codebook restricts the scan to nprobe/16 of the
+    corpus AND the scanned rows are m=8 int codes, never floats; ADC
+    top-50 reranked on exact cosine. Reuses the ivf_topk coarse training
+    and the pq_topk subspace trainings verbatim (same seeds), so the
+    oracle re-derives ALL NINE trainings plus encode, probes, ADC and
+    refine."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk(emb, q, dim=64, k=3, n_coarse=16,
+                                 nprobe=4, m=8, n_codes=16,
+                                 n_iter_coarse=3, n_iter_pq=2, seed=11,
+                                 shortlist=50)
+
+
+def _ivfpq_topk_oracle(*, dim: int = 64, m: int = 8, K: int = 16,
+                       n_coarse: int = 16, nprobe: int = 4,
+                       n_iter_pq: int = 2, seed: int = 11, k: int = 3,
+                       shortlist: int = 50) -> str:
+    """Composes _ivf_trained_cents_cte (coarse) + the m _pq_sub_cents_cte
+    chains over ONE corpus CTE carrying both column spellings (v/vn for
+    the coarse chain, fv for the PQ chains), then restricts the pq_topk
+    ADC to probed coarse lists before the refine cut."""
+    d_sub = dim // m
+    chains = ",\n".join(
+        _pq_sub_cents_cte(s, seed=seed + s, lo=s * d_sub, d_sub=d_sub,
+                          K=K, n_iter=n_iter_pq)
+        for s in range(m))
+    encodes = "\nUNION ALL\n".join(f"""
+  SELECT vec_id, {s} AS sub, list_indexof(sc, list_max(sc)) - 1 AS code
+  FROM (SELECT vec_id,
+               list_transform(range(1, {K + 1}),
+                              j -> list_dot_product(v, cl[j]) / cnl[j]) AS sc
+        FROM q{s}corp,
+             (SELECT list(c ORDER BY cid) AS cl,
+                     list(sqrt(list_dot_product(c, c)) ORDER BY cid) AS cnl
+              FROM cents{s}))""" for s in range(m))
+    partials = "\nUNION ALL\n".join(f"""
+  SELECT query_id, qn, {s} AS sub, cid AS code,
+         list_dot_product(qv[{s * d_sub + 1}:{(s + 1) * d_sub}], c)
+           AS partial,
+         cn * cn AS cn_sq
+  FROM q, cents{s}""" for s in range(m))
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, embedding::DOUBLE[] AS fv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS vn,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS fn
+  FROM embeddings),
+{_ivf_trained_cents_cte(n_centroids=n_coarse, with_corpus=False)},
+{chains},
+clist AS (SELECT list(c ORDER BY cid) AS cl, list(cn ORDER BY cid) AS cnl
+          FROM cents),
+assigned AS (
+  SELECT vec_id, list_indexof(sc, list_max(sc)) AS list_id
+  FROM (SELECT vec_id,
+               list_transform(range(1, {n_coarse + 1}),
+                              j -> list_dot_product(v, cl[j]) / cnl[j]) AS sc
+        FROM corpus, clist)),
+codes AS ({encodes}),
+q AS (SELECT vec_id AS query_id, fv AS qv, fn AS qn FROM corpus
+      WHERE vec_id < 10),
+qscore AS (
+  SELECT q.query_id, cents.cid,
+         list_dot_product(q.qv, cents.c) / cents.cn AS cs
+  FROM q, cents),
+probes AS (
+  SELECT query_id, cid + 1 AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, cid ASC) AS pr
+        FROM qscore)
+  WHERE pr <= {nprobe}),
+parts AS ({partials}),
+adc AS (
+  SELECT p.query_id, p.qn, cd.vec_id,
+         round(list_sum(list(partial ORDER BY cd.sub))
+               / (p.qn * sqrt(list_sum(list(cn_sq ORDER BY cd.sub)))), 6)
+           AS score
+  FROM codes cd
+  JOIN assigned a ON a.vec_id = cd.vec_id
+  JOIN probes pr ON pr.list_id = a.list_id AND cd.vec_id <> pr.query_id
+  JOIN parts p ON p.query_id = pr.query_id
+              AND p.sub = cd.sub AND p.code = cd.code
+  GROUP BY p.query_id, p.qn, cd.vec_id),
+sh AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id ASC) AS r FROM adc)
+  WHERE r <= {shortlist}),
+ex AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(qc.fv, cc.fv) / (qc.fn * cc.fn), 6)
+           AS score
+  FROM sh s JOIN corpus cc ON cc.vec_id = s.neighbor_id
+            JOIN corpus qc ON qc.vec_id = s.query_id)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank,
+       neighbor_id, score
+FROM ex
+QUALIFY rank <= {k}
+"""
 
 
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4458,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_arrow": _q_ivf_topk_arrow,
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         "semdedup": _q_semdedup,
         "ann_topk_multiprobe": _q_ann_topk_multiprobe,
         "lang_id": _q_lang_id,
@@ -4726,6 +4838,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_oracle(),
         "ivf_topk_arrow": _ivf_topk_oracle(),
         "pq_topk": _pq_topk_oracle(),
+        "ivfpq_topk": _ivfpq_topk_oracle(),
         "semdedup": _semdedup_oracle(),
         "repetition_stats": _REPETITION_STATS_ORACLE,
         "sequence_pack": _SEQUENCE_PACK_ORACLE,

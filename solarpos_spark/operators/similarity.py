@@ -1010,3 +1010,152 @@ def ivf_update_sums_arrow(
 
     return corpus.select(id_col, vec_col).mapInArrow(
         run, schema="list_id long, d int, s long, c long")
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids,
+    books,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF-PQ index relation: (id, sub, code, list_id) — m rows
+    per vector, the table a production deployment writes ONCE (partitioned
+    by list_id) and every search reads. Coarse assignment is the
+    zero-shuffle literal-codebook argmax (ivf_topk's rule); PQ codes come
+    from pq_encode; one id-keyed join glues them — the only shuffle here,
+    paid at index-build time, never per query."""
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    assigned = corpus.select(
+        F.col(id_col).alias("_aid"),
+        F.array_position(scores, F.array_max(scores)).alias("list_id"))
+    return (pq_encode(corpus, books, dim=dim, id_col=id_col,
+                      vec_col=vec_col)
+            .join(assigned, F.col(id_col) == F.col("_aid"))
+            .select(id_col, "sub", "code", "list_id"))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 3,
+    n_coarse: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    n_codes: int = 8,
+    n_iter_coarse: int = 3,
+    n_iter_pq: int = 2,
+    seed: int = 11,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    books=None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ composed ANN — the faiss IndexIVFPQ shape (Jégou et al.
+    2011, §IV; ``by_residual=false`` variant), the index a 10^9-vector
+    corpus actually ships: the coarse quantizer restricts the SCAN to
+    nprobe/n_coarse of the corpus AND the scanned side is the m-int PQ
+    code relation, never float vectors — the two scale levers the
+    standalone ivf_topk (full vectors in probed lists) and pq_topk
+    (codes, but the whole corpus) each pull alone.
+
+    Index build (one-time, amortized at scale — see ivfpq_index; pass a
+    prebuilt/stored relation via ``index=`` and the search plan contains
+    NO sort-merge join at all, a pytest-locked shape). Search: query probe
+    sets and per-query
+    (sub, code) -> partial-dot ADC tables are both tiny broadcast
+    relations; candidates = code rows whose list_id is probed (broadcast
+    hash join — the corpus never shuffles), scored by the sub-sorted
+    deterministic ADC fold (pq_topk's rule, bit-stable under any shuffle
+    order). ``shortlist=N`` adds the exact-cosine refine over retained
+    float vectors, exactly pq_topk's stage.
+
+    Both codebooks are the deterministic fixed-point Lloyd trainers
+    (ivf_train_centroids / pq_train), so the full pipeline — two
+    trainings, encode, probes, ADC, refine — replays bit-exactly in the
+    gate oracle. Output: (query_id, rank, neighbor_id, score).
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, n_centroids=n_coarse, n_iter=n_iter_coarse, seed=seed,
+            id_col=id_col, vec_col=vec_col, assign="arrow")
+    if books is None:
+        books = pq_train(corpus, dim=dim, m=m, n_centroids=n_codes,
+                         n_iter=n_iter_pq, seed=seed, id_col=id_col,
+                         vec_col=vec_col)
+    d_sub = dim // m
+    codes = index if index is not None else ivfpq_index(
+        corpus, centroids, books, dim=dim, id_col=id_col, vec_col=vec_col)
+
+    spark = corpus.sparkSession
+    import pandas as pd
+
+    cdf = spark.createDataFrame(pd.DataFrame(
+        {"cid": [c[0] for c in centroids],
+         "cvec_c": [c[1] for c in centroids],
+         "cn_c": [c[2] for c in centroids]}))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"))
+    qscored = q.crossJoin(F.broadcast(cdf)).select(
+        "query_id", "cid",
+        (_dot(F.col("qvec"), F.col("cvec_c")) / F.col("cn_c")).alias("_cs"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col("cid").asc())
+    probes = (qscored.withColumn("_pr", F.row_number().over(wq))
+              .filter(F.col("_pr") <= nprobe)
+              .select("query_id", (F.col("cid") + 1).alias("list_id")))
+
+    cb = spark.createDataFrame(
+        [(s, cid, [float(x) for x in c], float(cn))
+         for s, book in enumerate(books) for (cid, c, cn) in book],
+        "sub int, code int, c array<double>, cn double")
+    parts = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "_qn", "sub", "code",
+        _dot(F.expr(f"slice(qvec, sub * {d_sub} + 1, {d_sub})"),
+             F.col("c")).alias("partial"),
+        (F.col("cn") * F.col("cn")).alias("cn_sq"))
+
+    cand = (codes.join(F.broadcast(probes), "list_id")
+            .filter(F.col(id_col) != F.col("query_id"))
+            .join(F.broadcast(parts), ["query_id", "sub", "code"]))
+    agg = cand.groupBy("query_id", "_qn", F.col(id_col)).agg(
+        F.array_sort(F.collect_list(
+            F.struct("sub", "partial", "cn_sq"))).alias("_ps"))
+    dsum = F.aggregate(F.col("_ps"), F.lit(0.0),
+                       lambda acc, x: acc + x["partial"])
+    nsq = F.aggregate(F.col("_ps"), F.lit(0.0),
+                      lambda acc, x: acc + x["cn_sq"])
+    scored = agg.select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        F.round(dsum / (F.col("_qn") * F.sqrt(nsq)), 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if shortlist is None:
+        return (ranked.filter(F.col("rank") <= k)
+                .select("query_id", "rank", "neighbor_id", "score"))
+    short = (ranked.filter(F.col("rank") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    cvecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cvec"),
+                          _norm(F.col(vec_col)).alias("_cn"))
+    qvecs = q.select("query_id", F.col("qvec").alias("qvec2"), "_qn")
+    exact = (
+        cvecs.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "neighbor_id",
+                F.round(_dot(F.col("qvec2"), F.col("cvec"))
+                        / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))

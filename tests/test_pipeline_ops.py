@@ -1555,6 +1555,71 @@ class TestProductQuantization:
             sorted(map(tuple, exact.collect()))
 
 
+class TestIvfPq:
+    @pytest.fixture()
+    def emb(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(9)
+        base = rng.randn(80, 64).astype("float32")
+        base[40] = base[12] * 0.99 + 0.002  # plant 12's near-twin
+        rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_all_probes_equals_pq(self, spark, emb):
+        """With nprobe == n_coarse the coarse restriction is a no-op, so
+        IVF-PQ reduces EXACTLY to pq_topk (same books, same ADC fold,
+        same refine) — the composition adds pruning, not new arithmetic."""
+        from solarpos_spark.operators import similarity
+
+        q = emb.filter(F.col("vec_id") < 4)
+        books = similarity.pq_train(emb, dim=64, m=8, n_centroids=8,
+                                    n_iter=2)
+        full = similarity.ivfpq_topk(emb, q, dim=64, k=3, n_coarse=4,
+                                     nprobe=4, m=8, n_codes=8,
+                                     shortlist=100, books=books)
+        pq = similarity.pq_topk(emb, q, dim=64, m=8, n_centroids=8,
+                                n_iter=2, k=3, shortlist=100, books=books)
+        assert sorted(map(tuple, full.collect())) == \
+            sorted(map(tuple, pq.collect()))
+
+    def test_planted_twin_survives_pruning(self, spark, emb):
+        """A near-identical pair lands in the same coarse list (argmax of
+        a 0.99-scaled copy agrees) AND shares every PQ code, so the twin
+        is rank 1 even at nprobe=1 — the strong-neighbor guarantee the
+        composed index keeps."""
+        from solarpos_spark.operators import similarity
+
+        q = emb.filter(F.col("vec_id") == 12)
+        top = similarity.ivfpq_topk(emb, q, dim=64, k=1, n_coarse=8,
+                                    nprobe=1, m=8, n_codes=8).collect()[0]
+        assert top.neighbor_id == 40
+
+    def test_search_over_stored_index_never_shuffles_corpus(self, spark,
+                                                            emb, tmp_path):
+        """Plan shape: with the index prebuilt (the production deployment
+        stores it once — ivfpq_index's id-keyed glue join is index-BUILD
+        cost), the SEARCH plan joins the code relation only against
+        broadcast sides (probes, per-query ADC table): no SortMergeJoin,
+        no exchange of the scanned index anywhere."""
+        from solarpos_spark.operators import similarity
+
+        cents = similarity.ivf_train_centroids(emb, n_centroids=8,
+                                               n_iter=2, seed=11)
+        books = similarity.pq_train(emb, dim=64, m=8, n_centroids=8,
+                                    n_iter=2, seed=11)
+        path = str(tmp_path / "ivfpq_index")
+        similarity.ivfpq_index(emb, cents, books, dim=64) \
+            .write.parquet(path)
+        idx = spark.read.parquet(path)
+        q = emb.filter(F.col("vec_id") < 2)
+        plan = similarity.ivfpq_topk(
+            emb, q, dim=64, k=3, n_coarse=8, nprobe=2, m=8, n_codes=8,
+            centroids=cents, books=books, index=idx,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+
+
 class TestHtmlExtract:
     def test_extraction_and_signals(self, spark):
         from solarpos_spark.operators.text import extract_html_text
