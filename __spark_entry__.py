@@ -2196,6 +2196,43 @@ FROM m2
 """
 
 
+def _q_sequence_pattern_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation CEP (relational.sequence_pattern_absent): every 'error'
+    with NO 'purchase' by the same user within 10 minutes — the
+    absence/timeout pattern (unacked alert), complement of
+    sequence_pattern over the SAME window pass. Late B's (after the
+    horizon) are reported with their gap; never-B rows carry nulls. The
+    oracle is the unbounded first-match mapping LEFT-joined back and
+    filtered to null-or-late."""
+    from solarpos_spark.operators import relational
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return relational.sequence_pattern_absent(
+        ev, first_type="error", then_type="purchase", within_seconds=600)
+
+
+_SEQUENCE_PATTERN_ABSENT_ORACLE = """
+WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+           FROM events WHERE event_type = 'error'),
+b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT a.user_id, a.a_id, a.a_us, b.b_id, b.b_us
+  FROM a JOIN b ON a.user_id = b.user_id
+  WHERE (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))),
+m1 AS (SELECT user_id, a_id, a_us, min(b_us) AS mbus FROM j GROUP BY 1, 2, 3),
+m2 AS (SELECT m1.user_id, m1.a_id, m1.a_us, m1.mbus, min(j.b_id) AS b_id
+       FROM m1 JOIN j ON j.user_id = m1.user_id AND j.a_id = m1.a_id
+                     AND j.b_us = m1.mbus
+       GROUP BY 1, 2, 3, 4)
+SELECT a.user_id, a.a_id AS a_event_id,
+       m2.b_id AS late_b_event_id,
+       CAST(m2.mbus - a.a_us AS BIGINT) AS late_gap_usec
+FROM a LEFT JOIN m2 ON m2.user_id = a.user_id AND m2.a_id = a.a_id
+WHERE m2.a_id IS NULL OR m2.mbus > a.a_us + 600 * 1000000
+"""
+
+
 def _q_lang_id_v2_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 7-language profile scorer with the abstention margin (VERDICT
     r3 #8): best-vs-runner-up score gap < 25 -> 'unknown' instead of a
@@ -4092,6 +4129,71 @@ WHERE (a_us + 600 * 1000000) // 1000 < mx // 1000 - 3600 * 1000
 """
 
 
+def _q_stream_absence_committed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming negation CEP (streaming/stateful.py funnel_absence),
+    gate-hashed: errors with NO purchase by the same user within 10
+    minutes, each emitted exactly when the watermark closes its window
+    — the timeout-alert pattern. Same quartile-file delivery as
+    stream_funnel_first_committed; the committed set is the batch
+    sequence_pattern_absent fixpoint (id columns only — a stream cannot
+    know the late B at deadline) CUT at the final watermark."""
+    import glob
+    import os
+
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming.stateful import funnel_absence
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamabs_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter((F.col("event_id") < 10000)
+                & F.col("event_type").isin("error", "purchase")) \
+        .select("event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type") \
+        .withColumn("_us", F.unix_micros(F.col("ts")))
+    bounds = ev.agg(F.min("_us"), F.max("_us")).collect()[0]
+    tmin, tmax = int(bounds[0]), int(bounds[1])
+    width = (tmax - tmin) // 4 + 1
+    written: set[str] = set()
+    for i in range(4):
+        ev.filter((F.col("_us") - tmin) / width >= i) \
+          .filter((F.col("_us") - tmin) / width < i + 1) \
+          .drop("_us").coalesce(1).write.mode("append").parquet(in_dir)
+        new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+        for p in new:
+            os.utime(p, (1_560_000_000 + 10 * i, 1_560_000_000 + 10 * i))
+        written.update(new)
+    schema = ev.drop("_us").schema
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+        .withWatermark("ts", "1 hour")
+    out = funnel_absence(stream, first_type="error",
+                         then_type="purchase", within_seconds=600)
+    q = exactly_once_parquet_sink(out, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("user_id", "a_event_id")
+
+
+_STREAM_ABSENCE_ORACLE = """
+WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+           FROM events WHERE event_type = 'error' AND event_id < 10000),
+b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+      FROM events WHERE event_type = 'purchase' AND event_id < 10000),
+wm AS (SELECT max(us) AS mx FROM (
+         SELECT a_us AS us FROM a UNION ALL SELECT b_us FROM b))
+SELECT a.user_id, a.a_id AS a_event_id
+FROM a, wm
+WHERE (a.a_us + 600 * 1000000) // 1000 < wm.mx // 1000 - 3600 * 1000
+  AND NOT EXISTS (
+    SELECT 1 FROM b
+    WHERE b.user_id = a.user_id
+      AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+      AND b.b_us <= a.a_us + 600 * 1000000)
+"""
+
+
 def _q_stream_session_committed(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Streaming SESSION windows (F.session_window, the north_rule's
@@ -4515,8 +4617,9 @@ _DRIVER_SAMPLE_HEAD = [
     "stream_cms_committed", "stream_window_multibatch",
     "stream_session_committed", "stream_join_committed",
     "stream_funnel_committed", "stream_funnel_first_committed",
-    "stream_funnel3_committed", "stream_quota_committed",
-    "position_spa", "sunrise_daily", "twilight", "time_series_zoned",
+    "stream_funnel3_committed", "stream_absence_committed",
+    "stream_quota_committed",
+    "position_spa", "sunrise_daily", "time_series_zoned",
     "tokens_roundtrip",
     "window_tumbling", "sessionize",
     "dedup_exact", "minhash_verified", "simhash_near_dup_capped",
@@ -4600,6 +4703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "sequence_pattern": _q_sequence_pattern,
         "sequence_pattern_3": _q_sequence_pattern_3,
+        "sequence_pattern_absent": _q_sequence_pattern_absent,
         "event_quantiles": _q_event_quantiles,
         "value_histogram_quantiles": _q_value_histogram_quantiles,
         "multimodal_meta": _q_multimodal_meta,
@@ -4649,6 +4753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_committed": _q_stream_join_committed,
         "stream_funnel_committed": _q_stream_funnel_committed,
         "stream_funnel_first_committed": _q_stream_funnel_first_committed,
+        "stream_absence_committed": _q_stream_absence_committed,
         "stream_funnel3_committed": _q_stream_funnel3_committed,
         "stream_quota_committed": _q_stream_quota_committed,
     }
@@ -4819,6 +4924,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _HTML_EXTRACT_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "sequence_pattern": _SEQUENCE_PATTERN_ORACLE,
+        "sequence_pattern_absent": _SEQUENCE_PATTERN_ABSENT_ORACLE,
         "sequence_pattern_3": _sequence_chain_oracle(_CHAIN_TYPES, _CHAIN_WITHIN),
         "event_quantiles": _EVENT_QUANTILES_ORACLE,
         "value_histogram_quantiles": _VALUE_HISTOGRAM_QUANTILES_ORACLE,
@@ -4870,6 +4976,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_join_committed": _stream_join_oracle(),
         "stream_funnel_committed": _STREAM_FUNNEL_ORACLE,
         "stream_funnel_first_committed": _STREAM_FUNNEL_FIRST_ORACLE,
+        "stream_absence_committed": _STREAM_ABSENCE_ORACLE,
         "stream_funnel3_committed": _sequence_chain_oracle(
             _CHAIN_TYPES, _CHAIN_WITHIN, id_below=10000,
             wm_cut_delay_s=3600),

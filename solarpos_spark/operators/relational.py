@@ -381,6 +381,55 @@ def sequence_pattern(
     )
 
 
+def sequence_pattern_absent(
+    events: DataFrame,
+    *,
+    first_type: str,
+    then_type: str,
+    within_seconds: int,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Negation CEP: every ``first_type`` event with NO ``then_type``
+    event by the same key strictly after it within ``within_seconds`` —
+    MATCH_RECOGNIZE's absence/timeout pattern (abandoned checkout,
+    unacknowledged alert), the complement of :func:`sequence_pattern`.
+
+    Same single per-key window pass (running ``min(struct(us, id))`` over
+    the FOLLOWING frame restricted to B rows — no A x B join, one
+    shuffle): an A row qualifies when its next-B min is null or lands
+    beyond the horizon. When a LATE B exists (after the window) it is
+    reported with its gap, so downstream distinguishes "B came late"
+    from "B never came"; both columns are null otherwise.
+
+    Output: (``by``, a_event_id, late_b_event_id, late_gap_usec).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = events.filter(F.col(type_col).isin(first_type, then_type)).select(
+        F.col(by), F.col(id_col), F.col(type_col), us.alias("_us"))
+    w = (Window.partitionBy(by)
+         .orderBy(F.col("_us").asc(), F.col(id_col).asc())
+         .rowsBetween(1, Window.unboundedFollowing))
+    nxt = F.min(
+        F.when(F.col(type_col) == then_type,
+               F.struct(F.col("_us").alias("us"),
+                        F.col(id_col).alias("id")))).over(w)
+    horizon = F.col("_us") + F.lit(int(within_seconds) * 1_000_000)
+    return (
+        e.withColumn("_nb", nxt)
+        .filter((F.col(type_col) == first_type)
+                & (F.col("_nb").isNull() | (F.col("_nb.us") > horizon)))
+        .select(
+            F.col(by),
+            F.col(id_col).alias("a_event_id"),
+            F.col("_nb.id").alias("late_b_event_id"),
+            (F.col("_nb.us") - F.col("_us")).alias("late_gap_usec"),
+        )
+    )
+
+
 def sequence_pattern_chain(
     events: DataFrame,
     types: Sequence[str],

@@ -349,7 +349,17 @@ FUNNEL_STATE_SCHEMA = StructType([
 ])
 
 
-def _make_funnel(first_type: str, then_type: str, within_us: int):
+#: absence rows carry no B columns — the stream cannot know a LATE B at
+#: deadline time (it may not have arrived); batch sequence_pattern_absent
+#: reports it, the streaming cut honestly doesn't
+ABSENCE_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("a_event_id", LongType()),
+])
+
+
+def _make_funnel(first_type: str, then_type: str, within_us: int,
+                 absent: bool = False):
     def better(cur_id, cur_us, b_id, b_us, a_id, a_us):
         """Is (b_us, b_id) a valid, lexicographically-smaller match?"""
         if not (b_us > a_us or (b_us == a_us and b_id > a_id)):
@@ -407,7 +417,15 @@ def _make_funnel(first_type: str, then_type: str, within_us: int):
         out, keep = [], []
         for i in range(len(a_ids)):
             if wm_ms > (a_uss[i] + within_us) // 1000:
-                if ab_ids[i] >= 0:
+                if absent:
+                    # negation: the window closed with NO in-window B —
+                    # final under the same two-watermark alignment (any
+                    # filter-surviving future B exceeds the close line
+                    # and hence the window end)
+                    if ab_ids[i] < 0:
+                        out.append({"user_id": user_id,
+                                    "a_event_id": a_ids[i]})
+                elif ab_ids[i] >= 0:
                     out.append({"user_id": user_id,
                                 "a_event_id": a_ids[i],
                                 "b_event_id": ab_ids[i],
@@ -486,6 +504,44 @@ def funnel_first_match(
     return filtered.groupBy("user_id").applyInPandasWithState(
         _make_funnel(first_type, then_type, int(within_seconds) * 1_000_000),
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def funnel_absence(
+    events: DataFrame,
+    *,
+    first_type: str,
+    then_type: str,
+    within_seconds: int,
+) -> DataFrame:
+    """Streaming negation CEP — the timeout alert: one row per A event
+    whose window closed with NO B by the same key within
+    ``within_seconds`` (unacked alert, abandoned checkout), emitted
+    exactly when the event-time watermark passes the window end. The
+    stateful complement of relational.sequence_pattern_absent; SAME
+    state machine as funnel_first_match (pending A's with best-so-far
+    B, retained B's), only the emission predicate flips to
+    no-match-at-close.
+
+    Soundness inherits funnel_first_match's two-watermark alignment
+    verbatim, plus the absence-specific leg: a window closed at
+    wm(<=f-1) can never be falsified by a later B, because every
+    filter-surviving later row's event time exceeds that line and hence
+    the window end — so "no B by close" is final, not best-effort.
+
+    Unlike the batch operator the stream cannot report the LATE B (it
+    may not have arrived at deadline); output is (user_id, a_event_id).
+    ``events`` must already carry an event-time watermark on ``ts``.
+    """
+    filtered = events.filter(
+        events["event_type"].isin(first_type, then_type))
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        _make_funnel(first_type, then_type,
+                     int(within_seconds) * 1_000_000, absent=True),
+        outputStructType=ABSENCE_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

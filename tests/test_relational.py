@@ -299,6 +299,49 @@ class TestSequencePattern:
         assert out[0]["b_event_id"] == 8 and out[0]["gap_usec"] == 0
 
 
+class TestSequencePatternAbsent:
+    def _df(self, spark):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 3, 1, 12, 0, 0)
+        s = timedelta(seconds=1)
+        rows = [
+            (1, 10, "error", t0),                  # matched at +300s
+            (1, 12, "purchase", t0 + 300 * s),
+            (1, 14, "error", t0 + 1000 * s),       # late B at +700s
+            (1, 15, "purchase", t0 + 1700 * s),
+            (2, 21, "error", t0),                  # no B ever after
+            (2, 20, "purchase", t0 - 5 * s),       # B strictly before
+        ]
+        return spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, event_type string, ts timestamp")
+
+    def test_late_vs_never_and_complement(self, spark):
+        """Absence reports exactly the A rows sequence_pattern misses —
+        the two operators PARTITION the A set — and distinguishes a late
+        B (gap reported) from no B at all (nulls)."""
+        from solarpos_spark.operators.relational import (sequence_pattern,
+                                                         sequence_pattern_absent)
+
+        df = self._df(spark)
+        kw = dict(first_type="error", then_type="purchase",
+                  within_seconds=600)
+        absent = {(r["user_id"], r["a_event_id"]): r
+                  for r in sequence_pattern_absent(df, **kw).collect()}
+        assert set(absent) == {(1, 14), (2, 21)}
+        assert absent[(1, 14)]["late_b_event_id"] == 15
+        assert absent[(1, 14)]["late_gap_usec"] == 700 * 1_000_000
+        assert absent[(2, 21)]["late_b_event_id"] is None
+        assert absent[(2, 21)]["late_gap_usec"] is None
+        matched = {(r["user_id"], r["a_event_id"])
+                   for r in sequence_pattern(df, **kw).collect()}
+        a_rows = {(r["user_id"], r["event_id"])
+                  for r in df.filter("event_type = 'error'").collect()}
+        assert matched | set(absent) == a_rows
+        assert matched & set(absent) == set()
+
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -634,6 +634,82 @@ class TestFunnelFirstMatch:
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
 
+    def test_absence_equals_batch_complement(self, spark, tmp_path):
+        """funnel_absence must commit EXACTLY the id columns of
+        relational.sequence_pattern_absent (the batch negation fixpoint)
+        under multi-batch shuffled delivery, and together with
+        funnel_first_match PARTITION the closed A set — same windows,
+        flipped emission predicate."""
+        import glob
+        import os
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.operators.relational import (
+            sequence_pattern, sequence_pattern_absent)
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming.stateful import funnel_absence
+
+        t0 = datetime(2024, 7, 2, 8, 0, 0)
+        s = timedelta(seconds=1)
+        rows, eid = [], 0
+
+        def add(u, typ, dt):
+            nonlocal eid
+            rows.append((eid, u, typ, t0 + dt))
+            eid += 1
+
+        for u in range(4):
+            base = u * 600
+            add(u, "error", base * s)                 # matched at +30+u
+            add(u, "purchase", (base + 30 + u) * s)
+            add(u, "error", (base + 200) * s)
+            if u % 2 == 0:                            # in-window for evens;
+                add(u, "purchase", (base + 260) * s)  # odds: ABSENT
+            add(u, "error", (base + 3000) * s)        # never matched: ABSENT
+        sentinel_id = eid
+        add(9, "purchase", timedelta(hours=10))
+
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts timestamp")
+        in_dir = str(tmp_path / "in")
+        written: set = set()
+        for f in range(3):
+            part = ev.filter(
+                ((F.col("event_id") % 3 == f)
+                 & (F.col("event_id") != sentinel_id))
+                | (F.lit(f == 2) & (F.col("event_id") == sentinel_id)))
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+            for p in new:
+                os.utime(p, (2_000_000_000 + 10 * f, 2_000_000_000 + 10 * f))
+            written.update(new)
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+            .withWatermark("ts", "2 hours")
+        out = funnel_absence(stream, first_type="error",
+                             then_type="purchase", within_seconds=120)
+        q = exactly_once_parquet_sink(out, str(tmp_path / "out"),
+                                      str(tmp_path / "ckpt"),
+                                      trigger_available_now=True)
+        q.awaitTermination()
+        got = spark.read.parquet(str(tmp_path / "out")) \
+            .select("user_id", "a_event_id")
+        want = sequence_pattern_absent(
+            ev, first_type="error", then_type="purchase",
+            within_seconds=120).select("user_id", "a_event_id")
+        assert got.count() > 0
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # partition property: matched ∪ absent == all A's, disjoint
+        matched = {(r.user_id, r.a_event_id) for r in sequence_pattern(
+            ev, first_type="error", then_type="purchase",
+            within_seconds=120).collect()}
+        absent = {(r.user_id, r.a_event_id) for r in got.collect()}
+        alla = {(r.user_id, r.event_id)
+                for r in ev.filter("event_type = 'error'").collect()}
+        assert matched | absent == alla and not (matched & absent)
+
     def test_watermark_gap_arrival_matches_batch(self, spark, tmp_path):
         """The SPARK-40925 two-watermark gap, adversarially (ADVICE r4):
         batch f late-filters with wm(<=f-2) while state eviction in batch
