@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from solarpos_spark import oracle_sql as _osql
 from solarpos_spark.operators import (
-    dedup, search, similarity, sketches, text, urls, windows)
+    dedup, search, similarity, sketches, text, tokenops, urls, windows)
 from solarpos_spark.operators.position import position
 from solarpos_spark.operators.sunrise import sunrise
 from solarpos_spark.sources import inputs, tokens
@@ -133,6 +133,107 @@ def _q_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("delta_t", 3).alias("delta_t"),
         F.round("pressure", 3).alias("pressure"),
     )
+
+
+def _token_rel_df(spark: SparkSession, sf_dir: str,
+                  limit: int = 3000) -> DataFrame:
+    """SQL-replayable token relation for the token-domain gate entries:
+    tokens derived from event_id with integer arithmetic only (the codec
+    table is mapInPandas-encoded and can't replay in DuckDB). Every
+    doc_id % 7 == 0 doc carries the PLANTED run 100000..100019 at
+    positions 20..39; all other positions hold a quadratic-in-j mix
+    below 49999 (quadratic so two docs can never alias a whole shifted
+    window range — a linear mix would; at most one j per (doc pair,
+    shift) can collide, far short of an 8-gram)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_id") < limit).select("event_id")
+    eid = F.col("event_id")
+    tok = F.transform(
+        F.sequence(F.lit(0), F.lit(39) + (eid % 23)),
+        lambda j: F.when((eid % 7 == 0) & (j >= 20) & (j <= 39),
+                         F.lit(100000) + (j - 20))
+                   .otherwise(((eid + 1) * F.lit(2654435761)
+                               + (j + 3) * (j + 7) * 40503) % 49999)
+                   .cast("int"))
+    return ev.select(eid.alias("doc_id"), tok.alias("tokens"))
+
+
+_TOKEN_REL_SQL = """
+  SELECT event_id AS doc_id,
+         list_transform(range(0, 40 + event_id % 23), j ->
+           CAST(CASE WHEN event_id % 7 = 0 AND j BETWEEN 20 AND 39
+                THEN 100000 + (j - 20)
+                ELSE ((event_id + 1) * 2654435761
+                      + (j + 3) * (j + 7) * 40503) % 49999
+                END AS INTEGER)) AS tokens
+  FROM events WHERE event_id < 3000
+"""
+
+
+def _q_token_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level 13-gram contamination screen
+    (tokenops.token_ngram_decontaminate — the GPT-3 appendix-C leakage
+    rule in token space): eval = one 20-token benchmark sequence whose 8
+    13-grams are broadcast; planted-run docs (doc_id % 7 == 0) must
+    report exactly those 8 hits, everything else 0. Grams join as exact
+    int arrays — no hash, no collision caveat, oracle replays verbatim."""
+    train = _token_rel_df(spark, sf_dir)
+    eval_df = spark.range(1).select(
+        F.lit(0).alias("doc_id"),
+        F.sequence(F.lit(100000), F.lit(100019))
+        .cast("array<int>").alias("tokens"))
+    return tokenops.token_ngram_decontaminate(train, eval_df, n=13)
+
+
+_TOKEN_DECONTAMINATE_ORACLE = f"""
+WITH t AS ({_TOKEN_REL_SQL}),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(tokens) - 12, 0)),
+                               i -> tokens[i + 1:i + 13])) AS gram
+  FROM t),
+eg AS (
+  SELECT DISTINCT unnest(list_transform(range(0, 8),
+                                        i -> ev[i + 1:i + 13])) AS gram
+  FROM (SELECT list_transform(range(100000, 100020),
+                              x -> CAST(x AS INTEGER)) AS ev)),
+h AS (SELECT doc_id, count(*) AS n FROM g JOIN eg USING (gram)
+      GROUP BY doc_id)
+SELECT t.doc_id, coalesce(h.n, 0) AS n_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM t LEFT JOIN h ON h.doc_id = t.doc_id
+"""
+
+
+def _q_token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token 8-gram novelty (tokenops.token_ngram_novelty): the
+    fraction of a doc's token windows occurring in no other doc — the
+    token-space memorization-risk signal. Planted-run docs share 13
+    8-windows with every other multiple of 7, dragging their novelty
+    below 1; the mix windows are collision-free by construction."""
+    return tokenops.token_ngram_novelty(
+        _token_rel_df(spark, sf_dir), n=8)
+
+
+_TOKEN_NOVELTY_ORACLE = f"""
+WITH t AS ({_TOKEN_REL_SQL}),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(tokens) - 7, 0)),
+                               i -> tokens[i + 1:i + 8])) AS gram
+  FROM t),
+d AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+a AS (
+  SELECT g.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_novel
+  FROM g JOIN d USING (gram) GROUP BY g.doc_id)
+SELECT t.doc_id,
+       coalesce(a.n_windows, 0) AS n_windows,
+       CAST(coalesce(a.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(a.n_windows, 0) > 0
+            THEN round(a.n_novel / a.n_windows, 6) END AS novelty
+FROM t LEFT JOIN a ON a.doc_id = t.doc_id
+"""
 
 
 def _q_coord_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4642,6 +4743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_no_refraction": _position_query("spa", refraction=False),
         "elevation_angle": _position_query("spa", elevation_angle=True),
         "tokens_roundtrip": _q_tokens_roundtrip,
+        "token_decontaminate": _q_token_decontaminate,
+        "token_novelty": _q_token_novelty,
         "coord_grid": _q_coord_grid,
         "time_series": _q_time_series,
         "time_series_zoned": _q_time_series_zoned,
@@ -4869,6 +4972,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id < 20000
         """,
+        "token_decontaminate": _TOKEN_DECONTAMINATE_ORACLE,
+        "token_novelty": _TOKEN_NOVELTY_ORACLE,
         "coord_grid": """
             SELECT la.i * 241 + lo.i AS ord,
                    round(-60.0 + la.i * 0.25, 5) AS lat,

@@ -1,0 +1,79 @@
+"""Token-domain operators (tokenops): n-gram contamination screen and
+novelty over tokens:array<int> — semantics + plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solarpos_spark.operators import tokenops
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        # doc 1 and 2 share the run 100..104 (three 3-grams)
+        (1, [100, 101, 102, 103, 104, 7, 8, 9]),
+        (2, [50, 100, 101, 102, 103, 104]),
+        (3, [1, 2, 3, 4]),          # all windows unique
+        (4, [1, 2]),                # shorter than n=3: no windows
+    ]
+    return spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+
+
+class TestTokenDecontaminate:
+    def test_planted_overlap_and_counts(self, spark, corpus):
+        eval_df = spark.createDataFrame(
+            [(0, [100, 101, 102, 103])], "doc_id long, tokens array<int>")
+        out = {r.doc_id: r for r in tokenops.token_ngram_decontaminate(
+            corpus, eval_df, n=3).collect()}
+        # eval grams: (100,101,102), (101,102,103)
+        assert out[1].n_hits == 2 and out[1].contaminated
+        assert out[2].n_hits == 2 and out[2].contaminated
+        assert out[3].n_hits == 0 and not out[3].contaminated
+        assert out[4].n_hits == 0 and not out[4].contaminated
+        assert len(out) == 4        # clean docs are NOT dropped
+
+    def test_short_sequences_fabricate_no_grams(self, spark):
+        """F.sequence(0, negative) DESCENDS — the size guard must return
+        an empty window list for sequences shorter than n, on both the
+        train and eval side."""
+        train = spark.createDataFrame(
+            [(1, [5, 6])], "doc_id long, tokens array<int>")
+        eval_df = spark.createDataFrame(
+            [(0, [5, 6])], "doc_id long, tokens array<int>")
+        out = tokenops.token_ngram_decontaminate(
+            train, eval_df, n=3).collect()
+        assert out[0].n_hits == 0 and not out[0].contaminated
+
+    def test_eval_side_broadcast_only(self, spark, corpus):
+        eval_df = spark.createDataFrame(
+            [(0, [100, 101, 102])], "doc_id long, tokens array<int>")
+        plan = tokenops.token_ngram_decontaminate(
+            corpus, eval_df, n=3)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # the gram join must be broadcast; only the per-doc count and the
+        # left join back may exchange (doc-keyed, one row per doc)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+class TestTokenNovelty:
+    def test_shared_vs_unique_windows(self, spark, corpus):
+        out = {r.doc_id: r for r in tokenops.token_ngram_novelty(
+            corpus, n=3).collect()}
+        # doc 1: 6 windows, 3 shared with doc 2 ((100..102),(101..103),
+        # (102..104)) -> 3 novel
+        assert out[1].n_windows == 6 and out[1].n_novel == 3
+        assert out[1].novelty == 0.5
+        # doc 2: 4 windows, the 3 run windows shared -> 1 novel
+        assert out[2].n_windows == 4 and out[2].n_novel == 1
+        assert out[2].novelty == 0.25
+        assert out[3].n_windows == 2 and out[3].novelty == 1.0
+        # shorter than n: zero windows, null novelty (not 0.0)
+        assert out[4].n_windows == 0 and out[4].novelty is None
+
+    def test_duplicate_window_within_one_doc_stays_novel(self, spark):
+        """df counts DISTINCT docs: a window repeated inside ONE doc is
+        still novel (df == 1) — novelty measures cross-doc sharing."""
+        df = spark.createDataFrame(
+            [(1, [7, 8, 9, 7, 8, 9])], "doc_id long, tokens array<int>")
+        out = tokenops.token_ngram_novelty(df, n=3).collect()[0]
+        assert out.n_windows == 4 and out.n_novel == 4
