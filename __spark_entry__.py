@@ -4563,6 +4563,37 @@ WHERE NOT list_contains({_URL_BLOCKLIST_SQL}, registered_domain)
 """
 
 
+def _q_stream_token_screen_committed(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Stateless streaming token-level contamination screen
+    (tokenops.token_screen_arrow), gate-hashed: the SQL-replayable token
+    relation streams in over micro-batches and every doc's 13-gram
+    windows are tested against the closure-captured eval gram set inside
+    one mapInArrow stage (flat-buffer sliding windows, np.isin on void
+    views — no state, no watermark, no per-row Python). Verdicts are
+    pure per-row functions, so the committed set is file/batch-order
+    independent and the oracle is the batch decontaminate SQL verbatim —
+    hash-equality ALSO proves the Arrow path == the relational path on
+    the gate corpus."""
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamtok_")
+    _token_rel_df(spark, sf_dir).repartition(8).write.mode("overwrite") \
+        .parquet(in_dir)
+    stream = (spark.readStream
+              .schema("doc_id long, tokens array<int>")
+              .option("maxFilesPerTrigger", 2)
+              .parquet(in_dir))
+    ev_grams = {tuple(range(100000 + i, 100000 + i + 13))
+                for i in range(8)}
+    out = tokenops.token_screen_arrow(stream, ev_grams, n=13)
+    q = exactly_once_parquet_sink(out, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "n_hits", "contaminated")
+
+
 def _q_stream_curate_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateless streaming curation, gate-hashed: the documents table
     streams in over multiple micro-batches, each doc passes the quality
@@ -4719,11 +4750,11 @@ _DRIVER_SAMPLE_HEAD = [
     "stream_session_committed", "stream_join_committed",
     "stream_funnel_committed", "stream_funnel_first_committed",
     "stream_funnel3_committed", "stream_absence_committed",
-    "stream_quota_committed",
+    "stream_token_screen_committed", "stream_quota_committed",
     "position_spa", "sunrise_daily", "time_series_zoned",
     "tokens_roundtrip",
     "window_tumbling", "sessionize",
-    "dedup_exact", "minhash_verified", "simhash_near_dup_capped",
+    "dedup_exact", "minhash_verified",
     "dup_clusters", "dup_spans", "line_dedup",
     "similarity_topk", "quantized_topk", "ivf_topk", "pq_topk", "semdedup",
     "hll_user_rollup", "cms_trigrams", "bottomk_per_lang",
@@ -4857,6 +4888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel_committed": _q_stream_funnel_committed,
         "stream_funnel_first_committed": _q_stream_funnel_first_committed,
         "stream_absence_committed": _q_stream_absence_committed,
+        "stream_token_screen_committed": _q_stream_token_screen_committed,
         "stream_funnel3_committed": _q_stream_funnel3_committed,
         "stream_quota_committed": _q_stream_quota_committed,
     }
@@ -5082,6 +5114,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_funnel_committed": _STREAM_FUNNEL_ORACLE,
         "stream_funnel_first_committed": _STREAM_FUNNEL_FIRST_ORACLE,
         "stream_absence_committed": _STREAM_ABSENCE_ORACLE,
+        "stream_token_screen_committed": _TOKEN_DECONTAMINATE_ORACLE,
         "stream_funnel3_committed": _sequence_chain_oracle(
             _CHAIN_TYPES, _CHAIN_WITHIN, id_below=10000,
             wm_cut_delay_s=3600),

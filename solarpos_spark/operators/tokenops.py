@@ -74,6 +74,81 @@ def token_ngram_decontaminate(
                 .alias("contaminated")))
 
 
+def token_screen_arrow(
+    df: DataFrame,
+    eval_grams,
+    *,
+    n: int = 13,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """The STREAMING-capable form of token_ngram_decontaminate: the eval
+    gram set rides inside a mapInArrow stage (closure-captured — one copy
+    per executor, the broadcast-variable shape), so the verdict is a pure
+    per-row function and the operator is STATELESS — legal in a streaming
+    query with no watermark, no state store, committed set independent of
+    file/batch order. The relational form's groupBy + join-back would be
+    a stateful aggregation under streaming.
+
+    Vectorized over the Arrow flat buffer (the codec operators' style —
+    sources/tokens.py decode_tokens): one sliding_window_view over the
+    batch's concatenated tokens, windows crossing document boundaries
+    masked via the list offsets, membership tested with np.isin on
+    byte-view (void) dtypes — no per-row Python loop. Batch parity with
+    token_ngram_decontaminate is pytest-locked bit-for-bit.
+
+    Output: (``id_col``, n_hits, contaminated).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    ev = sorted({tuple(int(x) for x in g) for g in eval_grams})
+    ev_arr = (np.ascontiguousarray(np.asarray(ev, dtype=np.int32))
+              if ev else np.empty((0, n), np.int32))
+    ev_v = ev_arr.view(f"V{4 * n}").ravel()
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            ids = batch.column(names.index(id_col))
+            tok = batch.column(names.index(tok_col))
+            if isinstance(tok, pa.ChunkedArray):
+                tok = tok.combine_chunks()
+            offs = tok.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            rel = offs - offs[0]
+            flat = tok.values.to_numpy(zero_copy_only=False) \
+                .astype(np.int32)[offs[0]:offs[-1]]
+            counts = np.zeros(batch.num_rows, np.int64)
+            if len(flat) >= n and len(ev_v):
+                W = sliding_window_view(flat, n)
+                Wv = np.ascontiguousarray(W).view(f"V{4 * n}").ravel()
+                hit = np.isin(Wv, ev_v)
+                starts = np.arange(len(Wv), dtype=np.int64)
+                d = np.searchsorted(rel, starts, side="right") - 1
+                valid = starts + n <= rel[d + 1]
+                counts = np.bincount(
+                    d[hit & valid],
+                    minlength=batch.num_rows).astype(np.int64)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(counts, pa.int64())],
+                names=[id_col, "n_hits"])
+
+    screened = df.select(id_col, tok_col).mapInArrow(
+        run, schema=f"{id_col} long, n_hits long")
+    return screened.select(
+        F.col(id_col), F.col("n_hits"),
+        (F.col("n_hits") > 0).alias("contaminated"))
+
+
 def token_ngram_novelty(
     corpus: DataFrame,
     *,

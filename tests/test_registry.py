@@ -24,7 +24,7 @@ def test_first_50_span_all_families():
     first50 = set(keys)
     # all streaming committed-output entries are driver-sampled
     streaming = [k for k in entry.queries() if k.startswith("stream_")]
-    assert set(streaming) <= first50 and len(streaming) >= 15
+    assert set(streaming) <= first50 and len(streaming) >= 16
     families = {
         # twilight shares sunrise_daily's solver — dropped from the head
         # when stream_absence_committed (15th streaming entry) joined

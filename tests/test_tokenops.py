@@ -55,6 +55,55 @@ class TestTokenDecontaminate:
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
 
 
+class TestTokenScreenArrow:
+    def test_batch_parity_with_relational(self, spark):
+        """token_screen_arrow (flat-buffer sliding windows + np.isin on
+        void views) must equal token_ngram_decontaminate bit-for-bit,
+        including planted leakage — eval docs stolen from the corpus."""
+        import random
+
+        from solarpos_spark.operators import tokenops
+
+        random.seed(7)
+        rows = [(i, [random.randint(0, 50)
+                     for _ in range(random.randint(1, 30))])
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        ev_rows = [(0, rows[3][1][:10]), (1, rows[40][1][2:20])]
+        ev = spark.createDataFrame(ev_rows, "doc_id long, tokens array<int>")
+        n = 4
+        rel = sorted(map(tuple, tokenops.token_ngram_decontaminate(
+            df, ev, n=n).collect()))
+        grams = {tuple(t[i:i + n]) for _, t in ev_rows
+                 for i in range(len(t) - n + 1)}
+        arrow = sorted(map(tuple, tokenops.token_screen_arrow(
+            df, grams, n=n).collect()))
+        assert rel == arrow
+        cont = {r[0] for r in arrow if r[2]}
+        assert {3, 40} <= cont
+
+    def test_document_boundary_windows_masked(self, spark):
+        """A window spanning two adjacent docs in the same Arrow batch
+        must NOT count: doc1+doc2 concatenated contain the eval gram,
+        neither doc alone does."""
+        from solarpos_spark.operators import tokenops
+
+        df = spark.createDataFrame(
+            [(1, [1, 2]), (2, [3, 4])], "doc_id long, tokens array<int>") \
+            .coalesce(1)
+        out = tokenops.token_screen_arrow(
+            df, {(1, 2, 3, 4)}, n=4).collect()
+        assert all(r.n_hits == 0 for r in out)
+
+    def test_empty_eval_set(self, spark):
+        from solarpos_spark.operators import tokenops
+
+        df = spark.createDataFrame(
+            [(1, [1, 2, 3, 4, 5])], "doc_id long, tokens array<int>")
+        out = tokenops.token_screen_arrow(df, set(), n=3).collect()
+        assert out[0].n_hits == 0 and not out[0].contaminated
+
+
 class TestTokenNovelty:
     def test_shared_vs_unique_windows(self, spark, corpus):
         out = {r.doc_id: r for r in tokenops.token_ngram_novelty(
