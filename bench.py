@@ -216,6 +216,14 @@ def main() -> None:
     run("sequence_pattern_3", lambda: qs["sequence_pattern_3"](spark, sf_dir))
     run("url_domain_stats", lambda: qs["url_domain_stats"](spark, sf_dir))
     run("wordpiece_tokens", lambda: qs["wordpiece_tokens"](spark, sf_dir))
+    # round-5 session-2 additions: composed IVF-PQ ANN, token-space
+    # screens, negation CEP
+    run("ivfpq_topk", lambda: qs["ivfpq_topk"](spark, sf_dir))
+    run("token_decontaminate",
+        lambda: qs["token_decontaminate"](spark, sf_dir))
+    run("token_novelty", lambda: qs["token_novelty"](spark, sf_dir))
+    run("sequence_pattern_absent",
+        lambda: qs["sequence_pattern_absent"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     # Diagnostics (per-query load averages + rep spreads) go on their OWN
