@@ -3316,6 +3316,55 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=15)
 
 
+def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + dense-cosine retrieval fused by Reciprocal Rank
+    Fusion (search.hybrid_topk_rrf — the standard RAG stack): each run
+    cuts to depth=50 independently (postings-bounded rank / cosine
+    TakeOrderedAndProject), fusion sums 1/(60+rank) over <= 100 rows.
+    The dense query is the vec_id=3 embedding taken RELATIONALLY (no
+    driver collect); the oracle wraps the bm25 oracle and replays the
+    dense run + fusion arithmetic."""
+    docs = _docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding")
+    return search.hybrid_topk_rrf(docs, emb, _BM25_QUERY, qvec,
+                                  k=20, depth=50)
+
+
+def _hybrid_rrf_oracle(k: int = 20, depth: int = 50,
+                       k_rrf: int = 60) -> str:
+    lex_inner = search.bm25_sql_oracle(_BM25_QUERY, k=depth)
+    return f"""
+WITH lex AS (
+  SELECT doc_id, CAST(rank AS INT) AS lex_rank FROM ({lex_inner})),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3),
+ds AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6)
+           AS s
+  FROM embeddings e, q),
+dense AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC)
+                      AS INT) AS dense_rank
+  FROM ds QUALIFY dense_rank <= {depth}),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({k_rrf} + l.lex_rank), 0.0)
+               + coalesce(1.0 / ({k_rrf} + d.dense_rank), 0.0), 8)
+           AS rrf,
+         l.lex_rank, d.dense_rank
+  FROM lex l FULL JOIN dense d ON d.doc_id = l.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, rrf, lex_rank, dense_rank
+FROM fused
+QUALIFY rank <= {k}
+"""
+
+
 def _q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregate (all 4 grouping sets ride one Expand + two-phase
     shuffle — the full-lattice sibling of lineitem_rollup)."""
@@ -4857,6 +4906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": _q_source_cap,
         "mixture_sample": _q_mixture_sample,
         "bm25_search": _q_bm25_search,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
         "repetition_stats": _q_repetition_stats,
         "sequence_pack": _q_sequence_pack,
         "contamination_screen": _q_contamination_screen,
@@ -5078,6 +5128,7 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": _SOURCE_CAP_ORACLE,
         "mixture_sample": _MIXTURE_SAMPLE_ORACLE,
         "bm25_search": search.bm25_sql_oracle(_BM25_QUERY, k=15),
+        "hybrid_search_rrf": _hybrid_rrf_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
         "ivf_topk_arrow": _ivf_topk_oracle(),
         "pq_topk": _pq_topk_oracle(),

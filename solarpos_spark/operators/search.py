@@ -137,3 +137,66 @@ ranked AS (
 SELECT CAST(rank AS INT) AS rank, doc_id, score FROM ranked
 WHERE rank <= {k}
 """
+
+
+def hybrid_topk_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: DataFrame,
+    *,
+    k: int = 10,
+    depth: int = 50,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical + dense retrieval fused by Reciprocal Rank Fusion
+    (Cormack et al. 2009, the standard RAG retrieval stack):
+
+        rrf(d) = 1/(k_rrf + rank_bm25(d)) + 1/(k_rrf + rank_dense(d))
+
+    with a missing run contributing 0. RRF is RANK-based, so the fusion
+    is immune to the two runs' incomparable score scales — exactly why
+    production hybrid search uses it over score interpolation.
+
+    Scale shape: each run independently cuts to ``depth`` candidates —
+    BM25 via the postings-bounded rank (bm25_topk), dense via a
+    zero-shuffle cosine projection + TakeOrderedAndProject (global
+    top-k without a global sort) — and everything downstream (rank
+    windows, the full-outer fusion join) runs over <= 2*depth rows.
+    ``query_vec`` is a one-row (``vec_col``) relation, broadcast.
+
+    Determinism: both run ranks break ties by id; the fusion sum has a
+    fixed two-term order; the final cut orders by (rrf desc, doc_id).
+    Output: (rank, doc_id, rrf, lex_rank, dense_rank) — run ranks are
+    null for docs the other run alone surfaced.
+    """
+    from .similarity import _dot, _norm
+
+    lex = bm25_topk(docs, query_terms, k=depth, text_col=text_col) \
+        .select("doc_id", F.col("rank").alias("lex_rank"))
+    q = query_vec.select(F.col(vec_col).alias("_qv")) \
+        .withColumn("_qn", _norm(F.col("_qv")))
+    scored = (embeddings.crossJoin(F.broadcast(q))
+              .select(F.col(id_col).alias("doc_id"),
+                      F.round(_dot(F.col(vec_col), F.col("_qv"))
+                              / (F.col("_qn") * _norm(F.col(vec_col))), 6)
+                      .alias("_s")))
+    dtop = scored.orderBy(F.col("_s").desc(), F.col("doc_id").asc()) \
+        .limit(depth)
+    dw = Window.orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+    dense = dtop.withColumn("dense_rank", F.row_number().over(dw)) \
+        .select("doc_id", "dense_rank")
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(F.coalesce(1.0 / (F.lit(k_rrf) + F.col("lex_rank")),
+                           F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("dense_rank")),
+                             F.lit(0.0)), 8).alias("rrf"),
+        "lex_rank", "dense_rank")
+    fw = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (fused.withColumn("rank", F.row_number().over(fw))
+            .filter(F.col("rank") <= k)
+            .select("rank", "doc_id", "rrf", "lex_rank", "dense_rank"))

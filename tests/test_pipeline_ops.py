@@ -617,6 +617,44 @@ class TestBM25:
         assert out[0]["doc_id"] == 9
 
 
+class TestHybridRRF:
+    def test_fusion_prefers_docs_in_both_runs(self, spark):
+        """RRF = 1/(60+lex_rank) + 1/(60+dense_rank): a doc ranked #2 in
+        BOTH runs (2/62 ~ .0323) must outrank a doc that is #1 in one
+        run only (1/61 ~ .0164); single-run docs carry a null rank for
+        the other run. Hand-computed fixture: doc 1 = dense #1 only,
+        doc 2 = lex #1 + dense #2, doc 3 = lex #2 only."""
+        import numpy as np
+
+        from solarpos_spark.operators.search import hybrid_topk_rrf
+
+        docs = spark.createDataFrame(
+            [(1, "nothing relevant here at all"),
+             (2, "shuffle shuffle shuffle join pad"),
+             (3, "shuffle pad pad pad pad pad pad")],
+            "doc_id long, text string")
+        rng = np.random.RandomState(3)
+        base = rng.randn(4, 8).astype("float64")
+        base[1] = base[0]                 # doc 1 == the query: dense #1
+        base[2] = base[0] * 0.9 + 0.01    # doc 2: dense #2
+        base[3] = -base[0]                # doc 3: dense last
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in (1, 2, 3)],
+            "vec_id long, embedding array<float>")
+        qvec = spark.createDataFrame(
+            [([float(x) for x in base[0]],)], "embedding array<float>")
+        out = {r.doc_id: r for r in hybrid_topk_rrf(
+            docs, emb, ["shuffle", "join"], qvec, k=10, depth=2).collect()}
+        assert out[2].rank == 1           # in both runs
+        assert out[2].lex_rank == 1 and out[2].dense_rank == 2
+        assert out[1].dense_rank == 1 and out[1].lex_rank is None
+        assert out[3].lex_rank == 2 and out[3].dense_rank is None
+        assert abs(out[2].rrf - (1 / 61 + 1 / 62)) < 1e-8
+        assert abs(out[1].rrf - 1 / 61) < 1e-8
+        # rank-based: fusion order is 2 (both) > 1/3 (one run each)
+        assert out[1].rank < out[3].rank  # same rrf tie -> lower doc_id
+
+
 class TestIVF:
     def test_ivf_finds_planted_neighbor(self, spark):
         import numpy as np
