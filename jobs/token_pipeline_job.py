@@ -34,6 +34,14 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=32)
     ap.add_argument("--mode", choices=["join", "position"], default="join")
     ap.add_argument("--lineage-log", default=None)
+    ap.add_argument(
+        "--screen-ngrams", default=None, metavar="FILE",
+        help="eval n-gram file (one space-separated int gram per line): "
+             "drop any sequence sharing a token n-gram with it BEFORE "
+             "decode — the online contamination guard "
+             "(tokenops.token_screen_arrow, stateless)")
+    ap.add_argument("--screen-n", type=int, default=13,
+                    help="n-gram length for --screen-ngrams")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +64,26 @@ def main() -> None:
 
     stream = tokens.read_token_stream(
         spark, args.input, max_files_per_trigger=args.max_files_per_trigger)
+    if args.screen_ngrams:
+        from pyspark.sql import functions as F
+
+        from solarpos_spark.operators.tokenops import token_screen_arrow
+
+        with open(args.screen_ngrams) as fh:
+            grams = {tuple(int(x) for x in line.split())
+                     for line in fh if line.strip()}
+        bad = [g for g in grams if len(g) != args.screen_n]
+        if bad:
+            raise SystemExit(
+                f"--screen-ngrams: {len(bad)} gram(s) are not length "
+                f"{args.screen_n} (first: {bad[0]})")
+        # stateless per-row verdict riding ALONGSIDE the row
+        # (passthrough) -> plain filter, no stream-stream self-join;
+        # contaminated sequences never reach decode
+        stream = (token_screen_arrow(stream, grams, n=args.screen_n,
+                                     id_col="doc_id", passthrough=True)
+                  .filter(~F.col("contaminated"))
+                  .drop("n_hits", "contaminated"))
     if args.mode == "position":
         out_df = with_observed_metrics(
             tokens.decode_position_arrow(stream, algorithm=args.algorithm))

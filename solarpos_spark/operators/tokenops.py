@@ -81,6 +81,7 @@ def token_screen_arrow(
     n: int = 13,
     id_col: str = "doc_id",
     tok_col: str = "tokens",
+    passthrough: bool = False,
 ) -> DataFrame:
     """The STREAMING-capable form of token_ngram_decontaminate: the eval
     gram set rides inside a mapInArrow stage (closure-captured — one copy
@@ -97,7 +98,11 @@ def token_screen_arrow(
     byte-view (void) dtypes — no per-row Python loop. Batch parity with
     token_ngram_decontaminate is pytest-locked bit-for-bit.
 
-    Output: (``id_col``, n_hits, contaminated).
+    Output: (``id_col``, n_hits, contaminated). With
+    ``passthrough=True`` the verdict columns ride ALONGSIDE every input
+    column instead (one stage, no re-join) — the form a streaming
+    pipeline needs to filter-then-continue, since joining the verdicts
+    back to the same stream would be a stateful stream-stream self-join.
     """
     from collections.abc import Iterator
 
@@ -136,17 +141,28 @@ def token_screen_arrow(
                 counts = np.bincount(
                     d[hit & valid],
                     minlength=batch.num_rows).astype(np.int64)
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(counts, pa.int64())],
-                names=[id_col, "n_hits"])
+            if passthrough:
+                yield pa.RecordBatch.from_arrays(
+                    [*batch.columns, pa.array(counts, pa.int64())],
+                    names=[*names, "n_hits"])
+            else:
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(counts, pa.int64())],
+                    names=[id_col, "n_hits"])
 
-    screened = df.select(id_col, tok_col).mapInArrow(
-        run, schema=f"{id_col} long, n_hits long")
-    return screened.select(
-        F.col(id_col), F.col("n_hits"),
-        (F.col("n_hits") > 0).alias("contaminated"))
+    if passthrough:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField("n_hits", LongType())])
+        screened = df.mapInArrow(run, schema=out_schema)
+    else:
+        screened = df.select(id_col, tok_col).mapInArrow(
+            run, schema=f"{id_col} long, n_hits long")
+    return screened.withColumn(
+        "contaminated", F.col("n_hits") > 0)
 
 
 def token_ngram_novelty(

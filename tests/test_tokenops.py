@@ -95,6 +95,25 @@ class TestTokenScreenArrow:
             df, {(1, 2, 3, 4)}, n=4).collect()
         assert all(r.n_hits == 0 for r in out)
 
+    def test_passthrough_keeps_all_columns(self, spark):
+        """passthrough=True appends the verdict to EVERY input column in
+        one stage (the streaming filter-then-continue form — joining
+        verdicts back would be a stateful stream-stream self-join) and
+        must agree with the projecting form row-for-row."""
+        from solarpos_spark.operators import tokenops
+
+        df = spark.createDataFrame(
+            [(1, [1, 2, 3, 4], "keep"), (2, [9, 9, 9], "me")],
+            "doc_id long, tokens array<int>, extra string")
+        out = {r.doc_id: r for r in tokenops.token_screen_arrow(
+            df, {(1, 2, 3)}, n=3, passthrough=True).collect()}
+        assert out[1].extra == "keep" and out[1].tokens == [1, 2, 3, 4]
+        assert out[1].n_hits == 1 and out[1].contaminated
+        assert out[2].n_hits == 0 and not out[2].contaminated
+        proj = {r.doc_id: r.n_hits for r in tokenops.token_screen_arrow(
+            df, {(1, 2, 3)}, n=3).collect()}
+        assert proj == {d: r.n_hits for d, r in out.items()}
+
     def test_empty_eval_set(self, spark):
         from solarpos_spark.operators import tokenops
 
