@@ -224,6 +224,7 @@ def main() -> None:
     run("token_novelty", lambda: qs["token_novelty"](spark, sf_dir))
     run("sequence_pattern_absent",
         lambda: qs["sequence_pattern_absent"](spark, sf_dir))
+    run("hybrid_search_rrf", lambda: qs["hybrid_search_rrf"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     # Diagnostics (per-query load averages + rep spreads) go on their OWN
