@@ -3365,6 +3365,29 @@ QUALIFY rank <= {k}
 """
 
 
+def _q_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global row numbering without a single-partition
+    sort (relational.global_row_number): fixed value-bins from one
+    min/max pass + per-bin prefix offsets + ONE bin-partitioned window —
+    RDD zipWithIndex's contract, relationally, with run-independent
+    boundaries where repartitionByRange samples. Oracle = plain
+    row_number() over the same total order."""
+    from solarpos_spark.operators import relational
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "ts")
+    return relational.global_row_number(
+        ev, ["ts", "event_id"]).select("event_id", "row_idx")
+
+
+_GLOBAL_ROW_INDEX_ORACLE = """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT)
+         AS row_idx
+FROM events
+"""
+
+
 def _q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregate (all 4 grouping sets ride one Expand + two-phase
     shuffle — the full-lattice sibling of lineitem_rollup)."""
@@ -4907,6 +4930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "bm25_search": _q_bm25_search,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "global_row_index": _q_global_row_index,
         "repetition_stats": _q_repetition_stats,
         "sequence_pack": _q_sequence_pack,
         "contamination_screen": _q_contamination_screen,
@@ -5129,6 +5153,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _MIXTURE_SAMPLE_ORACLE,
         "bm25_search": search.bm25_sql_oracle(_BM25_QUERY, k=15),
         "hybrid_search_rrf": _hybrid_rrf_oracle(),
+        "global_row_index": _GLOBAL_ROW_INDEX_ORACLE,
         "ivf_topk": _ivf_topk_oracle(),
         "ivf_topk_arrow": _ivf_topk_oracle(),
         "pq_topk": _pq_topk_oracle(),

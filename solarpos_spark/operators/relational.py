@@ -324,6 +324,72 @@ def sessionize(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    n_bins: int = 256,
+    out_col: str = "row_idx",
+) -> DataFrame:
+    """Deterministic 0-based global row numbering by ``order_cols``
+    WITHOUT a single-partition sort — the data-layout primitive behind
+    contiguous training-shard indices (RDD zipWithIndex without the RDD,
+    and without repartitionByRange's SAMPLED — run-dependent —
+    boundaries).
+
+    Two driver-side reductions, both tiny: (1) min/max of the leading
+    order column -> ``n_bins`` FIXED-width value bins (pure integer/
+    double arithmetic — deterministic across runs and engines where
+    sampled range boundaries are neither); (2) per-bin counts -> prefix
+    offsets, broadcast back (<= n_bins rows). Global index = bin offset
+    + within-bin rank from ONE bin-partitioned window, so the sort is
+    n_bins-way parallel and no partition ever holds more than its value
+    range. Skewed leading columns concentrate bins — pick a leading
+    column with spread (or raise n_bins) the same way you'd pick a
+    range-partition key.
+
+    ``order_cols`` must form a total order (include a tiebreaker id);
+    the leading column must be numeric/timestamp-castable and non-null.
+    Output: the input columns plus ``out_col`` (0-based dense long,
+    exactly row_number()-1 over the same order).
+    """
+    order_cols = list(order_cols)
+    lead = order_cols[0]
+    lv = F.col(lead)
+    if dict(df.dtypes).get(lead, "").startswith("timestamp"):
+        lv = F.unix_micros(lv.cast("timestamp"))  # NTZ-safe numeric
+    lv = lv.cast("double")
+    mn, mx = df.agg(F.min(lv), F.max(lv)).collect()[0]
+    if mn is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    mn, mx = float(mn), float(mx)
+    width = (mx - mn) / n_bins or 1.0
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.floor((lv - F.lit(mn)) / F.lit(width))).cast("int")
+    binned = df.withColumn("_bin", bin_col)
+    counts = {int(r["_bin"]): int(r["n"])
+              for r in binned.groupBy("_bin")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    acc, offsets = 0, []
+    for b in range(n_bins):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    spark = df.sparkSession
+    import pandas as pd
+
+    odf = spark.createDataFrame(
+        pd.DataFrame(offsets, columns=["_bin", "_off"]),
+        "_bin int, _off long")
+    w = (Window.partitionBy("_bin")
+         .orderBy(*[F.col(c).asc() for c in order_cols]))
+    return (binned.join(F.broadcast(odf), "_bin")
+            .withColumn(out_col,
+                        (F.col("_off") + F.row_number().over(w) - 1)
+                        .cast("long"))
+            .drop("_bin", "_off"))
+
+
 def sequence_pattern(
     events: DataFrame,
     *,

@@ -342,6 +342,45 @@ class TestSequencePatternAbsent:
         assert matched & set(absent) == set()
 
 
+class TestGlobalRowNumber:
+    def test_matches_row_number_and_partition_invariant(self, spark):
+        from solarpos_spark.operators.relational import global_row_number
+
+        rows = [(i, (i * 37) % 101, f"p{i}") for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, v long, payload string")
+        out = global_row_number(df, ["v", "id"]).collect()
+        want = {r[0]: i for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[1], r[0])))}
+        got = {r.id: r.row_idx for r in out}
+        assert got == want
+        assert {r.payload for r in out} == {r[2] for r in rows}
+        again = {r.id: r.row_idx for r in global_row_number(
+            df.repartition(13), ["v", "id"]).collect()}
+        assert again == got
+
+    def test_constant_leading_column_degenerates_safely(self, spark):
+        """All rows share one value -> one bin (width guard); still the
+        exact row_number, just without bin parallelism."""
+        from solarpos_spark.operators.relational import global_row_number
+
+        df = spark.createDataFrame(
+            [(i, 7) for i in range(50)], "id long, v long")
+        got = {r.id: r.row_idx for r in
+               global_row_number(df, ["v", "id"]).collect()}
+        assert got == {i: i for i in range(50)}
+
+    def test_no_single_partition_exchange(self, spark):
+        """The whole point: the plan must never collapse to a global
+        sort — no SinglePartition exchange anywhere."""
+        from solarpos_spark.operators.relational import global_row_number
+
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") * 31 % 997).alias("v"))
+        plan = global_row_number(df, ["v", "id"])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+
 SF = "/root/testdata/sf0.001"
 
 
