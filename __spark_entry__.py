@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from solarpos_spark import oracle_sql as _osql
 from solarpos_spark.operators import (
     dedup, search, similarity, sketches, text, tokenops, urls, windows)
+from solarpos_spark.operators import graph as _graph
 from solarpos_spark.operators.position import position
 from solarpos_spark.operators.sunrise import sunrise
 from solarpos_spark.sources import inputs, tokens
@@ -4801,6 +4802,159 @@ def _stream_pos_oracle() -> str:
             f"azimuth, zenith FROM ({inner})")
 
 
+# --------------------------------------------------------------------------
+# link-graph family (operators/graph.py + urls.extract_links): web-graph
+# construction from raw HTML and fixed-point integer PageRank over the
+# host graph — the authority signal web-corpus curation ranks domains by.
+# Inputs are synthesized deterministically from doc_id arithmetic in BOTH
+# engines (the _url_docs discipline); all rank arithmetic is int64 floor
+# division, so the oracles replay the FULL iteration bit-for-bit.
+
+def _link_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic crawl HTML: a script URL that must NOT extract (not an
+    href), 1-2 absolute anchors with hosts from doc_id arithmetic
+    (upper/lowercase attribute spellings), and a relative anchor that
+    must not extract."""
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><script>var u="http://ignored.example/x"'
+              '</script><p>'),
+        F.col("text"), F.lit('</p><a href="http://h'),
+        (F.col("doc_id") * 31 + 3) % 97,
+        F.lit('.example/p/'), F.col("doc_id"), F.lit('">a</a>'),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('<A HREF="https://H'),
+                        (F.col("doc_id") * 31 + 10) % 97,
+                        F.lit('.example/">b</A>'))).otherwise(F.lit('')),
+        F.lit('<a href="/rel">c</a></html>'))
+    return docs.select("doc_id", html.alias("html"))
+
+
+_LINK_HTML_CTE = """
+SELECT doc_id,
+  '<html><script>var u="http://ignored.example/x"</script><p>' || text ||
+  '</p><a href="http://h' || CAST((doc_id*31+3)%97 AS VARCHAR) ||
+  '.example/p/' || CAST(doc_id AS VARCHAR) || '">a</a>' ||
+  (CASE WHEN doc_id % 2 = 0
+     THEN '<A HREF="https://H' || CAST((doc_id*31+10)%97 AS VARCHAR)
+          || '.example/">b</A>'
+     ELSE '' END) || '<a href="/rel">c</a></html>' AS html
+FROM documents
+"""
+
+_LINK_EXTRACT_SQL = """
+SELECT doc_id,
+       unnest(regexp_extract_all(html,
+              '(?i)href="(https?://[^"]+)"', 1)) AS link_url
+FROM lh
+"""
+
+_LINK_HOST_SQL = (
+    "lower(regexp_extract(regexp_extract(link_url, "
+    "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^([^:]+)', 1))")
+
+
+def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph construction (urls.extract_links): absolute href
+    targets out of raw HTML — one regexp_extract_all + Generate inside
+    the scan stage, zero exchanges; link hosts reuse url_parse's
+    authority regexes. Script-embedded URLs, relative targets, and
+    unquoted attrs deliberately don't extract (documented portable
+    subset)."""
+    return urls.extract_links(_link_html_docs(spark, sf_dir))
+
+
+_LINK_EXTRACT_ORACLE = f"""
+WITH lh AS ({_LINK_HTML_CTE}),
+e AS ({_LINK_EXTRACT_SQL})
+SELECT doc_id, link_url, {_LINK_HOST_SQL} AS link_host FROM e
+"""
+
+
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host-graph edges from doc_id arithmetic: 3 edge
+    candidates per doc over a 97-host universe, self-edges dropped.
+    Edge multiplicity (deduped inside the operators) and node coverage
+    scale with SF."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (docs.select(
+        F.concat(F.lit("h"), F.col("doc_id") % 97).alias("src"),
+        F.explode(F.array(*[
+            F.concat(F.lit("h"), (F.col("doc_id") * 31 + 7 * k + 3) % 97)
+            for k in range(3)])).alias("dst"))
+        .filter(F.col("src") != F.col("dst")))
+
+
+_HOST_EDGES_CTE = """
+SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS u,
+       'h' || CAST((doc_id * 31 + 7 * k + 3) % 97 AS VARCHAR) AS v
+FROM documents, LATERAL (SELECT unnest([0, 1, 2]) AS k) t
+WHERE doc_id % 97 <> (doc_id * 31 + 7 * k + 3) % 97
+"""
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (graph.pagerank, 8 rounds, d=0.85,
+    scale 1e12): per round ONE rank shuffle onto the src-partitioned
+    edge relation + ONE contribution aggregate on dst; edges+degrees
+    partitioned once and reused, localCheckpoint keeps lineage O(1) in
+    rounds (the CC-loop discipline). All arithmetic int64 floor-div on
+    nonnegatives (Spark `div` == DuckDB `//`), so the oracle unrolls
+    the FULL 8-round recurrence as MATERIALIZED CTEs bit-for-bit."""
+    from solarpos_spark.operators import graph
+
+    return graph.pagerank(_host_edges(spark, sf_dir), rounds=8)
+
+
+def _q_host_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out degree profile (graph.degree_stats) over the
+    deduplicated host graph — one distinct + two aggregates merged
+    full-outer on the node key."""
+    from solarpos_spark.operators import graph
+
+    return graph.degree_stats(_host_edges(spark, sf_dir))
+
+
+_HOST_DEGREE_ORACLE = f"""
+WITH eraw AS ({_HOST_EDGES_CTE}),
+e AS (SELECT DISTINCT u, v FROM eraw),
+od AS (SELECT u AS node, count(*) AS out_degree FROM e GROUP BY u),
+id_ AS (SELECT v AS node, count(*) AS in_degree FROM e GROUP BY v)
+SELECT coalesce(od.node, id_.node) AS node,
+       CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree
+FROM od FULL JOIN id_ ON od.node = id_.node
+"""
+
+_LINK_EDGES_CTE = f"""
+SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS u,
+       {_LINK_HOST_SQL} AS v
+FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html,
+                '(?i)href="(https?://[^"]+)"', 1)) AS link_url
+  FROM ({_LINK_HTML_CTE}) lh
+) ex
+"""
+
+
+def _q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web pipeline: raw HTML → extract_links → host edge
+    relation (page host from doc_id arithmetic, target host from the
+    extracted URL) → 6-round PageRank. Self-links flow through both
+    engines identically (PageRank keeps them; only exact duplicates
+    dedup). The oracle composes the extraction CTE under the unrolled
+    recurrence — the curate-style stacked-oracle discipline."""
+    from solarpos_spark.operators import graph
+
+    links = urls.extract_links(_link_html_docs(spark, sf_dir))
+    edges = links.select(
+        F.concat(F.lit("h"), F.col("doc_id") % 97,
+                 F.lit(".example")).alias("src"),
+        F.col("link_host").alias("dst"))
+    return graph.pagerank(edges, rounds=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: SPA position over sf0.001 events (driver smoke check)."""
     return _position_query("spa")(spark, "/root/testdata/sf0.001")
@@ -4930,6 +5084,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "bm25_search": _q_bm25_search,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "link_extract": _q_link_extract,
+        "host_pagerank": _q_host_pagerank,
+        "host_degree_stats": _q_host_degree_stats,
+        "link_pagerank": _q_link_pagerank,
         "global_row_index": _q_global_row_index,
         "repetition_stats": _q_repetition_stats,
         "sequence_pack": _q_sequence_pack,
@@ -5153,6 +5311,12 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _MIXTURE_SAMPLE_ORACLE,
         "bm25_search": search.bm25_sql_oracle(_BM25_QUERY, k=15),
         "hybrid_search_rrf": _hybrid_rrf_oracle(),
+        "link_extract": _LINK_EXTRACT_ORACLE,
+        "host_pagerank": _graph.pagerank_sql_oracle(
+            _HOST_EDGES_CTE, rounds=8),
+        "host_degree_stats": _HOST_DEGREE_ORACLE,
+        "link_pagerank": _graph.pagerank_sql_oracle(
+            _LINK_EDGES_CTE, rounds=6),
         "global_row_index": _GLOBAL_ROW_INDEX_ORACLE,
         "ivf_topk": _ivf_topk_oracle(),
         "ivf_topk_arrow": _ivf_topk_oracle(),

@@ -43,6 +43,8 @@ __all__ = [
     "url_parse",
     "domain_stats",
     "blocklist_filter",
+    "LINK_HREF_RE",
+    "extract_links",
 ]
 
 #: Second-level public suffixes: a registrable domain under these is
@@ -453,3 +455,47 @@ def blocklist_filter(
         .select(*[F.col(c) for c in key_cols]).distinct()
     )
     return parsed.join(hit_keys, list(key_cols), "left_anti")
+
+
+#: Absolute http(s) hyperlink target inside a double-quoted href
+#: attribute — the engine-portable (Java regex == RE2 == DuckDB)
+#: subset: no lookaround, no backrefs, case-insensitive via inline
+#: flag. Single-quoted/unquoted attributes and relative targets are
+#: deliberate non-goals (crawl-scale link graphs are built from
+#: absolute targets; relative-link resolution needs a base-URL join
+#: that belongs to a later pass).
+LINK_HREF_RE = r'(?i)href="(https?://[^"]+)"'
+
+
+def extract_links(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    keep_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Extract absolute hyperlink targets from raw HTML — the web-graph
+    construction step: ``documents → (page, link_url, link_host)``
+    edges feed :func:`solarpos_spark.operators.graph.pagerank` and the
+    per-domain rollups above.
+
+    Scale shape: one ``regexp_extract_all`` projection + one Generate
+    (explode) — pipelined inside the scan stage, zero exchanges; linear
+    in HTML bytes like text.extract_html_text. The link host reuses
+    url_parse's authority/host regexes so a link graph and a provenance
+    rollup agree on host identity.
+
+    Output: ``keep_cols…, link_url, link_host`` — one row per extracted
+    link (pages without absolute links emit nothing; count them from
+    the source relation, not this one).
+    """
+    links = F.regexp_extract_all(F.col(html_col), F.lit(LINK_HREF_RE), 1)
+    exploded = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(links).alias("link_url"),
+    )
+    auth = F.regexp_extract(F.col("link_url"), _AUTH_RE, 1)
+    return exploded.select(
+        *[F.col(c) for c in keep_cols],
+        F.col("link_url"),
+        F.lower(F.regexp_extract(auth, _HOST_RE, 1)).alias("link_host"),
+    )
