@@ -4803,6 +4803,127 @@ def _stream_pos_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# weighted sampling (curate.priority_sample): sequential Poisson / priority
+# sampling — deterministic weighted sampling without replacement, the
+# reproducible replacement for rand()-keyed reservoirs.
+
+def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global weighted bottom-k (curate.priority_sample): keep the 50
+    docs with smallest fmix32(id)/n_chars — inclusion odds proportional
+    to length, bit-reproducible across runs/engines (integer hash and
+    weight both < 2^53, so the IEEE division is correctly rounded on
+    both). Plans as TakeOrderedAndProject — never a global sort."""
+    from solarpos_spark.operators.curate import priority_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return priority_sample(docs, weight_col="n_chars", k=50) \
+        .select("doc_id", "source", "n_chars", "sample_priority")
+
+
+def _q_priority_sample_stratified(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-source weighted bottom-k (k=20 per stratum) — the mixture-
+    aware variant; rank-1..k window plans as WindowGroupLimit (partial
+    limit below the one stratum-keyed shuffle)."""
+    from solarpos_spark.operators.curate import priority_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return priority_sample(docs, weight_col="n_chars", k=20,
+                           strata_col="source") \
+        .select("doc_id", "source", "n_chars", "sample_priority")
+
+
+def _priority_sample_oracle(k: int = 50, strata: bool = False) -> str:
+    from solarpos_spark.operators.curate import priority_sample_sql
+
+    pri = priority_sample_sql(weight_expr="n_chars")
+    if not strata:
+        return f"""
+SELECT doc_id, source, n_chars, round({pri}, 6) AS sample_priority
+FROM documents WHERE n_chars > 0
+ORDER BY {pri} ASC, doc_id ASC LIMIT {k}
+"""
+    return f"""
+SELECT doc_id, source, n_chars, sample_priority FROM (
+  SELECT doc_id, source, n_chars, round({pri}, 6) AS sample_priority,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {pri} ASC, doc_id ASC) AS rn
+  FROM documents WHERE n_chars > 0)
+WHERE rn <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# MMR diversified retrieval (search.mmr_rerank): the greedy diversity pass
+# over the dense shortlist — corpus-sized work is one cosine projection +
+# TakeOrderedAndProject; the k rounds run on <= depth rows.
+
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance top-10 over the depth-50 cosine
+    shortlist for the vec_id=3 query (taken relationally): pick_t
+    maximizes lam*rel - (1-lam)*max-sim-to-selected, lam=0.75 (both
+    coefficients exactly representable). The oracle unrolls all 10
+    greedy rounds as CTEs over the same rounded rel/sim relations."""
+    from solarpos_spark.operators.search import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding")
+    return mmr_rerank(emb, qvec, k=10, depth=50, lam=0.75)
+
+
+def _mmr_oracle(k: int = 10, depth: int = 50, lam: float = 0.75) -> str:
+    """Unrolled greedy-selection oracle for mmr_rerank: shortlist +
+    pairwise-sim CTEs MATERIALIZED (each is referenced every round),
+    then one (pick_t, sel_t) CTE pair per round — the unrolled-training
+    discipline (sel_t is referenced twice in round t+1)."""
+    c_lam, c_div = repr(float(lam)), repr(1.0 - float(lam))
+
+    def cos(x: str, y: str) -> str:
+        return (f"round(list_dot_product({x}, {y}) / "
+                f"(sqrt(list_dot_product({x}, {x})) * "
+                f"sqrt(list_dot_product({y}, {y}))), 6)")
+
+    ctes: list[tuple[str, str, bool]] = [
+        ("q", "SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+              "WHERE vec_id = 3", False),
+        ("base", "SELECT vec_id, embedding::DOUBLE[] AS v "
+                 "FROM embeddings", True),
+        ("rl", f"SELECT vec_id, v, {cos('v', 'qv')} AS rel "
+               f"FROM base, q", False),
+        ("sl", f"SELECT vec_id, v, rel FROM rl "
+               f"ORDER BY rel DESC, vec_id ASC LIMIT {depth}", True),
+        ("pw", f"SELECT x.vec_id AS a, y.vec_id AS b, "
+               f"{cos('x.v', 'y.v')} AS sim "
+               f"FROM sl x JOIN sl y ON x.vec_id <> y.vec_id", True),
+        ("sel1", "SELECT vec_id, 1 AS rank, rel, rel AS mmr FROM sl "
+                 "ORDER BY rel DESC, vec_id ASC LIMIT 1", True),
+    ]
+    for t in range(2, k + 1):
+        ctes.append((
+            f"pick{t}",
+            f"SELECT vec_id, {t} AS rank, rel, round(raw, 6) AS mmr "
+            f"FROM (SELECT c.vec_id, c.rel, "
+            f"CAST({c_lam} AS DOUBLE) * c.rel - "
+            f"CAST({c_div} AS DOUBLE) * m.maxsim AS raw "
+            f"FROM (SELECT * FROM sl WHERE vec_id NOT IN "
+            f"(SELECT vec_id FROM sel{t - 1})) c "
+            f"JOIN (SELECT a AS vec_id, max(sim) AS maxsim FROM pw "
+            f"WHERE b IN (SELECT vec_id FROM sel{t - 1}) GROUP BY a) m "
+            f"USING (vec_id) "
+            f"ORDER BY raw DESC, c.vec_id ASC LIMIT 1)", False))
+        ctes.append((
+            f"sel{t}",
+            f"SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM pick{t}",
+            True))
+    body = ",\n".join(
+        f"{n} AS MATERIALIZED ({s})" if m else f"{n} AS ({s})"
+        for n, s, m in ctes)
+    return (f"WITH {body}\n"
+            f"SELECT CAST(rank AS INT) AS rank, vec_id, rel, mmr "
+            f"FROM sel{k}")
+
+
+# --------------------------------------------------------------------------
 # link-graph family (operators/graph.py + urls.extract_links): web-graph
 # construction from raw HTML and fixed-point integer PageRank over the
 # host graph — the authority signal web-corpus curation ranks domains by.
@@ -5088,6 +5209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "host_degree_stats": _q_host_degree_stats,
         "link_pagerank": _q_link_pagerank,
+        "priority_sample": _q_priority_sample,
+        "priority_sample_stratified": _q_priority_sample_stratified,
+        "mmr_rerank": _q_mmr_rerank,
         "global_row_index": _q_global_row_index,
         "repetition_stats": _q_repetition_stats,
         "sequence_pack": _q_sequence_pack,
@@ -5317,6 +5441,10 @@ def oracle_sql() -> dict[str, str]:
         "host_degree_stats": _HOST_DEGREE_ORACLE,
         "link_pagerank": _graph.pagerank_sql_oracle(
             _LINK_EDGES_CTE, rounds=6),
+        "priority_sample": _priority_sample_oracle(k=50),
+        "priority_sample_stratified": _priority_sample_oracle(
+            k=20, strata=True),
+        "mmr_rerank": _mmr_oracle(k=10, depth=50, lam=0.75),
         "global_row_index": _GLOBAL_ROW_INDEX_ORACLE,
         "ivf_topk": _ivf_topk_oracle(),
         "ivf_topk_arrow": _ivf_topk_oracle(),

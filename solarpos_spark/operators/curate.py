@@ -391,3 +391,73 @@ def sequence_pack(
         F.expr(f"`offset` div {cap} != (`offset` + n_tokens - 1) div {cap}")
          .alias("spans_boundary"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    seed: int = 1,
+) -> DataFrame:
+    """Weighted sampling without replacement: sequential Poisson /
+    priority sampling (Ohlsson 1998; Rosén 1997; the Efraimidis-
+    Spirakis A-ES family) — keep the k rows with the smallest
+    ``priority = hash(id) / weight``, so inclusion probability is
+    approximately proportional to weight. The deterministic replacement
+    for ``rand()``-keyed weighted reservoirs: re-running the job (or a
+    task retry at 100 TB) selects the SAME sample.
+
+    The hash is the fmix32-avalanched id (sketches._fmix32 — the
+    CLAUDE.md rule: bare arithmetic on similar ids clusters), +1 so the
+    numerator lies in [1, 2^32]. Both operands are integers < 2^53, so
+    the IEEE division is correctly rounded and IDENTICAL in any engine —
+    a DuckDB oracle replays the selection bit-for-bit, ties broken by
+    id. Rows with non-positive weight are excluded (they have zero
+    inclusion mass; documented rather than erroring).
+
+    Scale shape: global mode plans as TakeOrderedAndProject (per-
+    partition top-k, one k-row-per-partition shuffle — never a global
+    sort); per-stratum mode is a rank-1..k window = WindowGroupLimit
+    (partial limit below the shuffle). Cost O(rows) scan + O(k·strata)
+    exchange either way.
+
+    Output: the selected input rows + ``sample_priority`` (rounded to 6
+    for display; selection uses the full-precision value).
+    """
+    from .sketches import _fmix32
+
+    wcol = F.col(weight_col).cast("long")
+    x = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(2**32))
+               + F.lit(int(seed)), F.lit(2**32))
+    pri = (_fmix32(x).cast("double") + F.lit(1.0)) / wcol.cast("double")
+    base = (df.filter(wcol > 0)
+              .withColumn("_pri", pri))
+    if strata_col is None:
+        out = base.orderBy(F.col("_pri").asc(), F.col(id_col).asc()) \
+                  .limit(k)
+    else:
+        w = Window.partitionBy(strata_col).orderBy(
+            F.col("_pri").asc(), F.col(id_col).asc())
+        out = (base.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") <= k).drop("_rn"))
+    return out.withColumn("sample_priority", F.round(F.col("_pri"), 6)) \
+              .drop("_pri")
+
+
+def priority_sample_sql(
+    *,
+    weight_expr: str,
+    id_expr: str = "doc_id",
+    seed: int = 1,
+) -> str:
+    """DuckDB expression for the full-precision priority — generated
+    from the same constants as :func:`priority_sample` (the fmix32_sql
+    discipline) so query and oracle cannot drift."""
+    from .sketches import fmix32_sql
+
+    x = f"((({id_expr}) % 4294967296 + {int(seed)}) % 4294967296)"
+    return (f"((CAST({fmix32_sql(x)} AS DOUBLE) + 1.0) "
+            f"/ CAST({weight_expr} AS DOUBLE))")

@@ -200,3 +200,87 @@ def hybrid_topk_rrf(
     return (fused.withColumn("rank", F.row_number().over(fw))
             .filter(F.col("rank") <= k)
             .select("rank", "doc_id", "rrf", "lex_rank", "dense_rank"))
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    *,
+    k: int = 10,
+    depth: int = 50,
+    lam: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass a RAG stack runs over its dense
+    shortlist so the k context slots aren't k near-duplicates:
+
+        pick_t = argmax_{d in shortlist \\ S}
+                 [ lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s) ]
+
+    Convention: the first pick's score is its relevance (S empty).
+
+    Scale shape: the corpus-sized work is ONE zero-shuffle cosine
+    projection + TakeOrderedAndProject cut to ``depth``; everything
+    after — the depth^2 pairwise-sim relation and the k greedy rounds —
+    runs on <= depth rows (localCheckpoint'ed per round, the CC-loop
+    discipline, so the plan stays O(1) in rounds). Batching many
+    queries = the same shape with every window/join additionally keyed
+    by query id; this entry is the one-query primitive, matching
+    hybrid_topk_rrf.
+
+    Determinism: rel and pairwise sims are rounded to 6 before
+    selection (the similarity-family discipline — absorbs fold-order
+    ulps); ``lam`` and ``1-lam`` are bound as Python-computed double
+    literals on BOTH engines; every argmax breaks ties by id. The
+    default lam=0.75 makes both coefficients exactly representable.
+
+    Output: (rank, vec_id, rel, mmr), rank 1..k.
+    """
+    from .similarity import _dot, _norm
+
+    q = query_vec.select(F.col(vec_col).alias("_qv")) \
+        .withColumn("_qn", _norm(F.col("_qv")))
+    scored = (embeddings.crossJoin(F.broadcast(q))
+              .select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("_v"),
+                      F.round(_dot(F.col(vec_col), F.col("_qv"))
+                              / (F.col("_qn") * _norm(F.col(vec_col))), 6)
+                      .alias("rel")))
+    sl = (scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+          .limit(depth)
+          .withColumn("_n", _norm(F.col("_v")))
+          .localCheckpoint(eager=True))
+    pw = (sl.select(F.col("vec_id").alias("a"), F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"))
+          .join(F.broadcast(sl.select(F.col("vec_id").alias("b"),
+                                      F.col("_v").alias("_vb"),
+                                      F.col("_n").alias("_nb"))),
+                F.col("a") != F.col("b"))
+          .select("a", "b",
+                  F.round(_dot(F.col("_va"), F.col("_vb"))
+                          / (F.col("_na") * F.col("_nb")), 6).alias("sim"))
+          .localCheckpoint(eager=True))
+    c_lam = float(lam)
+    c_div = 1.0 - float(lam)
+    selected = (sl.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .select("vec_id", F.lit(1).alias("rank"), "rel",
+                        F.col("rel").alias("mmr"))
+                .localCheckpoint(eager=True))
+    for t in range(2, k + 1):
+        cand = sl.join(selected.select("vec_id"), "vec_id", "left_anti")
+        ms = (pw.join(selected.select(F.col("vec_id").alias("b")), "b")
+              .groupBy(F.col("a").alias("vec_id"))
+              .agg(F.max("sim").alias("_maxsim")))
+        pick = (cand.join(ms, "vec_id")
+                .select("vec_id", "rel",
+                        (F.lit(c_lam) * F.col("rel")
+                         - F.lit(c_div) * F.col("_maxsim")).alias("_raw"))
+                .orderBy(F.col("_raw").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .select("vec_id", F.lit(t).alias("rank"), "rel",
+                        F.round(F.col("_raw"), 6).alias("mmr")))
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select("rank", "vec_id", "rel", "mmr")
