@@ -4803,6 +4803,147 @@ def _stream_pos_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# event-sequence + time-series relational ops (relational.py)
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (relational.transition_matrix): one sessionize-shaped
+    window (lead over user/time) + one |types|^2-row aggregate; the
+    probability denominator is a window over the aggregate itself.
+    Counts integer-exact; p = one IEEE division of int64s."""
+    from solarpos_spark.operators.relational import transition_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_matrix(ev)
+
+
+_EVENT_TRANSITIONS_ORACLE = """
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events),
+c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) /
+             CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+                  AS DOUBLE), 6) AS p
+FROM c
+"""
+
+
+def _q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-grid resampling + forward gap-fill
+    (relational.resample_fill): every-7th event onto a 900 s grid so
+    real gaps exist; bucket means carry across empty buckets via a
+    running last(ignorenulls) window over the (tiny) grid relation.
+    avg+round(6) determinism per the events_value_stats precedent."""
+    from solarpos_spark.operators.relational import resample_fill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_id") % 7 == 0)
+    return resample_fill(ev, bucket_s=900)
+
+
+_EVENTS_RESAMPLED_ORACLE = """
+WITH b AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS bucket_start,
+         value
+  FROM events WHERE event_id % 7 = 0),
+a AS (SELECT bucket_start, count(*) AS n, round(avg(value), 6) AS av
+      FROM b GROUP BY 1),
+s AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM a),
+g AS (SELECT unnest(range(lo, hi + 900, 900)) AS bucket_start FROM s),
+j AS (SELECT g.bucket_start, coalesce(a.n, 0) AS n, a.av
+      FROM g LEFT JOIN a USING (bucket_start))
+SELECT bucket_start, CAST(n AS BIGINT) AS n,
+       last_value(av IGNORE NULLS) OVER (
+           ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+       av IS NULL AS filled
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# sparse random projection (similarity.random_project / rp_topk)
+
+def _q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achlioptas sparse random projection 64→16 dims
+    (similarity.random_project): each output coordinate is a FIXED
+    generation-ordered ± add chain (density 1/3) — pure whole-stage-
+    codegen projection, zero shuffle, no fold-order hazard. The gate
+    explodes the array so the hash compares scalars; the oracle emits
+    the identical chain from the same driver-generated sign table."""
+    from solarpos_spark.operators.similarity import random_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = random_project(emb, in_dim=64, out_dim=16, seed=1)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim", "val"))
+
+
+def _rp_project_oracle() -> str:
+    from solarpos_spark.operators.similarity import rp_sql_proj
+
+    lst = rp_sql_proj(in_dim=64, out_dim=16, seed=1)
+    return f"""
+WITH p AS (SELECT vec_id, {lst} AS proj FROM embeddings)
+SELECT vec_id, i - 1 AS dim, proj[i] AS val
+FROM p, LATERAL (SELECT unnest(range(1, 17)) AS i) t
+"""
+
+
+def _q_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage RP ANN (similarity.rp_topk): 16-dim projected cosine
+    scan → shortlist-10 → exact 64-dim rerank; quantized_topk's shape
+    with a dimension cut instead of a precision cut. Same output
+    schema/rounding as similarity_topk so recall is measurable."""
+    from solarpos_spark.operators.similarity import rp_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return rp_topk(emb, q, in_dim=64, out_dim=16, seed=1, k=3,
+                   shortlist=10)
+
+
+def _rp_topk_oracle(k: int = 3, shortlist: int = 10) -> str:
+    from solarpos_spark.operators.similarity import rp_sql_proj
+
+    lst = rp_sql_proj(in_dim=64, out_dim=16, seed=1)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, {lst} AS proj FROM embeddings),
+qq AS (SELECT * FROM p WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.proj, c.proj)
+               / (sqrt(list_dot_product(q.proj, q.proj))
+                  * sqrt(list_dot_product(c.proj, c.proj))), 6) AS approx
+  FROM p c, qq q WHERE c.vec_id <> q.vec_id),
+sh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY approx DESC, neighbor_id ASC) AS r FROM scored)
+  WHERE r <= {shortlist}),
+ex AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(qb.v, cb.v)
+               / (sqrt(list_dot_product(qb.v, qb.v))
+                  * sqrt(list_dot_product(cb.v, cb.v))), 6) AS score
+  FROM sh s JOIN base cb ON cb.vec_id = s.neighbor_id
+            JOIN base qb ON qb.vec_id = s.query_id)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank,
+       neighbor_id, score
+FROM ex
+QUALIFY rank <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
 # weighted sampling (curate.priority_sample): sequential Poisson / priority
 # sampling — deterministic weighted sampling without replacement, the
 # reproducible replacement for rand()-keyed reservoirs.
@@ -5212,6 +5353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "priority_sample_stratified": _q_priority_sample_stratified,
         "mmr_rerank": _q_mmr_rerank,
+        "event_transitions": _q_event_transitions,
+        "events_resampled": _q_events_resampled,
+        "rp_project": _q_rp_project,
+        "rp_topk": _q_rp_topk,
         "global_row_index": _q_global_row_index,
         "repetition_stats": _q_repetition_stats,
         "sequence_pack": _q_sequence_pack,
@@ -5445,6 +5590,10 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_stratified": _priority_sample_oracle(
             k=20, strata=True),
         "mmr_rerank": _mmr_oracle(k=10, depth=50, lam=0.75),
+        "event_transitions": _EVENT_TRANSITIONS_ORACLE,
+        "events_resampled": _EVENTS_RESAMPLED_ORACLE,
+        "rp_project": _rp_project_oracle(),
+        "rp_topk": _rp_topk_oracle(),
         "global_row_index": _GLOBAL_ROW_INDEX_ORACLE,
         "ivf_topk": _ivf_topk_oracle(),
         "ivf_topk_arrow": _ivf_topk_oracle(),

@@ -225,6 +225,13 @@ def main() -> None:
     run("sequence_pattern_absent",
         lambda: qs["sequence_pattern_absent"](spark, sf_dir))
     run("hybrid_search_rrf", lambda: qs["hybrid_search_rrf"](spark, sf_dir))
+    # round-5 session-3 additions: link graph + PageRank, priority
+    # sampling, MMR diversified re-ranking
+    run("link_extract", lambda: qs["link_extract"](spark, sf_dir))
+    run("host_pagerank", lambda: qs["host_pagerank"](spark, sf_dir))
+    run("link_pagerank", lambda: qs["link_pagerank"](spark, sf_dir))
+    run("priority_sample", lambda: qs["priority_sample"](spark, sf_dir))
+    run("mmr_rerank", lambda: qs["mmr_rerank"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     # Diagnostics (per-query load averages + rep spreads) go on their OWN

@@ -578,3 +578,95 @@ def sequence_pattern_chain(
           for i in range(k)],
         (F.col("_s0.last_us") - F.col("_s0.us")).alias("gap_usec"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities over per-key
+    event sequences — the journey profile (what follows what) a
+    funnel/sessionization analysis starts from, and the generative model
+    behind synthetic-sequence QA checks.
+
+    Scale shape: ONE key-partitioned window (lead over the per-key order
+    — the sessionize exchange) feeding ONE tiny aggregate on
+    (from_type, to_type); the output is |types|^2 rows however large the
+    input. The probability denominator is a second window over the
+    aggregate itself (zero extra exchange at |types|^2 rows, partitioned
+    on from_type).
+
+    Determinism: counts are integers; probability = count/total is one
+    IEEE division of exact int64s (< 2^53) — identical across engines,
+    then rounded for display. The per-key order must be total
+    (``order_cols`` should end in a unique id) or lead() is
+    schedule-dependent.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    pairs = (events
+             .withColumn("_to", F.lead(type_col).over(w))
+             .filter(F.col("_to").isNotNull())
+             .select(F.col(type_col).alias("from_type"),
+                     F.col("_to").alias("to_type")))
+    counts = pairs.groupBy("from_type", "to_type") \
+        .agg(F.count("*").alias("n"))
+    tw = Window.partitionBy("from_type")
+    return (counts
+            .withColumn("_tot", F.sum("n").over(tw))
+            .select("from_type", "to_type", F.col("n").cast("long").alias("n"),
+                    F.round(F.col("n").cast("double")
+                            / F.col("_tot").cast("double"),
+                            round_digits).alias("p")))
+
+
+def resample_fill(
+    events: DataFrame,
+    *,
+    bucket_s: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fixed-width time-bucket resampling with forward gap-fill — the
+    time-series normalization step (regularize an event stream onto a
+    uniform grid, carry the last observation across empty buckets) that
+    precedes any windowed model input.
+
+    Scale shape: one hash aggregate on the bucket key (map-side combined;
+    output is O(span/bucket) rows, independent of input rows), then the
+    dense grid comes from ONE single-row min/max aggregate exploded via
+    ``sequence`` (never a driver loop), left-joined and forward-filled
+    with a running ``last(..., ignorenulls)`` window — the asof_join
+    construction over the grid relation, which is tiny, so the final
+    window's single-partition sort is O(span/bucket), not O(input).
+
+    Output per grid bucket: ``bucket_start`` (epoch s), ``n`` (rows in
+    bucket, 0 for gaps), ``avg_value`` (bucket mean, forward-filled
+    across gaps — null only for leading gaps), ``filled`` (true where
+    carried). Mean determinism follows the events_value_stats precedent:
+    avg + round(6) hashes stably on this data shape.
+    """
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_s))
+         * F.lit(bucket_s)).cast("long")
+    agg = (events.select(b.alias("bucket_start"), F.col(value_col))
+           .groupBy("bucket_start")
+           .agg(F.count("*").alias("n"),
+                F.round(F.avg(value_col), round_digits).alias("_avg")))
+    span = agg.agg(F.min("bucket_start").alias("lo"),
+                   F.max("bucket_start").alias("hi"))
+    grid = span.select(F.explode(F.sequence(
+        F.col("lo"), F.col("hi"), F.lit(bucket_s))).alias("bucket_start"))
+    w = (Window.orderBy("bucket_start")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    joined = grid.join(agg, "bucket_start", "left")
+    return (joined
+            .select("bucket_start",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                    F.last("_avg", ignorenulls=True).over(w)
+                    .alias("avg_value"),
+                    F.col("_avg").isNull().alias("filled")))

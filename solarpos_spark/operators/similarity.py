@@ -1159,3 +1159,171 @@ def ivfpq_topk(
     return (exact.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "score"))
+
+
+# --------------------------------------------------------------------------
+# sparse random projection (Achlioptas 2001 "database-friendly" variant)
+
+def rp_signs(in_dim: int, out_dim: int, *, seed: int = 1) -> list[list[int]]:
+    """The deterministic sparse sign matrix s[i][j] in {+1, 0, -1} with
+    density 1/3: fmix32(i*out_dim + j + seed) mod 6 -> 0:+1, 1:-1,
+    else 0 (Achlioptas 2003, JCSS — E[s]=0, Var preserved under the
+    sqrt(3/out_dim) scale). Generated driver-side from the same fmix32
+    constants as the engine hashes (sketches.py_fmix32), so the Spark
+    expression chain and the SQL oracle derive from ONE table."""
+    from .sketches import py_fmix32
+
+    out: list[list[int]] = []
+    for i in range(in_dim):
+        row = []
+        for j in range(out_dim):
+            r = py_fmix32((i * out_dim + j + seed) & 0xFFFFFFFF) % 6
+            row.append(1 if r == 0 else (-1 if r == 1 else 0))
+        out.append(row)
+    return out
+
+
+def _rp_scale(out_dim: int) -> float:
+    import math
+
+    return math.sqrt(3.0 / out_dim)
+
+
+def random_project(
+    embeddings: DataFrame,
+    *,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sparse random projection to ``out_dim`` dimensions — the cheap
+    Johnson-Lindenstrauss dimensionality cut run before ANN/clustering
+    when 100 TB of embeddings won't fit the index budget. With the
+    Achlioptas {+1,0,-1} matrix the projection is ~2/3 zeros, so each
+    output coordinate is a FIXED, generation-ordered chain of +/-
+    element adds — pure whole-stage-codegen projection, zero shuffle,
+    zero Python, and bit-identical in any IEEE engine (the SQL oracle
+    emits the same chain from the same sign table; no dot-product
+    fold-order hazard because the order is pinned by the table, not by
+    data layout).
+
+    Output: (``id_col``, proj array<double> length ``out_dim``), each
+    coordinate rounded to ``round_digits``.
+
+    Codegen note: as a plain projection (scan → project, or feeding a
+    join/Generate) the ~340-term chain whole-stage-compiles fine. If an
+    AGGREGATE fuses directly on top of all 16 chains in one codegen
+    region, the single generated method can exceed the JVM's 64 KB
+    limit and Spark logs one "Failed to compile" ERROR then falls back
+    to interpreted execution for that stage — graceful, correct, and
+    avoided in practice by the explode/join that always sits between
+    this projection and any aggregate in the pipelines here.
+    """
+    signs = rp_signs(in_dim, out_dim, seed=seed)
+    sc = _rp_scale(out_dim)
+    v = F.col(vec_col)
+    cols = []
+    for j in range(out_dim):
+        # start the chain at 0.0 on BOTH engines: identical term order,
+        # and 0.0 + x == x exactly in IEEE so the anchor costs nothing
+        term = F.lit(0.0)
+        for i in range(in_dim):
+            s = signs[i][j]
+            if s == 0:
+                continue
+            e = F.element_at(v, i + 1).cast("double")
+            term = (term + e) if s > 0 else (term - e)
+        # + 0.0 normalizes IEEE -0.0 to +0.0 (a chain that sums to
+        # negative zero would otherwise hash differently than the
+        # oracle's round, which keeps the sign)
+        cols.append(F.round(term * F.lit(sc), round_digits) + F.lit(0.0))
+    return embeddings.select(F.col(id_col), F.array(*cols).alias("proj"))
+
+
+def rp_sql_proj(
+    *,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 1,
+    vec_expr: str = "embedding::DOUBLE[]",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB list expression replaying :func:`random_project`'s exact
+    add chain (same sign table, same term order, same scale literal)."""
+    signs = rp_signs(in_dim, out_dim, seed=seed)
+    sc = repr(_rp_scale(out_dim))
+    items = []
+    for j in range(out_dim):
+        chain = "0.0"
+        for i in range(in_dim):
+            s = signs[i][j]
+            if s == 0:
+                continue
+            chain += (" + " if s > 0 else " - ") + f"({vec_expr})[{i + 1}]"
+        items.append(f"(round(({chain}) * CAST({sc} AS DOUBLE), "
+                     f"{round_digits}) + 0.0)")
+    return "[" + ", ".join(items) + "]"
+
+
+def rp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 1,
+    k: int = 3,
+    shortlist: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage top-k: sparse-random-projection scan → exact rerank —
+    the quantized_topk shape with the 4x bandwidth cut replaced by a
+    4x DIMENSION cut (out_dim=16 of 64): stage 1 scores every pair on
+    the 16-dim projected vectors (JL lemma keeps relative distances),
+    stage 2 re-scores only the shortlist with the exact 64-dim cosine.
+    Both stages deterministic: projected coordinates are rounded
+    (pinned add chains, random_project), cuts are total orders. Output
+    (query_id, rank, neighbor_id, score) — same schema/rounding as
+    brute_force_topk so recall is directly measurable."""
+    pc = random_project(corpus, in_dim=in_dim, out_dim=out_dim,
+                        seed=seed, id_col=id_col, vec_col=vec_col) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col("proj").alias("_cp"))
+    pq = random_project(queries, in_dim=in_dim, out_dim=out_dim,
+                        seed=seed, id_col=id_col, vec_col=vec_col) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col("proj").alias("_qp"))
+    approx = F.round(
+        _dot(F.col("_qp"), F.col("_cp"))
+        / (_norm(F.col("_qp")) * _norm(F.col("_cp"))), 6)
+    scored = (
+        pc.join(F.broadcast(pq), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", approx.alias("approx"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc())
+    short = (scored.withColumn("_srank", F.row_number().over(ws))
+             .filter(F.col("_srank") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    cvecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cvec"),
+                          _norm(F.col(vec_col)).alias("_cn"))
+    qvecs = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qvec2"),
+                           _norm(F.col(vec_col)).alias("_qn"))
+    exact = (
+        cvecs.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "neighbor_id",
+                F.round(_dot(F.col("qvec2"), F.col("cvec"))
+                        / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))

@@ -397,3 +397,16 @@ def hll_cardinality(
     regs = hll_registers(df, col, p=p, group_cols=group_cols,
                          hash_fn=hash_fn)
     return hll_estimate(regs, p=p, group_cols=group_cols, hash_fn=hash_fn)
+
+
+def py_fmix32(h: int) -> int:
+    """Driver-side replica of :func:`_fmix32` (same constants) for
+    generating deterministic literal tables (e.g. similarity's sparse
+    random-projection signs) that the SQL oracles re-derive."""
+    h &= 0xFFFFFFFF
+    h ^= h >> 16
+    h = (h * _FMIX_C1) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * _FMIX_C2) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
