@@ -4582,6 +4582,93 @@ FROM rk WHERE rank <= 5
 """
 
 
+def _q_stream_priority_sample_committed(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Streaming per-window priority sample via applyInPandasWithState
+    (streaming/stateful.windowed_priority_sample), gate-hashed: for
+    every 900 s tumbling window, the 5 rows with smallest
+    fmix32(id)/weight (weight = floor(value), non-positive excluded) —
+    the online curate.priority_sample; top-k-per-window is not an
+    algebraic aggregate, so this is per-window buffered state released
+    when the watermark passes the window END (EventTimeTimeout wake).
+    The priority is computed UPSTREAM by the shared batch JVM
+    expression (curate.priority_expr), so the committed set is exactly
+    the batch selection over windows closed by the final watermark.
+    Events arrive as 4 in-order time-quartile files
+    (maxFilesPerTrigger=1); closed-window eviction is final per the
+    two-watermark argument (eviction at wm(<=f-1) == the late filter
+    of f+1)."""
+    import glob
+    import os
+
+    from solarpos_spark.operators.curate import priority_expr
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming.stateful import windowed_priority_sample
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamwsample_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_id") < 10000) \
+        .select("event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                F.floor(F.col("value")).cast("long").alias("w")) \
+        .filter(F.col("w") > 0) \
+        .withColumn("_us", F.unix_micros(F.col("ts")))
+    bounds = ev.agg(F.min("_us"), F.max("_us")).collect()[0]
+    tmin, tmax = int(bounds[0]), int(bounds[1])
+    width = (tmax - tmin) // 4 + 1
+    written: set[str] = set()
+    for i in range(4):
+        ev.filter((F.col("_us") - tmin) / width >= i) \
+          .filter((F.col("_us") - tmin) / width < i + 1) \
+          .drop("_us").coalesce(1).write.mode("append").parquet(in_dir)
+        new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+        for p in new:
+            os.utime(p, (1_500_000_000 + 10 * i, 1_500_000_000 + 10 * i))
+        written.update(new)
+    schema = ev.drop("_us").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(in_dir)
+              .withColumn("_pri", priority_expr(F.col("event_id"),
+                                                F.col("w")))
+              .withWatermark("ts", "1 hour"))
+    out = windowed_priority_sample(stream, k=5, window_s=900)
+    q = exactly_once_parquet_sink(out, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir) \
+        .select("ws", "event_id", "rank")
+
+
+def _stream_priority_sample_oracle(k: int = 5, window_s: int = 900,
+                                   delay_s: int = 3600) -> str:
+    from solarpos_spark.operators.curate import priority_sample_sql
+
+    pri = priority_sample_sql(weight_expr="w", id_expr="event_id")
+    return f"""
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS us,
+         CAST(floor(value) AS BIGINT) AS w
+  FROM events WHERE event_id < 10000
+    AND CAST(floor(value) AS BIGINT) > 0),
+wm AS (SELECT max(us) AS mx FROM e),
+b AS (
+  SELECT event_id, w, us,
+         (us // 1000000 // {window_s}) * {window_s} AS ws
+  FROM e),
+closed AS (
+  SELECT b.* FROM b, wm
+  WHERE (ws + {window_s}) * 1000 <= mx // 1000 - {delay_s} * 1000),
+rk AS (
+  SELECT ws, event_id,
+         row_number() OVER (PARTITION BY ws
+                            ORDER BY {pri} ASC, event_id ASC) AS rank
+  FROM closed)
+SELECT CAST(ws AS BIGINT) AS ws, event_id,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {k}
+"""
+
+
 _STREAM_CURATE_RATES = {"en": 5000, "de": 10000, "fr": 10000,
                         "es": 10000, "zh": 10000}
 
@@ -5224,7 +5311,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate samples the FIRST ~50 registry entries
 # (insertion order).  _DRIVER_SAMPLE_HEAD pins a representative head that
-# spans every operator family — all 14 streaming committed-output entries,
+# spans every operator family — all 17 streaming committed-output entries,
 # astronomy, windows, dedup, ANN, sketches, URL, text quality, curation,
 # CEP, multimodal, relational — so the driver's sample exercises families
 # the old family-grouped order never reached (VERDICT r4 directive #2).
@@ -5239,11 +5326,12 @@ _DRIVER_SAMPLE_HEAD = [
     "stream_funnel_committed", "stream_funnel_first_committed",
     "stream_funnel3_committed", "stream_absence_committed",
     "stream_token_screen_committed", "stream_quota_committed",
+    "stream_priority_sample_committed",
     "position_spa", "sunrise_daily", "time_series_zoned",
     "tokens_roundtrip",
     "window_tumbling", "sessionize",
     "dedup_exact", "minhash_verified",
-    "dup_clusters", "dup_spans", "line_dedup",
+    "dup_clusters", "dup_spans",
     "similarity_topk", "quantized_topk", "ivf_topk", "pq_topk", "semdedup",
     "hll_user_rollup", "cms_trigrams", "bottomk_per_lang",
     "value_histogram_quantiles",
@@ -5392,6 +5480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_token_screen_committed": _q_stream_token_screen_committed,
         "stream_funnel3_committed": _q_stream_funnel3_committed,
         "stream_quota_committed": _q_stream_quota_committed,
+        "stream_priority_sample_committed":
+            _q_stream_priority_sample_committed,
     }
     head = [k for k in _DRIVER_SAMPLE_HEAD if k in q]
     return {**{k: q[k] for k in head},
@@ -5636,6 +5726,8 @@ def oracle_sql() -> dict[str, str]:
             _CHAIN_TYPES, _CHAIN_WITHIN, id_below=10000,
             wm_cut_delay_s=3600),
         "stream_quota_committed": _STREAM_QUOTA_ORACLE,
+        "stream_priority_sample_committed":
+            _stream_priority_sample_oracle(),
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """

@@ -393,6 +393,20 @@ def sequence_pack(
     )
 
 
+def priority_expr(id_col, weight_long, *, seed: int = 1):
+    """The full-precision priority column ``(fmix32(id)+1) / weight`` —
+    shared by the batch :func:`priority_sample` and the streaming
+    windowed sampler (streaming/stateful.windowed_priority_sample), so
+    both select the identical set. ``weight_long`` must be a positive
+    int64 column (caller filters non-positive weights)."""
+    from .sketches import _fmix32
+
+    x = F.pmod(F.pmod(id_col.cast("long"), F.lit(2**32))
+               + F.lit(int(seed)), F.lit(2**32))
+    return ((_fmix32(x).cast("double") + F.lit(1.0))
+            / weight_long.cast("double"))
+
+
 def priority_sample(
     df: DataFrame,
     *,
@@ -427,12 +441,8 @@ def priority_sample(
     Output: the selected input rows + ``sample_priority`` (rounded to 6
     for display; selection uses the full-precision value).
     """
-    from .sketches import _fmix32
-
     wcol = F.col(weight_col).cast("long")
-    x = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(2**32))
-               + F.lit(int(seed)), F.lit(2**32))
-    pri = (_fmix32(x).cast("double") + F.lit(1.0)) / wcol.cast("double")
+    pri = priority_expr(F.col(id_col), wcol, seed=seed)
     base = (df.filter(wcol > 0)
               .withColumn("_pri", pri))
     if strata_col is None:

@@ -15,9 +15,11 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -543,6 +545,108 @@ def funnel_absence(
                      int(within_seconds) * 1_000_000, absent=True),
         outputStructType=ABSENCE_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+#: windowed priority-sample state: the in-flight buffer for one window —
+#: (id, event usec, priority) per slot
+WSAMPLE_OUTPUT_SCHEMA = StructType([
+    StructField("ws", LongType()),
+    StructField("event_id", LongType()),
+    StructField("rank", LongType()),
+])
+
+WSAMPLE_STATE_SCHEMA = StructType([
+    StructField("ids", ArrayType(LongType())),
+    StructField("pris", ArrayType(DoubleType())),
+])
+
+
+def _make_wsample(k: int, window_s: int):
+    def run(key: tuple, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        (ws,) = key
+        if state.exists:
+            ids, pris = state.get
+            ids, pris = list(ids), list(pris)
+        else:
+            ids, pris = [], []
+        for pdf in pdfs:
+            for eid, pri in zip(pdf["event_id"], pdf["_pri"]):
+                ids.append(int(eid))
+                pris.append(float(pri))
+        wend_ms = (int(ws) + window_s) * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms >= wend_ms:
+            # window closed: emit the k smallest priorities (id
+            # tiebreak) and drop all state. Finality argument as
+            # funnel_first/absence: eviction here uses wm(<=f-1), which
+            # IS the late-filter threshold of batch f+1, so no
+            # filter-surviving row of this window can arrive later.
+            chosen = sorted(zip(pris, ids))[:k]
+            state.remove()
+            if chosen:
+                # ids + ranks only: the selection orders by the exact
+                # double priority (identical across engines), but a
+                # ROUNDED display of hash/1-magnitude priorities sits
+                # past double's decimal resolution (Spark's BigDecimal
+                # half-up vs DuckDB's float rounding disagree in the
+                # 6th decimal at 5e8) — reconstruct priority offline
+                # from (event_id, weight) when needed
+                yield pd.DataFrame([
+                    {"ws": int(ws), "event_id": i, "rank": r + 1}
+                    for r, (p, i) in enumerate(chosen)])
+            return
+        state.update((ids, pris))
+        # wake exactly when the watermark can have passed the window end
+        state.setTimeoutTimestamp(max(wend_ms, wm_ms + 1))
+
+    return run
+
+
+def windowed_priority_sample(
+    events: DataFrame,
+    *,
+    k: int,
+    window_s: int,
+    pri_col: str = "_pri",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming per-window priority sample: for every tumbling
+    event-time window, commit the ``k`` rows with SMALLEST
+    ``pri_col`` — the online curate.priority_sample (weighted
+    sampling without replacement over a live feed, e.g. "keep a
+    length-weighted sample of each hour of crawl"). Top-k-per-window
+    is not an algebraic aggregate, so built-in windowed aggs can't
+    express it; rows buffer in per-window state until the watermark
+    passes the window END, then the selection is emitted once and the
+    state dropped (EventTimeTimeout wakes idle windows exactly at
+    close). The priority column must be computed UPSTREAM with the
+    deterministic JVM expression (sketches fmix32 / weight), so state
+    carries plain doubles and the committed set equals the batch
+    selection cut at the final watermark.
+
+    ``events`` must already carry an event-time watermark on
+    ``ts_col``. Residual state: only OPEN windows (bounded by the
+    watermark horizon / window width) — closed windows leave nothing,
+    eviction-safety per the two-watermark argument in the body.
+
+    Output: (ws, event_id, rank) with rank 1..k per window.
+    """
+    ws = (F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(window_s))
+          * F.lit(window_s)).cast("long")
+    keyed = events.select(
+        ws.alias("ws"),
+        F.col(ts_col),
+        F.col(id_col).alias("event_id"),
+        F.col(pri_col).alias("_pri"))
+    return keyed.groupBy("ws").applyInPandasWithState(
+        _make_wsample(int(k), int(window_s)),
+        outputStructType=WSAMPLE_OUTPUT_SCHEMA,
+        stateStructType=WSAMPLE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -1118,3 +1118,98 @@ class TestFirstNPerKey:
         # the same-ts pair: lower id got the better rank
         u7 = sorted((eid_, rk) for (u, eid_, rk) in got if u == 7)
         assert u7[0][1] < u7[1][1]
+
+
+class TestWindowedPrioritySample:
+    def test_committed_sample_equals_batch_under_disorder(self, spark,
+                                                          tmp_path):
+        """windowed_priority_sample must commit EXACTLY the batch
+        per-window k-smallest-priority selection for every window the
+        final watermark closed, under shuffled multi-batch delivery —
+        rows buffer per window until the watermark passes the window
+        END, so arrival order cannot change the selection."""
+        import glob
+        import os
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.operators.curate import priority_expr
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming.stateful import windowed_priority_sample
+
+        t0 = datetime(2024, 7, 1, 8, 0, 0)
+        s = timedelta(seconds=1)
+        # 3 complete 60 s windows of 8 rows each + one straggler row
+        # far in the future whose window never closes
+        rows = [(i, t0 + (60 * (i % 3) + (i * 13) % 60) * s,
+                 1 + i % 4) for i in range(24)]
+        rows.append((99, t0 + timedelta(hours=10), 1))
+        ev = spark.createDataFrame(rows,
+                                   "event_id long, ts timestamp, w long")
+        in_dir = str(tmp_path / "in")
+        written: set = set()
+        for f in range(3):  # shuffled (id mod 3) delivery; straggler last
+            part = ev.filter(
+                ((F.col("event_id") % 3 == f) & (F.col("event_id") != 99))
+                | (F.lit(f == 2) & (F.col("event_id") == 99)))
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+            for p in new:
+                os.utime(p, (2_000_000_000 + 10 * f,) * 2)
+            written.update(new)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir)
+                  .withColumn("_pri", priority_expr(F.col("event_id"),
+                                                    F.col("w")))
+                  .withWatermark("ts", "10 minutes"))
+        out = windowed_priority_sample(stream, k=3, window_s=60)
+        q = exactly_once_parquet_sink(out, str(tmp_path / "out"),
+                                      str(tmp_path / "ckpt"),
+                                      trigger_available_now=True)
+        q.awaitTermination()
+        got = {(r.ws, r.event_id, r.rank) for r in
+               spark.read.parquet(str(tmp_path / "out")).collect()}
+        # batch expectation: per-60s-window rank over (priority, id),
+        # rank <= 3, only windows the final watermark closed (the
+        # straggler's own window stays open and the straggler itself
+        # IS the watermark source, so exactly the 3 early windows emit)
+        from pyspark.sql import Window
+        w = Window.partitionBy("ws").orderBy("_pri", "event_id")
+        batch = (ev.filter(F.col("event_id") != 99)
+                 .withColumn("_pri", priority_expr(F.col("event_id"),
+                                                   F.col("w")))
+                 .withColumn("ws", (F.floor(F.unix_timestamp("ts") / 60)
+                                    * 60).cast("long"))
+                 .withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= 3))
+        want = {(r.ws, r.event_id, r.rank) for r in batch.collect()}
+        assert got == want and len(got) == 9
+
+    def test_open_window_emits_nothing(self, spark, tmp_path):
+        """A window the watermark never closes must stay wholly
+        unemitted (state retained, nothing committed)."""
+        from datetime import datetime
+
+        from solarpos_spark.operators.curate import priority_expr
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming.stateful import windowed_priority_sample
+
+        ev = spark.createDataFrame(
+            [(1, datetime(2024, 7, 1, 8, 0, 0), 5)],
+            "event_id long, ts timestamp, w long")
+        in_dir = str(tmp_path / "in")
+        ev.coalesce(1).write.parquet(in_dir)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir)
+                  .withColumn("_pri", priority_expr(F.col("event_id"),
+                                                    F.col("w")))
+                  .withWatermark("ts", "10 minutes"))
+        out = windowed_priority_sample(stream, k=3, window_s=60)
+        q = exactly_once_parquet_sink(out, str(tmp_path / "out"),
+                                      str(tmp_path / "ckpt"),
+                                      trigger_available_now=True)
+        q.awaitTermination()
+        import glob
+        files = glob.glob(str(tmp_path / "out") + "/*.parquet") + \
+            glob.glob(str(tmp_path / "out") + "/*/*.parquet")
+        if files:
+            assert spark.read.parquet(str(tmp_path / "out")).count() == 0
