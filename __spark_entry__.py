@@ -4890,6 +4890,79 @@ def _stream_pos_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# BPE merge training (tokenizer.bpe_fit): the GPT-2 tokenizer-training
+# algorithm (Sennrich 2016) as fully relational rounds; the oracle unrolls
+# the ENTIRE training — the perceptron/IVF total-reconstruction discipline.
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 20 BPE merges over the corpus word histogram
+    (tokenizer.bpe_fit): per round ONE per-word window pass + one pair
+    aggregate + a broadcast 1-row argmax joined RELATIONALLY (no driver
+    collect); overlapping same-symbol runs merge leftmost-first via
+    gaps-and-islands parity. All counts integer, all orders total —
+    the oracle re-derives every round."""
+    from solarpos_spark.operators.tokenizer import bpe_fit
+
+    return bpe_fit(_docs(spark, sf_dir), merges=20)
+
+
+def _bpe_oracle(merges: int = 20) -> str:
+    wnd = "PARTITION BY word ORDER BY pos"
+    ctes: list[tuple[str, str, bool]] = [
+        ("occ", r"""SELECT unnest(string_split(trim(regexp_replace(
+              lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+              FROM documents""", False),
+        ("wrds", "SELECT word, count(*) AS freq FROM occ "
+                 "WHERE word <> '' GROUP BY word", True),
+        ("s0", "SELECT word, freq, pos, CASE WHEN pos <= length(word) "
+               "THEN substr(word, CAST(pos AS INT), 1) ELSE '</w>' END "
+               "AS sym FROM (SELECT word, freq, "
+               "unnest(range(1, length(word) + 2)) AS pos FROM wrds)",
+               True),
+    ]
+    for t in range(1, merges + 1):
+        ctes.append((
+            f"o{t}",
+            f"SELECT word, freq, pos, sym, "
+            f"lead(sym) OVER ({wnd}) AS nxt, "
+            f"lag(sym) OVER ({wnd}) AS prev, "
+            f"row_number() OVER ({wnd}) AS rn FROM s{t - 1}", True))
+        ctes.append((
+            f"c{t}",
+            f"SELECT sym AS x, nxt AS y, cnt FROM ("
+            f"SELECT sym, nxt, sum(freq) AS cnt FROM o{t} "
+            f"WHERE nxt IS NOT NULL GROUP BY 1, 2) "
+            f"ORDER BY cnt DESC, x ASC, y ASC LIMIT 1", True))
+        ctes.append((
+            f"f{t}",
+            f"SELECT o.*, c.x, c.y, "
+            f"o.rn - max(CASE WHEN o.sym = c.x AND (o.prev IS NULL "
+            f"OR o.prev <> c.x) THEN o.rn END) OVER ("
+            f"PARTITION BY o.word ORDER BY o.pos "
+            f"ROWS UNBOUNDED PRECEDING) AS off "
+            f"FROM o{t} o LEFT JOIN c{t} c ON TRUE", False))
+        ctes.append((
+            f"s{t}",
+            f"SELECT word, freq, pos, CASE WHEN mer THEN sym || nxt "
+            f"ELSE sym END AS sym FROM ("
+            f"SELECT *, coalesce(CASE WHEN x IS NULL THEN FALSE "
+            f"WHEN x = y THEN sym = x AND nxt = x AND off % 2 = 0 "
+            f"ELSE sym = x AND nxt = y END, FALSE) AS mer, "
+            f"coalesce(CASE WHEN x IS NULL THEN FALSE "
+            f"WHEN x = y THEN sym = x AND off % 2 = 1 "
+            f"ELSE sym = y AND prev = x END, FALSE) AS dele "
+            f"FROM f{t}) WHERE NOT dele", True))
+    body = ",\n".join(
+        f"{n} AS MATERIALIZED ({s})" if m else f"{n} AS ({s})"
+        for n, s, m in ctes)
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {t} AS round, x AS left_sym, y AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM c{t}"
+        for t in range(1, merges + 1))
+    return f"WITH {body}\n{finals}"
+
+
+# --------------------------------------------------------------------------
 # event-sequence + time-series relational ops (relational.py)
 
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5441,6 +5514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "priority_sample_stratified": _q_priority_sample_stratified,
         "mmr_rerank": _q_mmr_rerank,
+        "bpe_merges": _q_bpe_merges,
         "event_transitions": _q_event_transitions,
         "events_resampled": _q_events_resampled,
         "rp_project": _q_rp_project,
@@ -5680,6 +5754,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_stratified": _priority_sample_oracle(
             k=20, strata=True),
         "mmr_rerank": _mmr_oracle(k=10, depth=50, lam=0.75),
+        "bpe_merges": _bpe_oracle(merges=20),
         "event_transitions": _EVENT_TRANSITIONS_ORACLE,
         "events_resampled": _EVENTS_RESAMPLED_ORACLE,
         "rp_project": _rp_project_oracle(),

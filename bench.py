@@ -232,6 +232,9 @@ def main() -> None:
     run("link_pagerank", lambda: qs["link_pagerank"](spark, sf_dir))
     run("priority_sample", lambda: qs["priority_sample"](spark, sf_dir))
     run("mmr_rerank", lambda: qs["mmr_rerank"](spark, sf_dir))
+    run("rp_topk", lambda: qs["rp_topk"](spark, sf_dir))
+    run("event_transitions", lambda: qs["event_transitions"](spark, sf_dir))
+    run("bpe_merges", lambda: qs["bpe_merges"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     # Diagnostics (per-query load averages + rep spreads) go on their OWN

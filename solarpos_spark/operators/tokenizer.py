@@ -231,3 +231,129 @@ def wordpiece_counts(
                 F.coalesce("n_unk_words", F.lit(0)).cast("long")
                  .alias("n_unk_words"))
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (Sennrich, Haddow & Birch 2016, ACL — "Neural Machine
+# Translation of Rare Words with Subword Units"), fully relational.
+
+_W = "_bpe_w"  # per-word event-order window alias (documentation only)
+
+
+def bpe_init_symbols(words: DataFrame) -> DataFrame:
+    """(word, freq, pos, sym): each distinct word split into single
+    characters + the ``</w>`` end-of-word marker (the original
+    algorithm's word-boundary symbol, so merges can learn suffixes)."""
+    n = F.length("word")
+    sym = F.when(F.col("pos") <= n,
+                 F.substring(F.col("word"), F.col("pos"), 1)) \
+        .otherwise(F.lit("</w>"))
+    return (words
+            .select("word", "freq",
+                    F.explode(F.sequence(F.lit(1), n + 1)).alias("pos"))
+            .withColumn("sym", sym))
+
+
+def _bpe_round(symbols: DataFrame, t: int) -> tuple[DataFrame, DataFrame]:
+    """One merge round: choose the max-frequency adjacent pair
+    (count desc, pair lexicographic tiebreak — Sennrich's get_stats with
+    a deterministic argmax) and rewrite leftmost-first non-overlapping
+    occurrences. Returns (next symbols, the 1-row choice relation).
+
+    Overlap semantics: pairs of two DIFFERENT symbols cannot overlap;
+    for x==x runs ("aaa"), occurrences merge at even offsets within each
+    maximal run (leftmost-first), computed with ONE per-word window pass
+    via gaps-and-islands (running max of run-start row numbers — no
+    second exchange). The whole round is window + aggregate + broadcast
+    join; all counts integer, all orders total, so a SQL oracle replays
+    the training bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = (symbols
+         .withColumn("nxt", F.lead("sym").over(w))
+         .withColumn("prev", F.lag("sym").over(w))
+         .withColumn("rn", F.row_number().over(w)))
+    pairs = (o.filter(F.col("nxt").isNotNull())
+             .groupBy("sym", "nxt")
+             .agg(F.sum("freq").alias("cnt")))
+    choice = (pairs
+              .orderBy(F.col("cnt").desc(), F.col("sym").asc(),
+                       F.col("nxt").asc())
+              .limit(1)
+              .select(F.col("sym").alias("_x"), F.col("nxt").alias("_y"),
+                      F.col("cnt").alias("_cnt"),
+                      F.lit(1).alias("_j")))
+    j = (o.withColumn("_j", F.lit(1))
+         .join(F.broadcast(choice), "_j", "left"))
+    is_x = F.col("sym") == F.col("_x")
+    start_rn = F.when(
+        is_x & (F.col("prev").isNull() | (F.col("prev") != F.col("_x"))),
+        F.col("rn"))
+    j = j.withColumn("_first", F.max(start_rn).over(run)) \
+         .withColumn("_off", F.col("rn") - F.col("_first"))
+    same = F.col("_x") == F.col("_y")
+    mer = F.when(
+        same, is_x & (F.col("nxt") == F.col("_x"))
+        & (F.col("_off") % 2 == 0)
+    ).otherwise((F.col("sym") == F.col("_x"))
+                & (F.col("nxt") == F.col("_y")))
+    dele = F.when(
+        same, is_x & (F.col("_off") % 2 == 1)
+    ).otherwise((F.col("sym") == F.col("_y"))
+                & (F.col("prev") == F.col("_x")))
+    # a dry round (no pairs left -> empty choice, _x null) is a no-op
+    mer = F.col("_x").isNotNull() & F.coalesce(mer, F.lit(False))
+    dele = F.col("_x").isNotNull() & F.coalesce(dele, F.lit(False))
+    nxt_syms = (j.filter(~dele)
+                .select("word", "freq", "pos",
+                        F.when(mer, F.concat("sym", "nxt"))
+                        .otherwise(F.col("sym")).alias("sym")))
+    return nxt_syms, choice.select(
+        F.lit(t).alias("round"), F.col("_x").alias("left_sym"),
+        F.col("_y").alias("right_sym"),
+        F.col("_cnt").cast("long").alias("pair_count"))
+
+
+def bpe_fit(
+    docs: DataFrame,
+    *,
+    merges: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a BPE merge table over the corpus word histogram — the
+    companion FIT stage to :func:`wordpiece_fit` (which learns a vocab
+    by substring frequency; BPE learns an ordered MERGE LIST, the GPT-2
+    tokenizer-training algorithm).
+
+    Scale shape: the corpus-sized work is ONE word-count aggregate; the
+    iterative training runs on the symbol relation, bounded by
+    Σ(|word|+1) over DISTINCT words — vocabulary-sized, not
+    corpus-sized. Each round is one per-word window pass + one pair
+    aggregate + one broadcast of the 1-row argmax (joined relationally —
+    NO driver collect anywhere), localCheckpoint'ed so lineage stays
+    O(1) in rounds (the CC/perceptron loop discipline). A fixed round
+    count keeps the job graph and the unrolled oracle finite; rounds
+    after the pair space dries are no-ops.
+
+    Determinism: integer pair counts, total argmax order (count desc,
+    pair lexicographic), total rewrite order (per-word pos), islands-
+    parity for overlapping same-symbol runs — the SQL oracle re-derives
+    the FULL training.
+
+    Output: (round, left_sym, right_sym, pair_count), round 1..merges —
+    the ordered merge table that IS the trained tokenizer artifact.
+    """
+    words = _norm_words(docs, text_col, None) \
+        .groupBy("word").agg(F.count("*").alias("freq"))
+    syms = bpe_init_symbols(words).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for t in range(1, merges + 1):
+        syms2, round_row = _bpe_round(syms, t)
+        syms = syms2.localCheckpoint(eager=True)
+        round_df = round_row.localCheckpoint(eager=True)
+        out = round_df if out is None else out.unionByName(round_df)
+    assert out is not None
+    return out

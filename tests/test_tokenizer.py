@@ -115,3 +115,75 @@ class TestDocCounts:
             g = got[r["doc_id"]]
             assert (g["n_words"], g["n_wp_tokens"], g["n_unk_words"]) == \
                 (len(ws), n_tok, n_unk)
+
+
+class TestBpeFit:
+    def _ref(self, text, merges):
+        """Imperative Sennrich BPE with the same deterministic argmax
+        (count desc, pair lexicographic)."""
+        import collections
+
+        vocab = collections.Counter(text.split())
+        words = {w: list(w) + ["</w>"] for w in vocab}
+        ref = []
+        for t in range(1, merges + 1):
+            stats = collections.Counter()
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] += vocab[w]
+            if not stats:
+                break
+            (x, y), cnt = sorted(
+                stats.items(),
+                key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+            ref.append((t, x, y, cnt))
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == x
+                            and syms[i + 1] == y):
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        return ref
+
+    def test_matches_imperative_reference(self, spark):
+        from solarpos_spark.operators.tokenizer import bpe_fit
+
+        text = ("low low low lower lowest newer newest new aaa aaaa "
+                "banana low lower newer new banana bandana anna")
+        docs = spark.createDataFrame([(0, text)],
+                                     "doc_id long, text string")
+        got = [(r.round, r.left_sym, r.right_sym, r.pair_count)
+               for r in bpe_fit(docs, merges=12).orderBy("round")
+               .collect()]
+        assert got == self._ref(text, 12)
+
+    def test_same_symbol_runs_merge_leftmost_first(self, spark):
+        from solarpos_spark.operators.tokenizer import bpe_fit
+
+        # "aaaaa" x3: (a,a) dominates; leftmost-first gives (aa)(aa)a
+        # round 2 then merges (aa,aa)
+        text = "aaaaa aaaaa aaaaa b"
+        docs = spark.createDataFrame([(0, text)],
+                                     "doc_id long, text string")
+        got = [(r.round, r.left_sym, r.right_sym, r.pair_count)
+               for r in bpe_fit(docs, merges=3).orderBy("round")
+               .collect()]
+        assert got == self._ref(text, 3)
+        assert got[0][1:3] == ("a", "a")
+
+    def test_dry_rounds_are_noops(self, spark):
+        from solarpos_spark.operators.tokenizer import bpe_fit
+
+        # a single 1-char word exhausts after ("a", "</w>"): later
+        # rounds must emit nothing rather than corrupting state
+        docs = spark.createDataFrame([(0, "a a a")],
+                                     "doc_id long, text string")
+        got = [(r.round, r.left_sym, r.right_sym)
+               for r in bpe_fit(docs, merges=4).orderBy("round")
+               .collect()]
+        assert got == [(1, "a", "</w>")]
