@@ -4906,7 +4906,18 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fit(_docs(spark, sf_dir), merges=20)
 
 
-def _bpe_oracle(merges: int = 20) -> str:
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc REAL BPE token counts (tokenizer.bpe_token_counts): the
+    training loop's final symbol state segments every distinct word;
+    corpus-sized work is one occurrence explode + one word join + one
+    per-doc sum (the wordpiece_counts shape). Oracle = the unrolled
+    training's final state joined back to per-doc occurrences."""
+    from solarpos_spark.operators.tokenizer import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir), merges=20)
+
+
+def _bpe_oracle(merges: int = 20, doc_counts: bool = False) -> str:
     wnd = "PARTITION BY word ORDER BY pos"
     ctes: list[tuple[str, str, bool]] = [
         ("occ", r"""SELECT unnest(string_split(trim(regexp_replace(
@@ -4952,9 +4963,24 @@ def _bpe_oracle(merges: int = 20) -> str:
             f"WHEN x = y THEN sym = x AND off % 2 = 1 "
             f"ELSE sym = y AND prev = x END, FALSE) AS dele "
             f"FROM f{t}) WHERE NOT dele", True))
+    if doc_counts:
+        ctes += [
+            ("occd", r"""SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(
+                  lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+                  FROM documents""", False),
+            ("wtok", f"SELECT word, count(*) AS tok FROM s{merges} "
+                     f"GROUP BY word", False),
+        ]
     body = ",\n".join(
         f"{n} AS MATERIALIZED ({s})" if m else f"{n} AS ({s})"
         for n, s, m in ctes)
+    if doc_counts:
+        return (f"WITH {body}\n"
+                f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+                f"CAST(sum(tok) AS BIGINT) AS n_bpe_tokens "
+                f"FROM (SELECT doc_id, word FROM occd WHERE word <> '') "
+                f"JOIN wtok USING (word) GROUP BY doc_id")
     finals = "\nUNION ALL\n".join(
         f"SELECT {t} AS round, x AS left_sym, y AS right_sym, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM c{t}"
@@ -5515,6 +5541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_stratified": _q_priority_sample_stratified,
         "mmr_rerank": _q_mmr_rerank,
         "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "event_transitions": _q_event_transitions,
         "events_resampled": _q_events_resampled,
         "rp_project": _q_rp_project,
@@ -5755,6 +5782,7 @@ def oracle_sql() -> dict[str, str]:
             k=20, strata=True),
         "mmr_rerank": _mmr_oracle(k=10, depth=50, lam=0.75),
         "bpe_merges": _bpe_oracle(merges=20),
+        "bpe_token_counts": _bpe_oracle(merges=20, doc_counts=True),
         "event_transitions": _EVENT_TRANSITIONS_ORACLE,
         "events_resampled": _EVENTS_RESAMPLED_ORACLE,
         "rp_project": _rp_project_oracle(),

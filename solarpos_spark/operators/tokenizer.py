@@ -346,8 +346,19 @@ def bpe_fit(
     Output: (round, left_sym, right_sym, pair_count), round 1..merges —
     the ordered merge table that IS the trained tokenizer artifact.
     """
-    words = _norm_words(docs, text_col, None) \
-        .groupBy("word").agg(F.count("*").alias("freq"))
+    merges_df, _ = _bpe_train(
+        _norm_words(docs, text_col, None)
+        .groupBy("word").agg(F.count("*").alias("freq")),
+        merges)
+    return merges_df
+
+
+def _bpe_train(words: DataFrame,
+               merges: int) -> tuple[DataFrame, DataFrame]:
+    """Run the merge loop; returns (merge table, final symbol state).
+    The final state is the trained segmentation of every histogram word
+    — reusing it makes same-corpus token counting free of a second
+    apply pass."""
     syms = bpe_init_symbols(words).localCheckpoint(eager=True)
     out: DataFrame | None = None
     for t in range(1, merges + 1):
@@ -356,4 +367,36 @@ def bpe_fit(
         round_df = round_row.localCheckpoint(eager=True)
         out = round_df if out is None else out.unionByName(round_df)
     assert out is not None
-    return out
+    return out, syms
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    *,
+    merges: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document REAL BPE token counts — train the merge table on the
+    corpus word histogram, segment every distinct word (the training
+    loop's final symbol state IS that segmentation), then join counts
+    back to per-doc occurrences: the wordpiece_counts surface with the
+    GPT-2-family algorithm, for token-budget curation in true target
+    tokens.
+
+    Scale shape: training is vocabulary-sized (bpe_fit); the corpus-
+    sized work is one occurrence explode + one broadcast-able join on
+    word + one per-doc sum — identical to wordpiece_counts.
+
+    Output: (id_col, n_words, n_bpe_tokens).
+    """
+    words = _norm_words(docs, text_col, None) \
+        .groupBy("word").agg(F.count("*").alias("freq"))
+    _, final_syms = _bpe_train(words, merges)
+    per_word = final_syms.groupBy("word").agg(
+        F.count("*").alias("_tok"))
+    occ = _norm_words(docs, text_col, id_col)
+    return (occ.join(per_word, "word")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("_tok").cast("long").alias("n_bpe_tokens")))

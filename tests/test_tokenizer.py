@@ -187,3 +187,42 @@ class TestBpeFit:
                for r in bpe_fit(docs, merges=4).orderBy("round")
                .collect()]
         assert got == [(1, "a", "</w>")]
+
+    def test_token_counts_match_reference_segmentation(self, spark):
+        from solarpos_spark.operators.tokenizer import bpe_token_counts
+        import collections, re
+
+        texts = {0: "low lower new newer", 1: "banana anna new low"}
+        docs = spark.createDataFrame(list(texts.items()),
+                                     "doc_id long, text string")
+        got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in
+               bpe_token_counts(docs, merges=6).collect()}
+        # reference: train on the histogram, then count symbols per word
+        text = " ".join(texts.values())
+        vocab = collections.Counter(text.split())
+        words = {w: list(w) + ["</w>"] for w in vocab}
+        for t in range(6):
+            stats = collections.Counter()
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] += vocab[w]
+            if not stats:
+                break
+            (x, y), _ = sorted(
+                stats.items(),
+                key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == x
+                            and syms[i + 1] == y):
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        for d, txt in texts.items():
+            ws = txt.split()
+            want = (len(ws), sum(len(words[w]) for w in ws))
+            assert got[d] == want, (d, got[d], want)
