@@ -3543,7 +3543,8 @@ FROM b
 
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8,
                     rows_per_band: int = 4,
-                    source: str = "documents") -> str:
+                    source: str = "documents",
+                    pair_pred: str = "a.doc_id < b.doc_id") -> str:
     """Mirror of dedup.minhash_signatures/lsh_candidate_pairs with
     hash_fn='poly31' — pure integer arithmetic, bit-identical in DuckDB.
     ``source`` names the (doc_id, text) relation — a table or an outer
@@ -3598,7 +3599,7 @@ banded AS (SELECT doc_id, {bands_sql} FROM sigs),
 stacked AS ({stacked})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM stacked a JOIN stacked b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  ON a.band = b.band AND a.bucket = b.bucket AND {pair_pred}
 """
 
 
@@ -4890,6 +4891,68 @@ def _stream_pos_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# cross-corpus fuzzy decontamination (dedup.cross_corpus_verified_pairs)
+
+def _q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train-eval overlap (dedup.cross_corpus_verified_pairs):
+    the probe set is every 17th doc lightly paraphrased (3 words
+    appended) — exactly what the exact n-gram screens still match but
+    a whole-doc hash misses; one MinHash/banding pass over the tagged
+    union, cross-side bucket collisions only, exact-Jaccard verify
+    below the aggregate (the minhash_verified topology). poly31 so the
+    oracle replays the hashes."""
+    docs = _docs(spark, sf_dir)
+    probe = (docs.filter(F.col("doc_id") % 17 == 0)
+             .select("doc_id",
+                     F.concat(F.col("text"), F.lit(" probe tail marker"))
+                     .alias("text")))
+    return dedup.cross_corpus_verified_pairs(
+        docs, probe, threshold=0.5, hash_fn="poly31")
+
+
+def _fuzzy_decontaminate_oracle(threshold: float = 0.5) -> str:
+    cand = _minhash_oracle(
+        source="uni",
+        pair_pred="a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")
+    return f"""
+WITH probe AS (
+  SELECT doc_id, text || ' probe tail marker' AS text
+  FROM documents WHERE doc_id % 17 = 0),
+uni AS (
+  SELECT doc_id * 2 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS doc_id, text FROM probe),
+cand AS ({cand}),
+w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM uni),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) <= 2
+      THEN [array_to_string(ws, ' ')]
+      ELSE list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      END) AS shingles
+  FROM w),
+ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS sg
+       FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb,
+         count(*) AS n_common
+  FROM ex a JOIN ex b ON a.sg = b.sg
+    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2, 3, 4),
+v AS (
+  SELECT i.* FROM inter i
+  JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
+SELECT doc_a // 2 AS doc_id, (doc_b - 1) // 2 AS probe_id,
+       round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+FROM v
+WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
 # BPE merge training (tokenizer.bpe_fit): the GPT-2 tokenizer-training
 # algorithm (Sennrich 2016) as fully relational rounds; the oracle unrolls
 # the ENTIRE training — the perceptron/IVF total-reconstruction discipline.
@@ -5540,6 +5603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "priority_sample_stratified": _q_priority_sample_stratified,
         "mmr_rerank": _q_mmr_rerank,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
         "event_transitions": _q_event_transitions,
@@ -5781,6 +5845,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_stratified": _priority_sample_oracle(
             k=20, strata=True),
         "mmr_rerank": _mmr_oracle(k=10, depth=50, lam=0.75),
+        "fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "bpe_merges": _bpe_oracle(merges=20),
         "bpe_token_counts": _bpe_oracle(merges=20, doc_counts=True),
         "event_transitions": _EVENT_TRANSITIONS_ORACLE,

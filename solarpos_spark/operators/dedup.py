@@ -698,3 +698,97 @@ def line_dedup(
         )
         .select("doc_id", "text", "n_lines_in", "n_lines_removed")
     )
+
+
+def cross_corpus_verified_pairs(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """FUZZY decontamination: near-duplicate pairs BETWEEN two corpora
+    (training side × probe/eval side) — the Dolma/RefinedWeb-style
+    fuzzy train-eval overlap check that exact n-gram screens
+    (text.decontaminate, tokenops) cannot catch once an eval document
+    was lightly paraphrased or re-wrapped.
+
+    One code path with the single-corpus pipeline: the two relations
+    union with the side encoded in the id's low bit (ids must fit
+    int63), ONE MinHash/banding pass covers both, and the candidate
+    join keeps only cross-side bucket collisions — so the shuffle is
+    keyed by band bucket exactly as in lsh_candidate_pairs and the
+    probe side (small: eval suites) never drives an all-pairs join.
+    Exact-Jaccard verification restricts BELOW the intersection
+    aggregate (the minhash_verified_pairs topology — the r3 plan-bug
+    rule).
+
+    Output: (doc_id, probe_id, jaccard) with jaccard >= threshold.
+    """
+    c = corpus.select((F.col("doc_id") * 2).alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    p = probe.select((F.col("doc_id") * 2 + 1).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    u = c.unionByName(p)
+    sigs = minhash_signatures(u, num_hashes=num_hashes, n=n,
+                              hash_fn=hash_fn)
+    # band exactly as lsh_candidate_pairs, but pair across SIDES
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        if hash_fn == "poly31":
+            acc = F.lit(b).cast("long")
+            for cc in cols:
+                acc = (acc * 31 + cc % F.lit(POLY_P)) % F.lit(POLY_P)
+            band_cols.append(acc.alias(f"band{b}"))
+        else:
+            band_cols.append(F.xxhash64(*cols, F.lit(b))
+                             .alias(f"band{b}"))
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.col(f"band{b}").alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b2 = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b2, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") % 2 == 0)
+               & (F.col("b.doc_id") % 2 == 1))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ex = shingle_rows(u, n=n)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .select(F.expr("doc_a div 2").alias("doc_id"),
+                F.expr("(doc_b - 1) div 2").alias("probe_id"),
+                F.round(F.col("n_common")
+                        / (F.col("na") + F.col("nb") - F.col("n_common")),
+                        6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -2051,3 +2051,47 @@ class TestChunkDocuments:
                    chunk_documents(docs.repartition(13), chunk_words=32,
                                    overlap_words=8).collect())
         assert a == b
+
+
+class TestCrossCorpusFuzzyDecontaminate:
+    def test_paraphrased_probes_caught_cross_side_only(self, spark):
+        from solarpos_spark.operators.dedup import \
+            cross_corpus_verified_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        other = ("completely different content about spark shuffles "
+                 "and catalyst optimizer rules with nothing shared "
+                 "at all here in this sentence of words")
+        corpus = spark.createDataFrame(
+            [(1, base), (2, other), (3, base + " again")],
+            "doc_id long, text string")
+        probe = spark.createDataFrame(
+            [(7, base + " extra tail"),          # paraphrase of 1 (and 3)
+             (8, "totally unrelated probe text about databases and "
+                 "storage engines nothing in common with anything")],
+            "doc_id long, text string")
+        got = {(r.doc_id, r.probe_id): r.jaccard for r in
+               cross_corpus_verified_pairs(
+                   corpus, probe, threshold=0.5,
+                   hash_fn="poly31").collect()}
+        assert (1, 7) in got and got[(1, 7)] >= 0.5
+        # probe 8 matches nothing; corpus docs never pair with each
+        # other (1,3 are near-dups WITHIN the corpus — out of scope)
+        assert all(pid == 7 for (_, pid) in got)
+        assert all(d in (1, 3) for (d, _) in got)
+
+    def test_exact_copy_is_jaccard_one(self, spark):
+        from solarpos_spark.operators.dedup import \
+            cross_corpus_verified_pairs
+
+        t = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu nu xi omicron pi rho sigma tau")
+        corpus = spark.createDataFrame([(1, t)],
+                                       "doc_id long, text string")
+        probe = spark.createDataFrame([(9, t)],
+                                      "doc_id long, text string")
+        got = cross_corpus_verified_pairs(corpus, probe,
+                                          hash_fn="poly31").collect()
+        assert [(r.doc_id, r.probe_id, r.jaccard)
+                for r in got] == [(1, 9, 1.0)]
