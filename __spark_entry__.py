@@ -4891,6 +4891,59 @@ def _stream_pos_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# corpus snapshot diff (curate.corpus_diff): dataset-versioning changelog
+
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version corpus changelog (curate.corpus_diff): the
+    'new' snapshot deterministically drops every 10th doc, edits every
+    7th, and adds one doc per 13th — one zero-shuffle md5 fingerprint
+    per side + ONE full-outer join on the id (text never shuffles).
+    The input to incremental re-processing: only added+changed re-enter
+    the pipeline."""
+    from solarpos_spark.operators.curate import corpus_diff
+
+    old = _docs(spark, sf_dir)
+    new = (old.filter(F.col("doc_id") % 10 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               old.filter(F.col("doc_id") % 13 == 0)
+               .select((F.col("doc_id") + 500000).alias("doc_id"),
+                       F.concat(F.lit("added doc "), F.col("doc_id"))
+                       .alias("text"))))
+    return corpus_diff(old, new)
+
+
+_CORPUS_DIFF_ORACLE = r"""
+WITH old AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS old_fp
+  FROM documents),
+newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id,
+         'added doc ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 13 = 0),
+newfp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS new_fp
+  FROM newd)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_fp IS NULL THEN 'added'
+            WHEN n.new_fp IS NULL THEN 'removed'
+            WHEN o.old_fp <> n.new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_fp, n.new_fp
+FROM old o FULL JOIN newfp n ON n.doc_id = o.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # cross-corpus fuzzy decontamination (dedup.cross_corpus_verified_pairs)
 
 def _q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5603,6 +5656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "priority_sample_stratified": _q_priority_sample_stratified,
         "mmr_rerank": _q_mmr_rerank,
+        "corpus_diff": _q_corpus_diff,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
@@ -5845,6 +5899,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_stratified": _priority_sample_oracle(
             k=20, strata=True),
         "mmr_rerank": _mmr_oracle(k=10, depth=50, lam=0.75),
+        "corpus_diff": _CORPUS_DIFF_ORACLE,
         "fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "bpe_merges": _bpe_oracle(merges=20),
         "bpe_token_counts": _bpe_oracle(merges=20, doc_counts=True),

@@ -471,3 +471,42 @@ def priority_sample_sql(
     x = f"((({id_expr}) % 4294967296 + {int(seed)}) % 4294967296)"
     return (f"((CAST({fmix32_sql(x)} AS DOUBLE) + 1.0) "
             f"/ CAST({weight_expr} AS DOUBLE))")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions by normalized content
+    fingerprint — the changelog a versioned dataset release ships
+    (added / removed / changed / unchanged per id), and the input to
+    incremental re-processing (only 'added'+'changed' re-enter the
+    pipeline instead of re-running 100 TB).
+
+    Scale shape: one zero-shuffle md5 fingerprint projection per side
+    (the exact_duplicates normalization, so "changed" means changed
+    beyond whitespace) + ONE full-outer equi-join on the id — no text
+    ever shuffles, only (id, 32-byte fp).
+
+    Output: (id_col, status, old_fp, new_fp); fingerprints are null on
+    the missing side.
+    """
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)),
+                                        r"\s+", " "))
+        return df.select(F.col(id_col), F.md5(norm).alias(alias))
+
+    o = fp(old, "old_fp")
+    n = fp(new, "new_fp")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (o.join(n, id_col, "full")
+            .select(F.col(id_col), status.alias("status"),
+                    "old_fp", "new_fp"))

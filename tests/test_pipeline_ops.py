@@ -2095,3 +2095,31 @@ class TestCrossCorpusFuzzyDecontaminate:
                                           hash_fn="poly31").collect()
         assert [(r.doc_id, r.probe_id, r.jaccard)
                 for r in got] == [(1, 9, 1.0)]
+
+
+class TestCorpusDiff:
+    def test_statuses(self, spark):
+        from solarpos_spark.operators.curate import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "same text"), (2, "will change"), (3, "will vanish"),
+             (4, "whitespace   only")],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(1, "same text"), (2, "changed now"),
+             (4, "whitespace only"),   # normalization-equal -> unchanged
+             (9, "brand new")],
+            "doc_id long, text string")
+        got = {r.doc_id: r.status for r in
+               corpus_diff(old, new).collect()}
+        assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                       4: "unchanged", 9: "added"}
+
+    def test_fp_null_sides(self, spark):
+        from solarpos_spark.operators.curate import corpus_diff
+
+        old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        new = spark.createDataFrame([(2, "b")], "doc_id long, text string")
+        rows = {r.doc_id: (r.old_fp, r.new_fp) for r in
+                corpus_diff(old, new).collect()}
+        assert rows[1][1] is None and rows[2][0] is None
