@@ -4891,6 +4891,51 @@ def _stream_pos_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# classifier evaluation (text.classifier_roc): ROC sweep over the trained
+# perceptron's scores — the missing evaluation stage for the fit pipeline.
+
+def _q_classifier_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC/precision operating points of the TRAINED quality classifier
+    (text.classifier_roc over quality_classifier_trained): corpus
+    collapses to distinct int64 score thresholds in one aggregate; the
+    cumulative confusion windows run on that tiny relation (the
+    histogram_quantiles discipline — never a corpus-wide sort). Oracle
+    = the full unrolled training nested under the ROC SQL."""
+    docs = _docs(spark, sf_dir)
+    label = F.array_contains(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "spark")
+    scored = text.quality_classifier_trained(docs, label, rounds=60)
+    return text.classifier_roc(scored)
+
+
+def _classifier_roc_oracle() -> str:
+    base = _perceptron_trained_oracle()
+    return f"""
+WITH base AS ({base}),
+per AS (
+  SELECT score AS threshold,
+         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+  FROM base GROUP BY score),
+tot AS (
+  SELECT CAST(sum(np) AS BIGINT) AS P, CAST(sum(nn) AS BIGINT) AS N
+  FROM per),
+c AS (
+  SELECT threshold,
+         CAST(sum(np) OVER (ORDER BY threshold DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+         CAST(sum(nn) OVER (ORDER BY threshold DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+  FROM per)
+SELECT threshold, tp, fp, P - tp AS fn, N - fp AS tn,
+       round(tp * 1.0 / P, 6) AS tpr,
+       round(fp * 1.0 / N, 6) AS fpr,
+       round(tp * 1.0 / (tp + fp), 6) AS prec
+FROM c, tot
+"""
+
+
+# --------------------------------------------------------------------------
 # corpus snapshot diff (curate.corpus_diff): dataset-versioning changelog
 
 def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5656,6 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "priority_sample_stratified": _q_priority_sample_stratified,
         "mmr_rerank": _q_mmr_rerank,
+        "classifier_roc": _q_classifier_roc,
         "corpus_diff": _q_corpus_diff,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "bpe_merges": _q_bpe_merges,
@@ -5899,6 +5945,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_stratified": _priority_sample_oracle(
             k=20, strata=True),
         "mmr_rerank": _mmr_oracle(k=10, depth=50, lam=0.75),
+        "classifier_roc": _classifier_roc_oracle(),
         "corpus_diff": _CORPUS_DIFF_ORACLE,
         "fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "bpe_merges": _bpe_oracle(merges=20),

@@ -1132,3 +1132,55 @@ def pii_scrub(
                       .alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, f"<{name}>")
     return df.select(F.col("doc_id"), cur.alias("text"), *counts)
+
+
+def classifier_roc(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "y",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ROC / precision operating points for a scored relation (the
+    evaluation stage the trained quality classifier was missing): one
+    row per DISTINCT score threshold with the confusion counts and
+    tpr/fpr/precision at "predict positive iff score >= threshold".
+
+    Scale shape: one hash aggregate collapses the corpus to its
+    distinct operating thresholds (|distinct scores| rows — for the
+    int64 perceptron scores this is at most #docs but typically far
+    fewer), then the cumulative windows run on that TINY relation —
+    the histogram_quantiles discipline: the single-partition sort is
+    O(#thresholds), never a global sort of the corpus.
+
+    Determinism: all counts int64; each ratio is one IEEE division of
+    exact ints <= 1.0 in magnitude, rounded for display.
+
+    Output: (threshold, tp, fp, fn, tn, tpr, fpr, prec), ordered
+    thresholds descending = the ROC sweep.
+    """
+    from pyspark.sql import Window
+
+    pos = F.when(F.col(label_col) == 1, 1).otherwise(0)
+    neg = F.when(F.col(label_col) == -1, 1).otherwise(0)
+    per = scored.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(pos).cast("long").alias("_np"),
+        F.sum(neg).cast("long").alias("_nn"))
+    cum = Window.orderBy(F.col("threshold").desc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    d = round_digits
+    return (per
+            .withColumn("tp", F.sum("_np").over(cum).cast("long"))
+            .withColumn("fp", F.sum("_nn").over(cum).cast("long"))
+            .withColumn("_P", F.sum("_np").over(tot).cast("long"))
+            .withColumn("_N", F.sum("_nn").over(tot).cast("long"))
+            .select(
+                "threshold", "tp", "fp",
+                (F.col("_P") - F.col("tp")).cast("long").alias("fn"),
+                (F.col("_N") - F.col("fp")).cast("long").alias("tn"),
+                F.round(F.col("tp") / F.col("_P"), d).alias("tpr"),
+                F.round(F.col("fp") / F.col("_N"), d).alias("fpr"),
+                F.round(F.col("tp") / (F.col("tp") + F.col("fp")), d)
+                .alias("prec")))

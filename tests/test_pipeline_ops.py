@@ -2123,3 +2123,42 @@ class TestCorpusDiff:
         rows = {r.doc_id: (r.old_fp, r.new_fp) for r in
                 corpus_diff(old, new).collect()}
         assert rows[1][1] is None and rows[2][0] is None
+
+
+class TestClassifierRoc:
+    def test_confusion_and_rates_vs_reference(self, spark):
+        from solarpos_spark.operators.text import classifier_roc
+
+        rows = [(i, s, y) for i, (s, y) in enumerate(
+            [(5, 1), (4, 1), (4, -1), (2, -1), (1, 1), (0, -1),
+             (-3, -1), (-3, -1)])]
+        df = spark.createDataFrame(rows, "doc_id long, score long, y long")
+        got = {r.threshold: (r.tp, r.fp, r.fn, r.tn, r.tpr, r.fpr,
+                             r.prec)
+               for r in classifier_roc(df).collect()}
+        # reference via brute force
+        import itertools
+        scores = sorted({s for _, s, _ in rows}, reverse=True)
+        P = sum(1 for _, _, y in rows if y == 1)
+        N = len(rows) - P
+        for t in scores:
+            tp = sum(1 for _, s, y in rows if s >= t and y == 1)
+            fp = sum(1 for _, s, y in rows if s >= t and y == -1)
+            want = (tp, fp, P - tp, N - fp, round(tp / P, 6),
+                    round(fp / N, 6), round(tp / (tp + fp), 6))
+            assert got[t] == want, (t, got[t], want)
+        assert len(got) == len(scores)
+
+    def test_monotone_sweep(self, spark):
+        from solarpos_spark.operators.text import classifier_roc
+
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 13 - 6, 1 if i % 3 == 0 else -1)
+             for i in range(60)], "doc_id long, score long, y long")
+        pts = classifier_roc(df).orderBy(F.col("threshold").desc()) \
+            .collect()
+        tprs = [r.tpr for r in pts]
+        fprs = [r.fpr for r in pts]
+        assert tprs == sorted(tprs) and fprs == sorted(fprs)
+        assert pts[-1].tp + pts[-1].fn == sum(1 for i in range(60)
+                                              if i % 3 == 0)
