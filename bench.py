@@ -235,6 +235,9 @@ def main() -> None:
     run("rp_topk", lambda: qs["rp_topk"](spark, sf_dir))
     run("event_transitions", lambda: qs["event_transitions"](spark, sf_dir))
     run("bpe_merges", lambda: qs["bpe_merges"](spark, sf_dir))
+    run("fuzzy_decontaminate",
+        lambda: qs["fuzzy_decontaminate"](spark, sf_dir))
+    run("corpus_diff", lambda: qs["corpus_diff"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     # Diagnostics (per-query load averages + rep spreads) go on their OWN
