@@ -4891,6 +4891,48 @@ def _stream_pos_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# embedding-space evaluation (similarity.nearest_centroid_confusion)
+
+def _q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean confusion matrix over the labeled embeddings
+    (similarity.nearest_centroid_confusion): coordinates quantize to
+    2^20-scaled int64 (power-of-2 scale -> the multiply is EXACT),
+    class centroids are truncating integer-div means of exact int sums
+    (order-independent), assignment minimizes exact integer squared L2
+    (WindowGroupLimit rank-1) — every bit replayable in SQL."""
+    from solarpos_spark.operators.similarity import (
+        nearest_centroid_confusion)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return nearest_centroid_confusion(emb, dim=64)
+
+
+_CENTROID_CONFUSION_ORACLE = """
+WITH base AS (
+  SELECT vec_id AS vid, label, d,
+         CAST(floor((embedding::DOUBLE[])[d + 1] * 1048576.0) AS BIGINT)
+           AS xq
+  FROM embeddings, LATERAL (SELECT unnest(range(0, 64)) AS d) t),
+cent AS (
+  SELECT label AS clabel, d,
+         CAST(sum(xq) AS BIGINT) // count(*) AS c
+  FROM base GROUP BY 1, 2),
+dists AS (
+  SELECT b.vid, b.label, c.clabel,
+         sum((b.xq - c.c) * (b.xq - c.c)) AS d2
+  FROM base b JOIN cent c USING (d)
+  GROUP BY 1, 2, 3),
+assigned AS (
+  SELECT vid, label, clabel FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid
+             ORDER BY d2 ASC, clabel ASC) AS r FROM dists)
+  WHERE r = 1)
+SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n
+FROM assigned GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # classifier evaluation (text.classifier_roc): ROC sweep over the trained
 # perceptron's scores — the missing evaluation stage for the fit pipeline.
 
@@ -5702,6 +5744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_stratified": _q_priority_sample_stratified,
         "mmr_rerank": _q_mmr_rerank,
         "classifier_roc": _q_classifier_roc,
+        "centroid_confusion": _q_centroid_confusion,
         "corpus_diff": _q_corpus_diff,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "bpe_merges": _q_bpe_merges,
@@ -5946,6 +5989,7 @@ def oracle_sql() -> dict[str, str]:
             k=20, strata=True),
         "mmr_rerank": _mmr_oracle(k=10, depth=50, lam=0.75),
         "classifier_roc": _classifier_roc_oracle(),
+        "centroid_confusion": _CENTROID_CONFUSION_ORACLE,
         "corpus_diff": _CORPUS_DIFF_ORACLE,
         "fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "bpe_merges": _bpe_oracle(merges=20),

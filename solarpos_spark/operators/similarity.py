@@ -1327,3 +1327,66 @@ def rp_topk(
     return (exact.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "score"))
+
+
+# --------------------------------------------------------------------------
+# nearest-class-mean evaluation (Rocchio / NCM classifier) over labeled
+# embeddings — integer fixed-point so the whole evaluation is oracle-exact.
+
+def nearest_centroid_confusion(
+    embeddings: DataFrame,
+    *,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Nearest-class-mean assignment + confusion matrix — the quick
+    embedding-space quality probe (is the space linearly separated by
+    label?) run before spending on a trained head; also the evaluation
+    a clustering/IVF codebook is compared against.
+
+    Determinism: coordinates quantize to ``scale``-scaled int64
+    (exact), class centroids are integer floor-div means of exact int
+    sums (ORDER-INDEPENDENT — no float accumulation anywhere), and
+    assignment minimizes the exact integer squared L2 distance
+    (|diff| <= 2^21, dim * diff^2 < 2^48 — no overflow, no rounding).
+    Ties break on the smaller label. The SQL oracle replays every
+    integer bit-for-bit.
+
+    Scale shape: centroids = one posexplode + one (label, dim)
+    aggregate (map-side combined, output |labels|*dim rows,
+    broadcast); assignment = one broadcast join + per-(vector, label)
+    exact-int aggregate over rows*|labels|*dim pipelined under the
+    same scan, then a WindowGroupLimit rank-1 cut; the confusion
+    output is |labels|^2 rows.
+
+    Output: (label, pred_label, n) integer confusion counts.
+    """
+    xq = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("d")
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(label_col).alias("label"),
+        F.col(vec_col).alias("_v")
+    ).select(
+        "vid", "label", xq, "_v"
+    ).select(
+        "vid", "label", "d",
+        F.floor(F.element_at(F.col("_v"), F.col("d") + 1)
+                .cast("double") * F.lit(float(scale))).cast("long")
+        .alias("xq"))
+    cent = (base.groupBy("label", "d")
+            .agg(F.sum("xq").alias("_s"), F.count("*").alias("_n"))
+            .select(F.col("label").alias("clabel"), "d",
+                    F.expr("_s div _n").alias("c")))
+    dists = (base.join(F.broadcast(cent), "d")
+             .groupBy("vid", "label", "clabel")
+             .agg(F.sum((F.col("xq") - F.col("c"))
+                        * (F.col("xq") - F.col("c"))).alias("d2")))
+    w = Window.partitionBy("vid").orderBy(
+        F.col("d2").asc(), F.col("clabel").asc())
+    assigned = (dists.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1))
+    return (assigned.groupBy(
+                F.col("label"), F.col("clabel").alias("pred_label"))
+            .agg(F.count("*").cast("long").alias("n")))

@@ -151,3 +151,40 @@ class TestRandomProjection:
         # bar is "far above chance", not "near exact": random top-3 of
         # 499 would hit 3/499 ≈ 0.006; JL at 64→16 holds ~0.2.
         assert recall >= 0.1, recall
+
+
+class TestNearestCentroidConfusion:
+    def test_separable_clusters_diagonal(self, spark):
+        from solarpos_spark.operators.similarity import (
+            nearest_centroid_confusion)
+
+        # 3 well-separated clusters in 4-d; label == cluster
+        rows = []
+        protos = {0: [1.0, 0, 0, 0], 1: [0, 1.0, 0, 0], 2: [0, 0, 1.0, 0]}
+        vid = 0
+        for lab, p in protos.items():
+            for j in range(5):
+                v = [x + 0.01 * ((vid * 7 + j) % 5 - 2) for x in p]
+                rows.append((vid, v, lab))
+                vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        got = {(r.label, r.pred_label): r.n for r in
+               nearest_centroid_confusion(df, dim=4).collect()}
+        assert got == {(0, 0): 5, (1, 1): 5, (2, 2): 5}
+
+    def test_negative_coordinates_deterministic(self, spark):
+        from solarpos_spark.operators.similarity import (
+            nearest_centroid_confusion)
+
+        # negative-sum centroids: Spark `div` and DuckDB `//` both
+        # truncate toward zero — and two identical runs must agree
+        rows = [(i, [-0.5 - 0.01 * i, 0.3, -0.7, 0.1], i % 2)
+                for i in range(8)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        a = sorted(map(tuple,
+                       nearest_centroid_confusion(df, dim=4).collect()))
+        b = sorted(map(tuple,
+                       nearest_centroid_confusion(df, dim=4).collect()))
+        assert a == b and sum(t[2] for t in a) == 8
