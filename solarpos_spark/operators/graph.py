@@ -85,9 +85,14 @@ def pagerank(
     # every round's rank join reuses this layout (the 100 TB side never
     # moves again).
     outdeg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
+    # sortWithinPartitions before persist: InMemoryRelation keeps the
+    # outputOrdering, so every round's sort-merge join reads the edge
+    # side with NO per-round Sort (re-sorting the 100 TB side every
+    # round was the dominant per-round cost before this)
     ewd = (
         e.join(outdeg, "u")
         .repartition("u")
+        .sortWithinPartitions("u")
         .persist()
     )
     ewd.count()
