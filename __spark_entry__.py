@@ -4891,6 +4891,58 @@ def _stream_pos_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# corpus quality filters: C4 word blocklist + Gopher composite rules
+
+_BADWORDS = ("slow", "error", "null")
+
+
+def _q_word_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's bad-words page filter (text.word_blocklist_filter): docs
+    explode into normalized words ONCE and semi-join the broadcast
+    list (O(rows x words), independent of list size — the
+    urls.blocklist_filter shape); whole-word matching, not C4's
+    famous substring grep."""
+    return text.word_blocklist_filter(
+        _docs(spark, sf_dir), _BADWORDS) \
+        .select("doc_id", "lang", "source", "n_chars")
+
+
+_WORD_BLOCKLIST_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM unnest(string_split_regex(lower(trim(d.text)),
+                       '\\s+')) AS t(word)
+  WHERE word IN ({", ".join(f"'{w}'" for w in _BADWORDS)}))
+"""
+
+
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021 §A1.1) composed from
+    the two gated signal relations (text.gopher_quality_filter):
+    length/word-shape/stopword gates + repetition gates, one join of
+    two per-doc aggregates; output keeps both signal sets so a survivor
+    is auditable."""
+    return text.gopher_quality_filter(_docs(spark, sf_dir))
+
+
+def _gopher_filter_oracle() -> str:
+    # composes the two signal oracles (defined later in this module;
+    # called at registry-build time)
+    return f"""
+WITH tq AS ({_TEXT_QUALITY_ORACLE}),
+rp AS ({_REPETITION_STATS_ORACLE})
+SELECT tq.*, rp.dup_word_frac, rp.top_word_frac, rp.top_bigram_frac
+FROM tq JOIN rp USING (doc_id)
+WHERE tq.n_words BETWEEN 30 AND 100000
+  AND tq.avg_word_len BETWEEN 3.0 AND 10.0
+  AND tq.stopword_ratio >= 0.03
+  AND rp.dup_word_frac <= 0.6
+  AND rp.top_word_frac <= 0.12
+  AND rp.top_bigram_frac <= 0.06
+"""
+
+
+# --------------------------------------------------------------------------
 # embedding-space evaluation (similarity.nearest_centroid_confusion)
 
 def _q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5745,6 +5797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": _q_mmr_rerank,
         "classifier_roc": _q_classifier_roc,
         "centroid_confusion": _q_centroid_confusion,
+        "word_blocklist": _q_word_blocklist,
+        "gopher_filter": _q_gopher_filter,
         "corpus_diff": _q_corpus_diff,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "bpe_merges": _q_bpe_merges,
@@ -5990,6 +6044,8 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": _mmr_oracle(k=10, depth=50, lam=0.75),
         "classifier_roc": _classifier_roc_oracle(),
         "centroid_confusion": _CENTROID_CONFUSION_ORACLE,
+        "word_blocklist": _WORD_BLOCKLIST_ORACLE,
+        "gopher_filter": _gopher_filter_oracle(),
         "corpus_diff": _CORPUS_DIFF_ORACLE,
         "fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "bpe_merges": _bpe_oracle(merges=20),

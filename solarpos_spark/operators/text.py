@@ -1184,3 +1184,69 @@ def classifier_roc(
                 F.round(F.col("fp") / F.col("_N"), d).alias("fpr"),
                 F.round(F.col("tp") / (F.col("tp") + F.col("fp")), d)
                 .alias("prec")))
+
+
+def word_blocklist_filter(
+    docs: DataFrame,
+    blocked: "Sequence[str]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The C4 'bad words' page filter: drop any document containing a
+    blocked word (Raffel et al. 2020 removed pages matching the public
+    blocklist wholesale). Scale shape = urls.blocklist_filter's: the
+    doc explodes into its words ONCE and semi-joins the broadcast list
+    — cost O(rows × words), independent of list size; a per-pattern
+    regex/LIKE chain would be O(rows × patterns) and unshippable at
+    real blocklist sizes. Matching is whole-word on the normalized
+    token (lowercased, whitespace-split), so 'class' never matches a
+    blocked 'ass' the way C4's substring grep famously did.
+    """
+    spark = docs.sparkSession
+    bl = spark.createDataFrame([(w.lower(),) for w in blocked],
+                               "word string")
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("word"))
+    hit = (words.join(F.broadcast(bl), "word", "left_semi")
+           .select(id_col).distinct())
+    return docs.join(hit, id_col, "left_anti")
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    min_stopword_ratio: float = 0.03,
+    max_dup_word_frac: float = 0.6,
+    max_top_word_frac: float = 0.12,
+    max_top_bigram_frac: float = 0.06,
+) -> DataFrame:
+    """The Gopher rules (Rae et al. 2021, §A1.1) composed from the two
+    already-gated signal relations: length/word-shape/stopword gates
+    from text_quality and the repetition gates (duplicate-word mass,
+    most-frequent word/bigram fractions) from repetition_stats — the
+    standard web-corpus quality pass, one join of two per-doc
+    aggregates, all thresholds on rounded-6 deterministic signals.
+
+    Output: surviving (doc_id + both signal sets) so the caller can
+    audit WHY a doc survived.
+    """
+    q = text_quality(docs, text_col=text_col)
+    r = repetition_stats(docs, text_col=text_col).drop("n_words")
+    j = q.join(r, "doc_id")
+    return j.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("avg_word_len") >= min_avg_word_len)
+        & (F.col("avg_word_len") <= max_avg_word_len)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_word_frac") <= max_top_word_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac))

@@ -2162,3 +2162,33 @@ class TestClassifierRoc:
         assert tprs == sorted(tprs) and fprs == sorted(fprs)
         assert pts[-1].tp + pts[-1].fn == sum(1 for i in range(60)
                                               if i % 3 == 0)
+
+
+class TestQualityFilters:
+    def test_word_blocklist_whole_word(self, spark):
+        from solarpos_spark.operators.text import word_blocklist_filter
+
+        docs = spark.createDataFrame(
+            [(1, "clean text passes fine"),
+             (2, "contains the BAD word here"),
+             (3, "badge and badly are not bad-listed words")],
+            "doc_id long, text string")
+        kept = {r.doc_id for r in
+                word_blocklist_filter(docs, ["bad"]).collect()}
+        # whole-word: 'badge'/'badly' survive, the literal 'bad' (any
+        # case) does not; 'bad-listed' is one token, not the word 'bad'
+        assert kept == {1, 3}
+
+    def test_gopher_filter_gates(self, spark):
+        from solarpos_spark.operators.text import gopher_quality_filter
+
+        sw = "the a of and to in is".split()
+        good = " ".join(f"{sw[i % 7]} word{i} tail{i}"
+                        for i in range(20))  # varied, stopword-bearing
+        short = "too short"
+        repetitive = " ".join(["same same"] * 40)
+        docs = spark.createDataFrame(
+            [(1, good), (2, short), (3, repetitive)],
+            "doc_id long, text string")
+        kept = {r.doc_id for r in gopher_quality_filter(docs).collect()}
+        assert kept == {1}
