@@ -238,6 +238,9 @@ def main() -> None:
     run("fuzzy_decontaminate",
         lambda: qs["fuzzy_decontaminate"](spark, sf_dir))
     run("corpus_diff", lambda: qs["corpus_diff"](spark, sf_dir))
+    run("gopher_filter", lambda: qs["gopher_filter"](spark, sf_dir))
+    run("centroid_confusion",
+        lambda: qs["centroid_confusion"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     # Diagnostics (per-query load averages + rep spreads) go on their OWN
