@@ -4891,6 +4891,38 @@ def _stream_pos_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# per-doc TF-IDF keywords (text.doc_keywords)
+
+def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per doc (text.doc_keywords): tf ·
+    ln((1+N)/(1+df)) ranked per doc with a WindowGroupLimit rank<=k cut
+    — output O(k·docs); term tiebreak totalizes the order; cross-engine
+    ln per the tfidf_pairs precedent."""
+    return text.doc_keywords(_docs(spark, sf_dir), k=5)
+
+
+_DOC_KEYWORDS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, term, tf * ln((1.0 + n) / (1.0 + df)) AS w
+  FROM tf JOIN dfreq USING (term), n),
+rk AS (
+  SELECT doc_id, term, w,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY w DESC, term ASC) AS rank
+  FROM w)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, round(w, 6) AS weight
+FROM rk WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # corpus quality filters: C4 word blocklist + Gopher composite rules
 
 _BADWORDS = ("slow", "error", "null")
@@ -5799,6 +5831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_confusion": _q_centroid_confusion,
         "word_blocklist": _q_word_blocklist,
         "gopher_filter": _q_gopher_filter,
+        "doc_keywords": _q_doc_keywords,
         "corpus_diff": _q_corpus_diff,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "bpe_merges": _q_bpe_merges,
@@ -6046,6 +6079,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_confusion": _CENTROID_CONFUSION_ORACLE,
         "word_blocklist": _WORD_BLOCKLIST_ORACLE,
         "gopher_filter": _gopher_filter_oracle(),
+        "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "corpus_diff": _CORPUS_DIFF_ORACLE,
         "fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "bpe_merges": _bpe_oracle(merges=20),

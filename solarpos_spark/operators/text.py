@@ -1250,3 +1250,52 @@ def gopher_quality_filter(
         & (F.col("dup_word_frac") <= max_dup_word_frac)
         & (F.col("top_word_frac") <= max_top_word_frac)
         & (F.col("top_bigram_frac") <= max_top_bigram_frac))
+
+
+def doc_keywords(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    max_term_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the corpus-audit/browse
+    surface (what is this cluster/domain about?) and the cheap sparse
+    doc representation retrieval UIs ship. Same weighting as
+    tfidf_cosine_pairs (w = tf · ln((1+N)/(1+df))); the per-doc rank<=k
+    window plans as WindowGroupLimit (per-partition heaps below the
+    doc-keyed exchange), so the output is O(k · docs) however long the
+    documents. Ordering is (w desc, term asc) — the weight is ONE
+    multiply of an int tf by a shared ln value, identical across
+    engines (the tfidf_pairs precedent), and the lexicographic term
+    tiebreak totalizes it. ``max_term_df`` drops ubiquitous terms
+    (stopword suppression without a stopword list).
+
+    Output: (doc_id, rank, term, weight), weight rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import spread_input
+
+    docs = spread_input(df.select("doc_id", text_col))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_term_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_term_df)
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    w = (tf.join(dfreq, "term")
+         .crossJoin(F.broadcast(n_docs))
+         .select("doc_id", "term",
+                 (F.col("tf") * F.log((1.0 + F.col("n"))
+                                      / (1.0 + F.col("df"))))
+                 .alias("_w")))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("_w").desc(), F.col("term").asc())
+    return (w.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "term",
+                    F.round(F.col("_w"), 6).alias("weight")))

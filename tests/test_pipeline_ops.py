@@ -2192,3 +2192,28 @@ class TestQualityFilters:
             "doc_id long, text string")
         kept = {r.doc_id for r in gopher_quality_filter(docs).collect()}
         assert kept == {1}
+
+
+class TestDocKeywords:
+    def test_rare_terms_beat_common(self, spark):
+        from solarpos_spark.operators.text import doc_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "common common rareword common"),
+             (2, "common other stuff"),
+             (3, "common more things")],
+            "doc_id long, text string")
+        got = {(r.doc_id, r.rank): r.term for r in
+               doc_keywords(docs, k=2).collect()}
+        # 'rareword' (df=1) outranks 'common' (df=3) despite tf 1 vs 3
+        assert got[(1, 1)] == "rareword"
+
+    def test_windowgrouplimit_plan(self, spark):
+        from solarpos_spark.operators.text import doc_keywords
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2}") for i in range(20)],
+            "doc_id long, text string")
+        plan = doc_keywords(docs, k=2)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "WindowGroupLimit" in plan
