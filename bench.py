@@ -241,6 +241,7 @@ def main() -> None:
     run("gopher_filter", lambda: qs["gopher_filter"](spark, sf_dir))
     run("centroid_confusion",
         lambda: qs["centroid_confusion"](spark, sf_dir))
+    run("doc_keywords", lambda: qs["doc_keywords"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     # Diagnostics (per-query load averages + rep spreads) go on their OWN
