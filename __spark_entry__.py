@@ -4891,6 +4891,43 @@ def _stream_pos_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# rolling z-score anomalies (relational.rolling_zscore_anomalies)
+
+def _q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score outliers
+    (relational.rolling_zscore_anomalies): trailing-20-row frame
+    (current row excluded so an outlier can't mask itself), one
+    key-partitioned window carrying count/avg/stddev on a shared frame
+    scan, flagged subset out. Frame iteration order pinned by
+    (ts, event_id) — avg/stddev round-6 stable across engines (the
+    events_value_stats precedent per frame)."""
+    from solarpos_spark.operators.relational import (
+        rolling_zscore_anomalies)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_zscore_anomalies(ev, z_threshold=2.5)
+
+
+_VALUE_ANOMALIES_ORACLE = """
+WITH b AS (
+  SELECT user_id, event_id, ts, value,
+         count(value) OVER w AS n,
+         avg(value) OVER w AS m,
+         stddev_samp(value) OVER w AS s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+       round(value, 6) AS value, round(m, 6) AS mean,
+       round(s, 6) AS sd, round((value - m) / s, 6) AS z
+FROM b
+WHERE n >= 5 AND s IS NOT NULL AND s > 0
+  AND abs((value - m) / s) >= 2.5
+"""
+
+
+# --------------------------------------------------------------------------
 # per-doc TF-IDF keywords (text.doc_keywords)
 
 def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5832,6 +5869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_blocklist": _q_word_blocklist,
         "gopher_filter": _q_gopher_filter,
         "doc_keywords": _q_doc_keywords,
+        "value_anomalies": _q_value_anomalies,
         "corpus_diff": _q_corpus_diff,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "bpe_merges": _q_bpe_merges,
@@ -6080,6 +6118,7 @@ def oracle_sql() -> dict[str, str]:
         "word_blocklist": _WORD_BLOCKLIST_ORACLE,
         "gopher_filter": _gopher_filter_oracle(),
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
+        "value_anomalies": _VALUE_ANOMALIES_ORACLE,
         "corpus_diff": _CORPUS_DIFF_ORACLE,
         "fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "bpe_merges": _bpe_oracle(merges=20),

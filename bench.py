@@ -242,6 +242,7 @@ def main() -> None:
     run("centroid_confusion",
         lambda: qs["centroid_confusion"](spark, sf_dir))
     run("doc_keywords", lambda: qs["doc_keywords"](spark, sf_dir))
+    run("value_anomalies", lambda: qs["value_anomalies"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     # Diagnostics (per-query load averages + rep spreads) go on their OWN

@@ -670,3 +670,58 @@ def resample_fill(
                     F.last("_avg", ignorenulls=True).over(w)
                     .alias("avg_value"),
                     F.col("_avg").isNull().alias("filled")))
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 20,
+    min_history: int = 5,
+    z_threshold: float = 2.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: flag a value whose
+    deviation from the TRAILING ``window_rows``-row mean exceeds
+    ``z_threshold`` trailing standard deviations — the standard online
+    telemetry/metrics outlier pass (the trailing frame excludes the
+    current row, so an outlier cannot mask itself).
+
+    Scale shape: ONE key-partitioned window (the sessionize exchange)
+    carries all three frame aggregates (count/avg/stddev share the
+    frame scan); output is the flagged subset only. Rows with fewer
+    than ``min_history`` trailing observations are unscored (a cold
+    key can't be judged).
+
+    Determinism: the frame content and its iteration order are pinned
+    by the total per-key order (``ts``, ``id``); avg/stddev_samp over
+    the identical ordered frame round-6 stable across engines — the
+    events_value_stats precedent, applied per frame.
+
+    Output: (key, id, ts epoch-seconds, value, mean, sd, z) for
+    |z| >= threshold, all floats rounded.
+    """
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+         .rowsBetween(-window_rows, -1))
+    d = round_digits
+    base = (events
+            .withColumn("_n", F.count(value_col).over(w))
+            .withColumn("_m", F.avg(value_col).over(w))
+            .withColumn("_s", F.stddev_samp(value_col).over(w)))
+    z = (F.col(value_col) - F.col("_m")) / F.col("_s")
+    return (base
+            .filter((F.col("_n") >= min_history)
+                    & F.col("_s").isNotNull() & (F.col("_s") > 0))
+            .withColumn("_z", z)
+            .filter(F.abs(F.col("_z")) >= z_threshold)
+            .select(F.col(key_col), F.col(id_col),
+                    F.unix_timestamp(F.col(ts_col)).cast("long")
+                    .alias("ts_sec"),
+                    F.round(F.col(value_col), d).alias("value"),
+                    F.round(F.col("_m"), d).alias("mean"),
+                    F.round(F.col("_s"), d).alias("sd"),
+                    F.round(F.col("_z"), d).alias("z")))

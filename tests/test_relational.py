@@ -542,3 +542,41 @@ class TestSessionize:
         assert out[4][0] == 2
         assert out[5] == (2, 0)
         assert out[6] == (1, None)
+
+
+class TestRollingZscoreAnomalies:
+    def test_flags_planted_spike(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from solarpos_spark.operators.relational import (
+            rolling_zscore_anomalies)
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(30):
+            v = 10.0 + (i % 3) * 0.1          # tight baseline
+            if i == 25:
+                v = 50.0                       # the spike
+            rows.append((i, 1, t0 + dt.timedelta(minutes=i), v))
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double")
+        got = rolling_zscore_anomalies(ev, z_threshold=2.5).collect()
+        assert [r.event_id for r in got] == [25]
+        assert abs(got[0].z) > 10
+
+    def test_trailing_frame_excludes_self_and_cold_start(self, spark):
+        import datetime as dt
+
+        from solarpos_spark.operators.relational import (
+            rolling_zscore_anomalies)
+
+        t0 = dt.datetime(2024, 1, 1)
+        # first 4 rows are wild — but with < min_history trailing rows
+        # they must stay unscored
+        rows = [(i, 1, t0 + dt.timedelta(minutes=i),
+                 [0.0, 100.0, -50.0, 75.0][i]) for i in range(4)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double")
+        assert rolling_zscore_anomalies(ev).count() == 0
