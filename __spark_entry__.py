@@ -4891,6 +4891,36 @@ def _stream_pos_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# quantile clipping (relational.winsorize)
+
+def _q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization (relational.winsorize): clip value
+    at the [p05, p95] percentile_disc bounds — one sort-based aggregate
+    to |types| bound rows (broadcast), then a zero-shuffle clipping
+    projection. percentile_disc == DuckDB quantile_disc (member-of-
+    group, no interpolation — the event_quantiles precedent)."""
+    from solarpos_spark.operators.relational import winsorize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "event_type", "value")
+    return winsorize(ev, by="event_type", lo_q=0.05, hi_q=0.95)
+
+
+_VALUE_WINSORIZED_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       round(e.value, 6) AS value,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS clipped,
+       (e.value < b.lo OR e.value > b.hi) AS was_clipped
+FROM events e JOIN b USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
 # rolling z-score anomalies (relational.rolling_zscore_anomalies)
 
 def _q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5870,6 +5900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "doc_keywords": _q_doc_keywords,
         "value_anomalies": _q_value_anomalies,
+        "value_winsorized": _q_value_winsorized,
         "corpus_diff": _q_corpus_diff,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "bpe_merges": _q_bpe_merges,
@@ -6119,6 +6150,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _gopher_filter_oracle(),
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "value_anomalies": _VALUE_ANOMALIES_ORACLE,
+        "value_winsorized": _VALUE_WINSORIZED_ORACLE,
         "corpus_diff": _CORPUS_DIFF_ORACLE,
         "fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "bpe_merges": _bpe_oracle(merges=20),

@@ -243,6 +243,7 @@ def main() -> None:
         lambda: qs["centroid_confusion"](spark, sf_dir))
     run("doc_keywords", lambda: qs["doc_keywords"](spark, sf_dir))
     run("value_anomalies", lambda: qs["value_anomalies"](spark, sf_dir))
+    run("value_winsorized", lambda: qs["value_winsorized"](spark, sf_dir))
 
     value = position_rows / position_secs if position_secs else 0.0
     # Diagnostics (per-query load averages + rep spreads) go on their OWN

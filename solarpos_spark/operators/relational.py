@@ -725,3 +725,47 @@ def rolling_zscore_anomalies(
                     F.round(F.col("_m"), d).alias("mean"),
                     F.round(F.col("_s"), d).alias("sd"),
                     F.round(F.col("_z"), d).alias("z")))
+
+
+def winsorize(
+    df: DataFrame,
+    *,
+    value_col: str = "value",
+    by: str | None = None,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Quantile clipping (winsorization): cap ``value_col`` at the
+    [lo_q, hi_q] percentiles, optionally per group — the outlier
+    treatment a feature pipeline applies before scale-sensitive
+    downstream math (the complement of rolling_zscore_anomalies, which
+    FLAGS instead of capping).
+
+    Determinism: the bounds come from ``percentile_disc`` — the
+    SQL-standard discrete quantile whose result is a MEMBER of the
+    group (no interpolation float chain; identical in DuckDB's
+    quantile_disc, the event_quantiles precedent). Scale shape: one
+    sort-based aggregate produces |groups| bound rows (broadcast), then
+    clipping is a zero-shuffle projection.
+
+    Output: input key columns + ``value`` (rounded), ``clipped``
+    (rounded), ``was_clipped``.
+    """
+    keys = [by] if by is not None else []
+    bounds = (df.groupBy(*keys) if keys else df.groupBy()).agg(
+        F.expr(f"percentile_disc({lo_q}) WITHIN GROUP "
+               f"(ORDER BY {value_col})").alias("_lo"),
+        F.expr(f"percentile_disc({hi_q}) WITHIN GROUP "
+               f"(ORDER BY {value_col})").alias("_hi"))
+    joined = (df.join(F.broadcast(bounds), keys) if keys
+              else df.crossJoin(F.broadcast(bounds)))
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")),
+                      F.col("_hi"))
+    d = round_digits
+    return joined.select(
+        *[c for c in df.columns if c != value_col],
+        F.round(F.col(value_col), d).alias("value"),
+        F.round(clipped, d).alias("clipped"),
+        ((F.col(value_col) < F.col("_lo"))
+         | (F.col(value_col) > F.col("_hi"))).alias("was_clipped"))

@@ -580,3 +580,32 @@ class TestRollingZscoreAnomalies:
         ev = spark.createDataFrame(
             rows, "event_id long, user_id long, ts timestamp, value double")
         assert rolling_zscore_anomalies(ev).count() == 0
+
+
+class TestWinsorize:
+    def test_clipping_and_flags(self, spark):
+        from solarpos_spark.operators.relational import winsorize
+
+        rows = [(i, "a", float(v)) for i, v in
+                enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double")
+        got = {r.event_id: (r.clipped, r.was_clipped) for r in
+               winsorize(ev, by="event_type", lo_q=0.1, hi_q=0.9)
+               .collect()}
+        # percentile_disc(0.9) over 10 members = the 9th value (9.0);
+        # the 100 outlier clips to it, low end clips to disc(0.1)=1.0
+        assert got[9] == (9.0, True)
+        assert got[0] == (1.0, False)   # equal to the bound: not clipped
+        assert got[4] == (5.0, False)
+
+    def test_zero_shuffle_clipping_stage(self, spark):
+        from solarpos_spark.operators.relational import winsorize
+
+        ev = spark.createDataFrame(
+            [(i, "t", float(i)) for i in range(50)],
+            "event_id long, event_type string, value double")
+        plan = winsorize(ev, by="event_type")._jdf.queryExecution() \
+            .executedPlan().toString()
+        # the probe side joins the broadcast bounds — no exchange on it
+        assert "BroadcastHashJoin" in plan
