@@ -4670,6 +4670,86 @@ FROM rk WHERE rank <= {k}
 """
 
 
+def _q_stream_anomalies_committed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Streaming rolling z-score anomalies via applyInPandasWithState
+    (streaming/stateful.streaming_zscore_anomalies), gate-hashed: each
+    event scores against its user's trailing-20 released values once
+    the watermark passes its time (the first_n_per_key buffering
+    discipline — cross-batch disorder cannot change any verdict).
+    Values ride as exact int64 cents and ALL moments derive from exact
+    integer sums via one pinned formula (mean = S/n,
+    var = (SS - S*S/n)/(n-1)), so the batch SQL oracle reproduces every
+    z bit-for-bit; the committed set is the batch rolling window cut at
+    the final watermark."""
+    import glob
+    import os
+
+    from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+    from solarpos_spark.streaming.stateful import streaming_zscore_anomalies
+
+    in_dir, out_dir, ckpt = _stream_dirs("solarpos_gate_streamz_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_id") < 10000) \
+        .select("event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                .alias("_vc")) \
+        .withColumn("_us", F.unix_micros(F.col("ts")))
+    bounds = ev.agg(F.min("_us"), F.max("_us")).collect()[0]
+    tmin, tmax = int(bounds[0]), int(bounds[1])
+    width = (tmax - tmin) // 4 + 1
+    written: set[str] = set()
+    for i in range(4):
+        ev.filter((F.col("_us") - tmin) / width >= i) \
+          .filter((F.col("_us") - tmin) / width < i + 1) \
+          .drop("_us").coalesce(1).write.mode("append").parquet(in_dir)
+        new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+        for p in new:
+            os.utime(p, (1_500_000_000 + 10 * i, 1_500_000_000 + 10 * i))
+        written.update(new)
+    schema = ev.drop("_us").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(in_dir)
+              .withWatermark("ts", "1 hour"))
+    out = streaming_zscore_anomalies(stream, window_rows=20,
+                                     min_history=5, z_threshold=2.0)
+    q = exactly_once_parquet_sink(out, out_dir, ckpt,
+                                  trigger_available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir) \
+        .select("user_id", "event_id", "event_usec", "value_c", "z")
+
+
+_STREAM_ANOMALIES_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events WHERE event_id < 10000),
+wm AS (SELECT max(us) AS mx FROM e),
+b AS (
+  SELECT user_id, event_id, us, vc,
+         CAST(count(vc) OVER w AS BIGINT) AS n,
+         CAST(sum(vc) OVER w AS BIGINT) AS s,
+         CAST(sum(vc * vc) OVER w AS BIGINT) AS ss
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT user_id, event_id, us, vc, n,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+           / (n - 1) AS var,
+         CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / n AS dev
+  FROM b WHERE n >= 5)
+SELECT user_id, event_id, CAST(us AS BIGINT) AS event_usec,
+       vc AS value_c, round(dev / sqrt(var), 6) AS z
+FROM z, wm
+WHERE var > 0 AND abs(dev / sqrt(var)) >= 2.0
+  AND us // 1000 < mx // 1000 - 3600 * 1000
+"""
+
+
 _STREAM_CURATE_RATES = {"en": 5000, "de": 10000, "fr": 10000,
                         "es": 10000, "zh": 10000}
 
@@ -5779,12 +5859,12 @@ _DRIVER_SAMPLE_HEAD = [
     "stream_funnel_committed", "stream_funnel_first_committed",
     "stream_funnel3_committed", "stream_absence_committed",
     "stream_token_screen_committed", "stream_quota_committed",
-    "stream_priority_sample_committed",
+    "stream_priority_sample_committed", "stream_anomalies_committed",
     "position_spa", "sunrise_daily", "time_series_zoned",
     "tokens_roundtrip",
     "window_tumbling", "sessionize",
     "dedup_exact", "minhash_verified",
-    "dup_clusters", "dup_spans",
+    "dup_clusters",
     "similarity_topk", "quantized_topk", "ivf_topk", "pq_topk", "semdedup",
     "hll_user_rollup", "cms_trigrams", "bottomk_per_lang",
     "value_histogram_quantiles",
@@ -5946,6 +6026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quota_committed": _q_stream_quota_committed,
         "stream_priority_sample_committed":
             _q_stream_priority_sample_committed,
+        "stream_anomalies_committed": _q_stream_anomalies_committed,
     }
     head = [k for k in _DRIVER_SAMPLE_HEAD if k in q]
     return {**{k: q[k] for k in head},
@@ -6203,6 +6284,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_quota_committed": _STREAM_QUOTA_ORACLE,
         "stream_priority_sample_committed":
             _stream_priority_sample_oracle(),
+        "stream_anomalies_committed": _STREAM_ANOMALIES_ORACLE,
         "deltat_estimate": _DELTAT_ORACLE,
         "position_deltat_estimated": _position_deltat_estimated_oracle(),
         "window_tumbling": """

@@ -650,3 +650,116 @@ def windowed_priority_sample(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+#: streaming z-score state: released trailing history (cents) + the
+#: in-flight buffer for one key
+ZSCORE_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("event_usec", LongType()),
+    StructField("value_c", LongType()),
+    StructField("z", DoubleType()),
+])
+
+ZSCORE_STATE_SCHEMA = StructType([
+    StructField("hist", ArrayType(LongType())),
+    StructField("ids", ArrayType(LongType())),
+    StructField("uss", ArrayType(LongType())),
+    StructField("vals", ArrayType(LongType())),
+])
+
+
+def _make_zscore(window_rows: int, min_history: int, z_threshold: float):
+    def run(key: tuple, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            hist, ids, uss, vals = (list(x) for x in state.get)
+        else:
+            hist, ids, uss, vals = [], [], [], []
+        for pdf in pdfs:
+            us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            for eid, eus, vc in zip(pdf["event_id"], us, pdf["_vc"]):
+                ids.append(int(eid))
+                uss.append(int(eus))
+                vals.append(int(vc))
+        wm_ms = state.getCurrentWatermarkMs()
+        ready = sorted((u, i, v) for i, u, v in zip(ids, uss, vals)
+                       if u // 1000 < wm_ms)
+        pend = [(i, u, v) for i, u, v in zip(ids, uss, vals)
+                if u // 1000 >= wm_ms]
+        out = []
+        for u, i, v in ready:
+            # score against the trailing history BEFORE absorbing the
+            # row (the batch frame excludes the current row). All
+            # moments derive from exact int sums with ONE fixed
+            # formula, so any engine reproduces the identical doubles:
+            # mean = S/n; var = (SS - S*S/n)/(n-1).
+            tail = hist[-window_rows:]
+            n = len(tail)
+            if n >= min_history:
+                S = float(sum(tail))
+                SS = float(sum(x * x for x in tail))
+                mean = S / n
+                var = (SS - S * S / n) / (n - 1)
+                if var > 0.0:
+                    z = (float(v) - mean) / var ** 0.5
+                    if abs(z) >= z_threshold:
+                        out.append({"user_id": user_id, "event_id": i,
+                                    "event_usec": u, "value_c": v,
+                                    "z": round(z, 6)})
+            hist.append(v)
+            if len(hist) > window_rows:
+                hist = hist[-window_rows:]
+        ids = [i for i, _, _ in pend]
+        uss = [u for _, u, _ in pend]
+        vals = [v for _, _, v in pend]
+        state.update((hist, ids, uss, vals))
+        if uss:
+            state.setTimeoutTimestamp(max(min(uss) // 1000 + 1,
+                                          wm_ms + 1))
+        if out:
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def streaming_zscore_anomalies(
+    events: DataFrame,
+    *,
+    window_rows: int = 20,
+    min_history: int = 5,
+    z_threshold: float = 2.5,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming per-key rolling z-score anomalies — the online twin of
+    relational.rolling_zscore_anomalies: each row is scored against the
+    trailing ``window_rows`` released values of its key ONCE the
+    watermark passes its event time (so the trailing set is final —
+    cross-batch disorder within the horizon cannot change any verdict;
+    the first_n_per_key buffering discipline).
+
+    Determinism across engines AND across the batch oracle: values ride
+    as exact int64 cents (``_vc``), and mean/variance derive from exact
+    integer sums via one pinned formula (mean = S/n,
+    var = (SS - S·S/n)/(n-1)) rather than an engine's streaming-moment
+    aggregator, so a SQL oracle computing the same formula over the
+    same trailing frame reproduces z bit-for-bit.
+
+    State per key: trailing ``window_rows`` cents + the in-flight
+    buffer (bounded by the watermark horizon). ``events`` must carry an
+    event-time watermark on ``ts`` and columns
+    (event_id, ts, ``_vc`` int64).
+
+    Output: (user_id, event_id, event_usec, value_c, z) for |z| >=
+    threshold, z rounded to 6.
+    """
+    return events.groupBy(key_col).applyInPandasWithState(
+        _make_zscore(int(window_rows), int(min_history),
+                     float(z_threshold)),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1213,3 +1213,73 @@ class TestWindowedPrioritySample:
             glob.glob(str(tmp_path / "out") + "/*/*.parquet")
         if files:
             assert spark.read.parquet(str(tmp_path / "out")).count() == 0
+
+
+class TestStreamingZscoreAnomalies:
+    def test_equals_batch_rolling_under_disorder(self, spark, tmp_path):
+        """streaming_zscore_anomalies must flag EXACTLY the rows the
+        batch rolling-frame formula flags among watermark-released
+        rows, under shuffled multi-batch delivery."""
+        import glob
+        import os
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming.stateful import (
+            streaming_zscore_anomalies)
+
+        t0 = datetime(2024, 7, 1, 8, 0, 0)
+        s = timedelta(seconds=30)
+        vals = [1000 + (i * 7) % 5 for i in range(30)]
+        vals[20] = 5000  # the spike
+        rows = [(i, 1, t0 + i * s, v) for i, v in enumerate(vals)]
+        rows.append((99, 1, t0 + timedelta(hours=10), 1000))  # wm source
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, _vc long")
+        in_dir = str(tmp_path / "in")
+        written: set = set()
+        for f in range(3):
+            part = ev.filter(
+                ((F.col("event_id") % 3 == f) & (F.col("event_id") != 99))
+                | (F.lit(f == 2) & (F.col("event_id") == 99)))
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+            for p in new:
+                os.utime(p, (2_000_000_000 + 10 * f,) * 2)
+            written.update(new)
+        # delay exceeds the data span so nothing releases until the
+        # far-future sentinel's batch — rows from ALL batches must then
+        # fold into state and release in (ts, id) order regardless of
+        # the shuffled arrival (a tight delay here would instead
+        # late-drop out-of-order rows: in-order delivery is the gate
+        # entry's documented precondition, not this test's subject)
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", "1").parquet(in_dir) \
+            .withWatermark("ts", "1 hour")
+        out = streaming_zscore_anomalies(stream, window_rows=10,
+                                         min_history=5, z_threshold=2.0)
+        q = exactly_once_parquet_sink(out, str(tmp_path / "out"),
+                                      str(tmp_path / "ckpt"),
+                                      trigger_available_now=True)
+        q.awaitTermination()
+        got = {(r.event_id, r.z) for r in
+               spark.read.parquet(str(tmp_path / "out")).collect()}
+        # Python reference: rolling formula over the released rows
+        # (everything but the far-future watermark source)
+        want = set()
+        hist: list[int] = []
+        for i, v in enumerate(vals):
+            tail = hist[-10:]
+            n = len(tail)
+            if n >= 5:
+                S = float(sum(tail))
+                SS = float(sum(x * x for x in tail))
+                mean = S / n
+                var = (SS - S * S / n) / (n - 1)
+                if var > 0:
+                    z = (float(v) - mean) / var ** 0.5
+                    if abs(z) >= 2.0:
+                        want.add((i, round(z, 6)))
+            hist.append(v)
+        assert got == want
+        assert any(eid == 20 for eid, _ in got)  # the spike is flagged
