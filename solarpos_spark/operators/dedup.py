@@ -7,11 +7,14 @@ Scale design (the 100 TB story):
 * MinHash + LSH — k permutation-free hashes (xxhash64 with salt), banded into
   buckets; candidate pairs only within a bucket (the classic band trick).
 * SimHash — 64-bit sign-aggregated fingerprint; near-dups differ in few bits.
-All JVM-side expressions; no Python UDFs anywhere.
+All JVM-side expressions; the only Python boundary is the VECTORIZED
+poly31 Arrow hash (poly31_hash_arrow — batch numpy Horner, bit-identical
+to the expression fold, never row-at-a-time).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -75,37 +78,31 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 def shingle_rows(df: DataFrame, *, n: int = 3,
                  text_col: str = "text") -> DataFrame:
-    """Distinct (doc_id, shingle) rows — the RELATIONAL n-gram construction.
+    """Distinct (doc_id, shingle) rows — the NARROW n-gram construction.
 
-    posexplode the words array once, then assemble each n-gram with
-    ``lead()`` windows ordered by word position (full grams only: the
-    (n-1)-lead must exist); documents shorter than ``n`` words contribute
-    their whole normalized text as a single shingle, exactly like
-    shingles_from_words' degenerate branch.
+    The words array is materialized below a Generate (explode of a
+    1-element array) so the shingle lambda's ``element_at`` reads a bound
+    column: Generate blocks CollapseProject, which would otherwise inline
+    the split back into the lambda and re-tokenize the text once per
+    element — the O(words^2) trap shingles_from_words documents. With the
+    array pinned, per-doc work is O(words * n) cheap element_at's and the
+    whole derivation is NARROW: no posexplode-window pass (which shuffled
+    and sorted every word row by doc_id), no union, and no trailing
+    ``distinct()`` exchange — ``array_distinct`` inside
+    shingles_from_words already dedups within the doc and one row per doc
+    makes (doc_id, shingle) unique by construction. Same output row set
+    as the window form (r6 A/B: identical hashes, 2 exchanges fewer; the
+    only remaining shuffle is spread_input's fan-out, a no-op at scale).
 
-    Why not the array/lambda form: CollapseProject inlines the words
-    projection back into `transform`'s lambda, and higher-order lambdas
-    evaluate interpreted with no common-subexpression elimination — every
-    element_at re-tokenizes the text, O(words^2) regex per document
-    (measured 11 s single-task CPU on 5000 docs). Here split runs once per
-    document, the window sorts by position within the doc_id partitions the
-    spread/shuffle already provides, and nothing is interpreted per element.
+    Documents shorter than ``n`` words contribute their whole normalized
+    text as a single shingle (shingles_from_words' degenerate branch).
     """
     wd = spread_input(df.select("doc_id", text_col)).select(
-        "doc_id", words_col(F.col(text_col)).alias("_w"))
-    pos = wd.selectExpr("doc_id", "posexplode(_w) AS (_p, _word)")
-    win = Window.partitionBy("doc_id").orderBy("_p")
-    parts = [F.col("_word")] + [F.lead("_word", j).over(win)
-                                for j in range(1, n)]
-    grams = pos.select(
+        "doc_id", words_col(F.col(text_col)).alias("_w0"))
+    pinned = wd.select("doc_id", F.explode(F.array("_w0")).alias("_w"))
+    return pinned.select(
         "doc_id",
-        F.concat_ws(" ", *parts).alias("shingle"),
-        F.lead("_word", n - 1).over(win).isNotNull().alias("_full"),
-    )
-    full = grams.filter(F.col("_full")).select("doc_id", "shingle")
-    shorts = wd.filter(F.size("_w") < n).select(
-        "doc_id", F.array_join("_w", " ").alias("shingle"))
-    return full.unionByName(shorts).distinct()
+        F.explode(shingles_from_words(F.col("_w"), n)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -134,7 +131,13 @@ def ngram_jaccard_pairs(
     # join key: the exchange materializes the shingle derivation ONCE and is
     # reused by every consumer (df-cap aggregate + both self-join branches
     # all want hashpartitioning(shingle))
-    ex = shingle_rows(df, n=n, text_col=text_col).repartition("shingle")
+    # EXPLICIT partition count (scale-adaptive): a bare repartition(col)
+    # is AQE-optimizable and the post-shuffle co-shingle self-join — the
+    # quadratic stage — collapsed to a handful of tasks at bench scale
+    # (guide §2.5); pinning to defaultParallelism keeps the pair
+    # enumeration spread over the cluster at any size.
+    _P = df.sparkSession.sparkContext.defaultParallelism
+    ex = shingle_rows(df, n=n, text_col=text_col).repartition(_P, "shingle")
     if max_shingle_df is not None:
         # hash-aggregate df counts (a hot shingle is ONE counter, never a
         # materialized group) and join back on the same key — co-partitioned
@@ -195,6 +198,66 @@ def poly31_hash(col: Column, base: int = 31) -> Column:
     )
 
 
+def _poly31_batch(vals, base: int):
+    """Vectorized poly31 fold over a batch of strings (numpy int64).
+
+    Bit-identical to the expression form: left fold (acc*base + codepoint)
+    mod POLY_P — exact integer arithmetic, so vectorization cannot change a
+    single bit. Implemented as a column-at-a-time masked Horner loop over a
+    padded codepoint matrix: O(total_chars) numpy work, no per-row Python.
+    """
+    import numpy as np
+
+    n = len(vals)
+    lens = np.fromiter((len(x) for x in vals), count=n, dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    acc = np.zeros(n, dtype=np.int64)
+    if maxlen == 0:
+        return acc
+    # utf-32-le of the concatenation == concatenation of per-string
+    # codepoint arrays (no BOM); one encode for the whole batch
+    flat = np.frombuffer("".join(vals).encode("utf-32-le"), dtype=np.uint32)
+    padded = np.zeros((n, maxlen), dtype=np.int64)
+    mask = np.arange(maxlen) < lens[:, None]
+    padded[mask] = flat
+    for j in range(maxlen):
+        m = mask[:, j]
+        acc[m] = (acc[m] * base + padded[m, j]) % POLY_P
+    return acc
+
+
+def poly31_hash_arrow(col: Column, base: int = 31) -> Column:
+    """:func:`poly31_hash` computed in ONE vectorized Arrow batch pass.
+
+    The expression form is an interpreted higher-order fold (split per
+    char + per-element lambda eval — the repo's known slow path, CLAUDE.md
+    "interpreted poly31 chains"); this pandas UDF hands whole Arrow
+    batches to the numpy Horner loop (guide §4.2: vectorized native code
+    inside the Python boundary beats interpreted JVM row work). Same
+    integer arithmetic -> bit-identical hashes; pytest locks parity
+    (tests/test_dedup.py::test_poly31_arrow_parity). ASCII fast path: the
+    fold is over codepoints either way, so only the encode differs.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _p31(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        notnull = s.notna()
+        if notnull.all():
+            return pd.Series(_poly31_batch(s.to_numpy(), base),
+                             index=s.index)
+        out = np.zeros(len(s), dtype=object)
+        out[:] = None
+        vals = s[notnull]
+        if len(vals):
+            out[notnull.to_numpy()] = _poly31_batch(vals.to_numpy(), base)
+        return pd.Series(out, index=s.index)
+
+    return _p31(col)
+
+
 def _salted_poly(h: Column, i: int) -> Column:
     """Universal-hash family over a base hash: (a_i*h + b_i) mod P."""
     a = (2 * i + 1) * 2654435761 % POLY_P  # odd multipliers, Knuth constant
@@ -215,7 +278,7 @@ def minhash_signatures(
     """
     ex = shingle_rows(df, n=n, text_col=text_col)
     if hash_fn == "poly31":
-        ex = ex.withColumn("__h", poly31_hash(F.col("shingle")))
+        ex = ex.withColumn("__h", poly31_hash_arrow(F.col("shingle")))
         aggs = [F.min(_salted_poly(F.col("__h"), i)).alias(f"h{i}")
                 for i in range(num_hashes)]
     else:
@@ -347,8 +410,8 @@ def simhash(df: DataFrame, *, text_col: str = "text",
 
     if hash_fn == "poly31":
         n_bits = 62
-        ex = (ex.withColumn("h1", poly31_hash(F.col("w"), 31))
-                .withColumn("h2", poly31_hash(F.col("w"), 131)))
+        ex = (ex.withColumn("h1", poly31_hash_arrow(F.col("w"), 31))
+                .withColumn("h2", poly31_hash_arrow(F.col("w"), 131)))
         bit_of = lambda i: (F.col("h1") if i < 31 else F.col("h2")) \
             .bitwiseAND(F.lit(1 << (i % 31)))
     else:
@@ -592,22 +655,26 @@ def dup_span_windows(
     Output: (doc_id, span_start, span_end, n_words_dup, n_windows) with
     word positions 0-based inclusive.
     """
+    # NARROW k-gram-with-position derivation (r6, the shingle_rows
+    # discipline): words pinned below a Generate, grams assembled
+    # map-side, posexplode supplies the SAME 0-based position the old
+    # posexplode-window form carried — no corpus-wide window sort.
     wd = spread_input(df.select("doc_id", text_col)).select(
-        "doc_id", words_col(F.col(text_col)).alias("_w"))
-    pos = wd.selectExpr("doc_id", "posexplode(_w) AS (_p, _word)")
-    win = Window.partitionBy("doc_id").orderBy("_p")
-    parts = [F.col("_word")] + [F.lead("_word", j).over(win)
-                                for j in range(1, k)]
-    grams = (
-        pos.select(
-            "doc_id", F.col("_p").alias("pos"),
-            F.concat_ws(" ", *parts).alias("gram"),
-            F.lead("_word", k - 1).over(win).isNotNull().alias("_full"))
-        .filter(F.col("_full"))
-    )
+        "doc_id", words_col(F.col(text_col)).alias("_w0"))
+    pinned = wd.select("doc_id", F.explode(F.array("_w0")).alias("_w"))
+    warr = F.col("_w")
+    kk = F.size(warr) - (k - 1)
+    gram_at = lambda i: F.concat_ws(
+        " ", *[F.element_at(warr, i + j + 1) for j in range(k)])
+    grams_arr = F.when(
+        kk > 0, F.transform(F.sequence(F.lit(0), kk - 1), gram_at)) \
+        .otherwise(F.array().cast("array<string>"))
+    grams = pinned.select(
+        "doc_id", F.posexplode(grams_arr).alias("pos", "gram"))
     key = F.xxhash64("gram") if key_fn == "xxhash64" else F.col("gram")
+    _P = df.sparkSession.sparkContext.defaultParallelism
     keyed = grams.select("doc_id", "pos", key.alias("gkey")) \
-                 .repartition("gkey")
+                 .repartition(_P, "gkey")
     dup = (keyed.groupBy("gkey")
            .agg(F.count(F.lit(1)).alias("_n"))
            .filter(F.col("_n") >= min_count)

@@ -97,6 +97,15 @@ def pagerank(
     )
     ewd.count()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph (ADVICE r5): extract_links legitimately emits no
+        # edges when no document carries an absolute href — return the
+        # empty (node, rank) relation instead of dividing by zero and
+        # killing the job after upstream output was already written
+        nodes.unpersist()
+        ewd.unpersist()
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank"))
     base = ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
     ranks = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("rank")

@@ -16,6 +16,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Fan an under-parallel scan out to defaultParallelism (the
+    dedup.spread_input discipline, keyed by the vector id). The corpus
+    parquet at bench scale is 1-2 splits, and a broadcast join binds its
+    whole pair-enumeration stage to those splits — 2 of 32 cores busy
+    (r6 measurement: the bucketed near-dup pair stage ran (1+1)/2 tasks).
+    No-op when the input already has enough splits, so at 100 TB this
+    costs nothing."""
+    from .dedup import spread_input
+
+    return spread_input(df, key=key)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -24,12 +37,53 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_u(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled ``_dot`` for arrays of KNOWN length ``dim``.
+
+    Bit-identical to the fold form (same 0.0 anchor, same left-to-right
+    IEEE add order, same per-element double casts) but expressed as a
+    flat expression chain, so it runs inside WholeStageCodegen instead
+    of the interpreted higher-order evaluator — the per-pair cost in
+    every candidate join drops ~an order of magnitude (guide §4.1:
+    prefer built-in expressions; higher-order lambdas evaluate
+    interpreted). Only valid when both arrays have exactly ``dim``
+    elements — the operators below pass the declared embedding dim.
+    """
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (F.element_at(a, i).cast("double")
+                     * F.element_at(b, i).cast("double"))
+    return acc
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     ))
+
+
+def _norm_u(a: Column, dim: int) -> Column:
+    """Unrolled ``_norm`` for arrays of KNOWN length ``dim`` — same
+    left-fold order and casts as the HOF form (see ``_dot_u``)."""
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        e = F.element_at(a, i).cast("double")
+        acc = acc + e * e
+    return F.sqrt(acc)
+
+
+def _dot_lit_u(a: Column, vec: list[float]) -> Column:
+    """Unrolled dot of a column array against a PYTHON literal vector —
+    bit-identical to ``_dot(a, F.array(*[F.lit(v) for v in vec]))``
+    (literals are already double, so only the column side is cast;
+    identical IEEE order)."""
+    acc = F.lit(0.0)
+    for i, v in enumerate(vec):
+        acc = acc + (F.element_at(a, i + 1).cast("double")
+                     * F.lit(float(v)))
+    return acc
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -50,26 +104,32 @@ def brute_force_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query (broadcast the query side).
 
     Output: (query_id, rank, neighbor_id, score). Deterministic: ordered by
     rounded score desc, neighbor id asc — FP-tie stable across engines.
+    ``dim``: when the embedding length is known, the per-pair cosine uses
+    the unrolled codegen fold (_dot_u/_norm_u — bit-identical doubles).
     """
+    nrm = ((lambda c: _norm(c)) if dim is None
+           else (lambda c: _norm_u(c, dim)))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("_qn"),
+        nrm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("_cn"),
+        nrm(F.col(vec_col)).alias("_cn"),
     )
+    dot = (_dot(F.col("qvec"), F.col("cvec")) if dim is None
+           else _dot_u(F.col("qvec"), F.col("cvec"), dim))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(_dot(F.col("qvec"), F.col("cvec"))
-                    / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
+            F.round(dot / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -150,14 +210,18 @@ def quantized_topk(
     Both cuts are total orders (rounded score desc, neighbor id asc).
     """
     codes, scale = _quant_exprs(F.col(vec_col), dim)
+    corpus = _spread(corpus, id_col)
     c1 = corpus.select(F.col(id_col).alias("neighbor_id"),
                        codes.alias("c_codes"), scale.alias("_cs"))
     q1 = queries.select(F.col(id_col).alias("query_id"),
                         codes.alias("q_codes"), scale.alias("_qs"))
-    idot = F.aggregate(
-        F.zip_with(F.col("q_codes"), F.col("c_codes"),
-                   lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    # unrolled integer dot — exact int64 arithmetic, any order identical;
+    # kept in the fold's left-to-right order anyway (codegen vs the
+    # interpreted HOF evaluator, see _dot_u)
+    idot = F.lit(0).cast("long")
+    for _i in range(1, dim + 1):
+        idot = idot + (F.element_at(F.col("q_codes"), _i)
+                       * F.element_at(F.col("c_codes"), _i))
     approx = F.round(idot.cast("double") * F.col("_qs") * F.col("_cs"), 6)
     scored = (
         c1.join(F.broadcast(q1), F.col("neighbor_id") != F.col("query_id"))
@@ -170,15 +234,15 @@ def quantized_topk(
              .select("query_id", "neighbor_id"))
     cvecs = corpus.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).alias("cvec"),
-                          _norm(F.col(vec_col)).alias("_cn"))
+                          _norm_u(F.col(vec_col), dim).alias("_cn"))
     qvecs = queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).alias("qvec2"),
-                           _norm(F.col(vec_col)).alias("_qn"))
+                           _norm_u(F.col(vec_col), dim).alias("_qn"))
     exact = (
         cvecs.join(F.broadcast(short), "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
         .select("query_id", "neighbor_id",
-                F.round(_dot(F.col("qvec2"), F.col("cvec"))
+                F.round(_dot_u(F.col("qvec2"), F.col("cvec"), dim)
                         / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
     )
     wk = Window.partitionBy("query_id").orderBy(
@@ -206,15 +270,10 @@ def hyperplane_buckets(
     planes = rng.standard_normal((n_planes, dim))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(v)) for v in planes[p]]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        # unrolled literal dot (_dot_lit_u): same 0.0 anchor and add order
+        # as the previous zip_with/aggregate fold — bit-identical signs,
+        # but codegen instead of the interpreted HOF evaluator
+        proj = _dot_lit_u(F.col(vec_col), [float(v) for v in planes[p]])
         bucket = bucket.bitwiseOR(
             F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
         )
@@ -247,14 +306,15 @@ def ann_topk(
     """
     if not (0 <= multiprobe <= n_planes):
         raise ValueError(f"multiprobe must be in [0, {n_planes}]")
-    cb = hyperplane_buckets(corpus, dim=dim, n_planes=n_planes, seed=seed,
+    cb = hyperplane_buckets(_spread(corpus, id_col), dim=dim,
+                            n_planes=n_planes, seed=seed,
                             vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("_cn"), "bucket")
+        _norm_u(F.col(vec_col), dim).alias("_cn"), "bucket")
     qb = hyperplane_buckets(queries, dim=dim, n_planes=n_planes, seed=seed,
                             vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("_qn"), "bucket")
+        _norm_u(F.col(vec_col), dim).alias("_qn"), "bucket")
     if multiprobe:
         probes = F.array(
             F.col("bucket"),
@@ -266,7 +326,7 @@ def ann_topk(
         cb.join(F.broadcast(qb), (cb.bucket == qb.bucket)
                 & (F.col("neighbor_id") != F.col("query_id")))
         .select("query_id", "neighbor_id",
-                F.round(_dot(F.col("qvec"), F.col("cvec"))
+                F.round(_dot_u(F.col("qvec"), F.col("cvec"), dim)
                         / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -274,6 +334,148 @@ def ann_topk(
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "score"))
+
+
+def _round6_boundary(threshold: float) -> tuple[float, bool]:
+    """The raw-value predicate equivalent to
+    ``F.round(x, 6) >= F.lit(threshold)``: returns ``(d0, inclusive)``
+    such that the filter is ``x >= d0`` (inclusive) or ``x > d0``.
+
+    Spark evaluates round() as BigDecimal HALF_UP over the double's
+    shortest decimal repr, then compares the resulting double to
+    ``double(threshold)``. That predicate holds iff the 6-decimal
+    rounding of x is >= the smallest 6-decimal multiple m*1e-6 whose
+    double is >= double(threshold), iff the REAL value of x is >= the
+    decimal boundary b = (2m-1)/(2*10^6) (half-up sends the exact
+    midpoint up). In double space the cut lands at d0 = float(b);
+    whether d0 ITSELF is included follows shortest-repr semantics —
+    Spark rounds BigDecimal(repr(x)), so a d0 whose shortest repr IS the
+    midpoint string rounds up even when its binary value sits just below
+    b — hence ``inclusive = Decimal(repr(d0)) >= b``. Shortest reprs are
+    strictly monotone in the double, so every other double compares
+    exactly. This lets a vectorized scorer threshold on the RAW fold
+    value and defer the displayed round() to a JVM projection over
+    survivors only — bit-identical selection, no numpy-vs-BigDecimal
+    rounding hazard (pytest locks the equivalence on boundary-adjacent
+    doubles).
+    """
+    from decimal import Decimal
+
+    t = float(threshold)
+    if not t > 0:
+        raise ValueError("positive thresholds only")
+    c = int(round(t * 1e6))
+    m = None
+    for cand in range(c - 3, c + 4):
+        if float(Decimal(cand) / Decimal(10 ** 6)) >= t:
+            m = cand
+            break
+    assert m is not None
+    b = Decimal(2 * m - 1) / Decimal(2 * 10 ** 6)
+    d0 = float(b)
+    return d0, Decimal(repr(d0)) >= b
+
+
+def _fold_norms(X):
+    """Per-row ||x|| with _norm's exact fold order (d ascending)."""
+    import numpy as np
+
+    nn = np.zeros(X.shape[0])
+    for d in range(X.shape[1]):
+        nn += X[:, d] * X[:, d]
+    return np.sqrt(nn)
+
+
+def _fold_cos_block(X, nrm, i0, i1):
+    """cos(rows i0:i1, all rows) with _dot's exact fold order: acc
+    starts at 0.0 and accumulates x_d*y_d for d ascending — each numpy
+    step is one IEEE mul then one IEEE add per element, exactly the
+    zip_with/aggregate evaluation, so every double is bit-identical."""
+    import numpy as np
+
+    acc = np.zeros((i1 - i0, X.shape[0]))
+    for d in range(X.shape[1]):
+        acc += X[i0:i1, d][:, None] * X[:, d][None, :]
+    return acc / (nrm[i0:i1][:, None] * nrm[None, :])
+
+
+_PAIRS_SCHEMA = "id_a long, id_b long, _raw double"
+
+
+def _make_bucket_pairs_fn(threshold: float, block: int = 512):
+    """Per-bucket pairwise scorer for embedding_near_duplicates: rows
+    (_id, _v, _ca, _cb) -> (id_a, id_b, raw cos) for pairs with
+    round(cos,6) >= threshold, id_a < id_b, a-side _ca, b-side _cb.
+    Blocked fold-ordered numpy (guide §4.2/§8: each vector crosses into
+    its bucket group ONCE; the quadratic work is vectorized native code
+    instead of a join materializing 2*dim doubles per candidate pair)."""
+    d0, inclusive = _round6_boundary(threshold)
+
+    def f(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "_raw": pd.Series(dtype="float64")})
+        m = len(pdf)
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        X = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+        ca = pdf["_ca"].to_numpy()[order]
+        cb = pdf["_cb"].to_numpy()[order]
+        nrm = _fold_norms(X)
+        out_a, out_b, out_r = [], [], []
+        for i0 in range(0, m, block):
+            i1 = min(i0 + block, m)
+            cos = _fold_cos_block(X, nrm, i0, i1)
+            ok = (cos >= d0) if inclusive else (cos > d0)
+            # id_a < id_b == row index strictly less (ids sorted)
+            ok &= (np.arange(i0, i1)[:, None] < np.arange(m)[None, :])
+            ok &= ca[i0:i1][:, None] & cb[None, :]
+            ii, jj = np.nonzero(ok)
+            out_a.append(ids[ii + i0])
+            out_b.append(ids[jj])
+            out_r.append(cos[ii, jj])
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "_raw": np.concatenate(out_r)})
+
+    return f
+
+
+def _make_semdedup_removed_fn(eps: float, block: int = 512):
+    """Per-list removal decision for semdedup: a row is removed iff a
+    LOWER-id row in the same list has round(cos,6) >= eps — same blocked
+    fold-ordered numpy as _make_bucket_pairs_fn, emitting only the
+    distinct removed ids (distinct within the list IS globally distinct:
+    a vector has exactly one list)."""
+    d0, inclusive = _round6_boundary(eps)
+
+    def f(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+        m = len(pdf)
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        X = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+        nrm = _fold_norms(X)
+        removed = np.zeros(m, dtype=bool)
+        for i0 in range(0, m, block):
+            i1 = min(i0 + block, m)
+            cos = _fold_cos_block(X, nrm, i0, i1)
+            ok = (cos >= d0) if inclusive else (cos > d0)
+            ok &= (np.arange(i0, i1)[:, None] < np.arange(m)[None, :])
+            removed |= ok.any(axis=0)
+        return pd.DataFrame({"vec_id": ids[removed]})
+
+    return f
 
 
 def embedding_near_duplicates(
@@ -301,45 +503,58 @@ def embedding_near_duplicates(
     for recall studies and tests, never the 100 TB path.
     """
     if exact:
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                      _norm(F.col(vec_col)).alias("_na"))
+        nrm = ((lambda c: _norm(c)) if dim is None
+               else (lambda c: _norm_u(c, dim)))
+        a = _spread(df, id_col).select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            nrm(F.col(vec_col)).alias("_na"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                      _norm(F.col(vec_col)).alias("_nb"))
+                      nrm(F.col(vec_col)).alias("_nb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        dot = _dot(F.col("va"), F.col("vb"))
+        return (
+            pairs
+            .select("id_a", "id_b",
+                    F.round(dot / (F.col("_na") * F.col("_nb")), 6)
+                    .alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+    if dim is None:
+        raise ValueError("bucketed near-dup needs dim (embedding length)")
+    bk = hyperplane_buckets(df, dim=dim, n_planes=n_planes, seed=seed,
+                            vec_col=vec_col)
+    if not (0 <= multiprobe <= n_planes):
+        raise ValueError(f"multiprobe must be in [0, {n_planes}]")
+    # GROUPED pairwise scoring (r6, guide §8's lesson): the previous
+    # bucket-keyed self-join materialized 2*dim doubles per candidate
+    # pair through the join — ~1 KB per candidate, quadratic in the hot
+    # bucket, and (because the planner broadcast one small side) bound to
+    # the corpus scan's 1-2 splits. Here each vector moves into its
+    # bucket group ONCE (the groupBy exchange), and the within-bucket
+    # quadratic runs as blocked fold-ordered numpy (_fold_cos_block —
+    # bit-identical doubles); the raw-value threshold (_round6_boundary)
+    # is provably the same cut as filter(round(cos,6) >= threshold), and
+    # the displayed round() runs JVM-side over survivors only.
+    own = bk.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                    F.col("bucket").alias("_g"),
+                    F.lit(True).alias("_ca"), F.lit(True).alias("_cb"))
+    if multiprobe:
+        # probe the m Hamming-1 neighbor buckets from ONE side (a-side
+        # only: _cb=False): a pair can match at most one probe value, so
+        # no dedup is needed — candidate volume grows <= (m+1)x
+        flips = bk.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+            F.explode(F.array(
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                  for i in range(multiprobe)])).alias("_g"),
+            F.lit(True).alias("_ca"), F.lit(False).alias("_cb"))
+        ent = own.unionByName(flips)
     else:
-        if dim is None:
-            raise ValueError("bucketed near-dup needs dim (embedding length)")
-        bk = hyperplane_buckets(df, dim=dim, n_planes=n_planes, seed=seed,
-                                vec_col=vec_col)
-        if not (0 <= multiprobe <= n_planes):
-            raise ValueError(f"multiprobe must be in [0, {n_planes}]")
-        a = bk.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                      _norm(F.col(vec_col)).alias("_na"),
-                      F.col("bucket").alias("bucket_a"))
-        if multiprobe:
-            # probe the m Hamming-1 neighbor buckets from ONE side: a pair
-            # can match at most one probe value (probes are distinct buckets
-            # and the partner has exactly one), so no dedup is needed —
-            # candidate volume grows <= (m+1)x, still bucket-keyed
-            probes = F.array(
-                F.col("bucket_a"),
-                *[F.col("bucket_a").bitwiseXOR(F.lit(1 << i)).cast("long")
-                  for i in range(multiprobe)])
-            a = a.select("id_a", "va", "_na",
-                         F.explode(probes).alias("bucket_a"))
-        b = bk.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                      _norm(F.col(vec_col)).alias("_nb"),
-                      F.col("bucket").alias("bucket_b"))
-        # one bucket per vector -> each pair appears at most once (no distinct)
-        pairs = a.join(b, (F.col("bucket_a") == F.col("bucket_b"))
-                       & (F.col("id_a") < F.col("id_b")))
-    return (
-        pairs
-        .select("id_a", "id_b",
-                F.round(_dot(F.col("va"), F.col("vb"))
-                        / (F.col("_na") * F.col("_nb")), 6).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-    )
+        ent = own
+    pairs = ent.groupBy("_g").applyInPandas(
+        _make_bucket_pairs_fn(threshold), _PAIRS_SCHEMA)
+    return pairs.select("id_a", "id_b",
+                        F.round(F.col("_raw"), 6).alias("cos"))
 
 
 def _fold_norm(vec: list[float]) -> float:
@@ -397,7 +612,7 @@ def ivf_train_centroids(
     # iterative reuse: n_iter+1 full passes hit the same relation — persist
     # once, release on exit (the standard Lloyd's shape; at corpus scale
     # the caller passes a training SAMPLE, faiss-style, so this is bounded)
-    corpus = corpus.select(id_col, vec_col).persist()
+    corpus = _spread(corpus.select(id_col, vec_col), id_col).persist()
     seeds = (corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
              .withColumn("_r", hash_bucket(F.col("_id"), seed=seed,
                                            denom=2**32))
@@ -431,11 +646,10 @@ def ivf_train_centroids(
                                          {"cnt": int(r["c"])})
                 ent[f"s{int(r['d'])}"] = int(r["s"])
         else:
-            scores = _centroid_scores(F.col(vec_col), cents)
-            assigned = corpus.select(
-                F.col(vec_col).alias("_v"),
-                F.array_position(scores, F.array_max(scores)).alias("list_id"),
-            )
+            pinned = _pinned_scores(corpus, cents, vec_col,
+                                    [F.col(vec_col).alias("_v")])
+            assigned = pinned.select(
+                "_v", _argmax_sc().alias("list_id"))
             sums = assigned.groupBy("list_id").agg(
                 F.count(F.lit(1)).alias("cnt"),
                 *[F.sum(_q(d)).alias(f"s{d}") for d in range(dim)],
@@ -481,8 +695,35 @@ def ivf_centroids(
     return out
 
 
+def _pinned_scores(df: DataFrame, cents, vec_col: str, keep) -> DataFrame:
+    """``df.select(*keep, explode(array(scores)) AS _sc)`` — the K unrolled
+    codebook-score chains PINNED below a Generate. The argmax consumer
+    (``array_position(sc, array_max(sc))``) references the scores array
+    twice; without the Generate, CollapseProject inlines the K*dim-term
+    chain into both references and the fused WholeStageCodegen method
+    blows janino's 64 KB limit (observed: 21k-line processNext -> ERROR +
+    interpreted fallback). Generate blocks CollapseProject (the
+    shingle_rows discipline), so the chains evaluate once per row in
+    their own compiled projection and the argmax reads a bound column."""
+    scores = _centroid_scores(F.col(vec_col), cents)
+    return df.select(*keep, F.explode(F.array(scores)).alias("_sc"))
+
+
+def _argmax_sc() -> Column:
+    """1-based argmax over the pinned score column (first index on FP
+    ties — the list_indexof rule)."""
+    return F.array_position(F.col("_sc"), F.array_max(F.col("_sc")))
+
+
 def _centroid_scores(vec: Column, cents) -> Column:
-    """Array of dot(vec, c_j)/||c_j|| against the literal codebook."""
+    """Array of dot(vec, c_j)/||c_j|| against the literal codebook.
+
+    Deliberately the HOF fold form, NOT an unrolled chain: K*dim unrolled
+    terms inside the _pinned_scores Generate exceed janino's 64 KB
+    per-method limit (Generate codegen cannot split its generator
+    expression) and the whole stage falls back to interpreted — measured
+    SLOWER than the interpreted fold it replaced. The fold runs once per
+    corpus row; the pair stages are where the time is."""
     return F.array(*[
         _dot(vec, F.array(*[F.lit(v) for v in c])) / F.lit(cn)
         for _, c, cn in cents
@@ -515,6 +756,7 @@ def ivf_topk(
 
     Output: (query_id, rank, neighbor_id, score), deterministic ties.
     """
+    corpus = _spread(corpus, id_col)
     if centroids is None:
         centroids = ivf_centroids(corpus, n_centroids=n_centroids,
                                   id_col=id_col, vec_col=vec_col)
@@ -524,13 +766,18 @@ def ivf_topk(
         assigned = ivf_assign_arrow(corpus, centroids,
                                     id_col=id_col, vec_col=vec_col)
     else:
-        scores = _centroid_scores(F.col(vec_col), centroids)
+        dim = len(centroids[0][1])
+        pinned = _pinned_scores(
+            corpus, centroids, vec_col,
+            [F.col(id_col).alias("neighbor_id"),
+             F.col(vec_col).alias("cvec")])
         # 1-based argmax, first occurrence on ties (matches list_indexof)
-        assigned = corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
-            _norm(F.col(vec_col)).alias("_cn"),
-            F.array_position(scores, F.array_max(scores)).alias("list_id"),
+        assigned = pinned.select(
+            "neighbor_id", "cvec",
+            _norm_u(F.col("cvec"), dim).alias("_cn"),
+            _argmax_sc().alias("list_id"),
         )
+    dim = len(centroids[0][1])
     # query probe sets: rank the codebook relationally (tiny side)
     import pandas as pd
 
@@ -541,11 +788,12 @@ def ivf_topk(
          "cn_c": [c[2] for c in centroids]}))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("_qn"),
+        _norm_u(F.col(vec_col), dim).alias("_qn"),
     )
     qscored = q.crossJoin(F.broadcast(cdf)).select(
         "query_id", "qvec", "_qn", "cid",
-        (_dot(F.col("qvec"), F.col("cvec_c")) / F.col("cn_c")).alias("_cs"),
+        (_dot_u(F.col("qvec"), F.col("cvec_c"), dim)
+         / F.col("cn_c")).alias("_cs"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_cs").desc(), F.col("cid").asc())
@@ -558,7 +806,7 @@ def ivf_topk(
                       (assigned.list_id == probes.list_id)
                       & (F.col("neighbor_id") != F.col("query_id")))
         .select("query_id", "neighbor_id",
-                F.round(_dot(F.col("qvec"), F.col("cvec"))
+                F.round(_dot_u(F.col("qvec"), F.col("cvec"), dim)
                         / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -663,13 +911,14 @@ def _pq_assign(subs: DataFrame,
     broadcast codebook join + rank-1 window (1-based list_id, lowest cid
     on FP ties: the array_position rule)."""
     spark = subs.sparkSession
+    d_sub = len(books[0][0][1])
     cb = spark.createDataFrame(
         [(s, cid, [float(x) for x in c], float(cn))
          for s, book in enumerate(books) for (cid, c, cn) in book],
         "sub int, cid int, c array<double>, cn double")
     scored = subs.join(F.broadcast(cb), "sub").select(
         "sub", "_id", "_v", "cid",
-        (_dot(F.col("_v"), F.col("c")) / F.col("cn")).alias("_sc"))
+        (_dot_u(F.col("_v"), F.col("c"), d_sub) / F.col("cn")).alias("_sc"))
     wa = Window.partitionBy("sub", "_id").orderBy(
         F.col("_sc").desc(), F.col("cid").asc())
     return (scored.withColumn("_rk", F.row_number().over(wa))
@@ -757,11 +1006,11 @@ def pq_topk(
         "sub int, code int, c array<double>, cn double")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("_qn"))
+        _norm_u(F.col(vec_col), dim).alias("_qn"))
     parts = q.crossJoin(F.broadcast(cb)).select(
         "query_id", "_qn", "sub", "code",
-        _dot(F.expr(f"slice(qvec, sub * {d_sub} + 1, {d_sub})"),
-             F.col("c")).alias("partial"),
+        _dot_u(F.expr(f"slice(qvec, sub * {d_sub} + 1, {d_sub})"),
+               F.col("c"), d_sub).alias("partial"),
         (F.col("cn") * F.col("cn")).alias("cn_sq"))
     joined = codes.join(F.broadcast(parts), ["sub", "code"]) \
         .filter(F.col(id_col) != F.col("query_id"))
@@ -785,13 +1034,13 @@ def pq_topk(
              .select("query_id", "neighbor_id"))
     cvecs = corpus.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).alias("cvec"),
-                          _norm(F.col(vec_col)).alias("_cn"))
+                          _norm_u(F.col(vec_col), dim).alias("_cn"))
     qvecs = q.select("query_id", F.col("qvec").alias("qvec2"), "_qn")
     exact = (
         cvecs.join(F.broadcast(short), "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
         .select("query_id", "neighbor_id",
-                F.round(_dot(F.col("qvec2"), F.col("cvec"))
+                F.round(_dot_u(F.col("qvec2"), F.col("cvec"), dim)
                         / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
     )
     wk = Window.partitionBy("query_id").orderBy(
@@ -835,6 +1084,7 @@ def semdedup(
 
     Output: (vec_id, list_id, kept) — kept=false marks removed near-dups.
     """
+    corpus = _spread(corpus, id_col)
     if centroids is None:
         centroids = ivf_train_centroids(
             corpus, n_centroids=n_centroids, n_iter=n_iter, seed=seed,
@@ -843,30 +1093,39 @@ def semdedup(
         assigned = ivf_assign_arrow(corpus, centroids,
                                     id_col=id_col, vec_col=vec_col)
     else:
-        scores = _centroid_scores(F.col(vec_col), centroids)
-        assigned = corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
-            _norm(F.col(vec_col)).alias("_cn"),
-            F.array_position(scores, F.array_max(scores)).alias("list_id"),
+        dim = len(centroids[0][1])
+        pinned = _pinned_scores(
+            corpus, centroids, vec_col,
+            [F.col(id_col).alias("neighbor_id"),
+             F.col(vec_col).alias("cvec")])
+        assigned = pinned.select(
+            "neighbor_id", "cvec",
+            _norm_u(F.col("cvec"), dim).alias("_cn"),
+            _argmax_sc().alias("list_id"),
         )
-    rel = assigned.repartition("list_id")
-    a, b = rel.alias("a"), rel.alias("b")
-    cos = F.round(_dot(F.col("a.cvec"), F.col("b.cvec"))
-                  / (F.col("a._cn") * F.col("b._cn")), 6)
-    removed = (
-        a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
-               & (F.col("a.neighbor_id") < F.col("b.neighbor_id")))
-        .filter(cos >= eps)
-        .select(F.col("b.neighbor_id").alias("vec_id"))
-        .distinct()
-        .withColumn("_rm", F.lit(1))
-    )
+    # GROUPED within-list pairwise (r6 — the embedding_near_duplicates
+    # rationale): each assigned vector moves into its list group ONCE
+    # (the explicit repartition below), and the Σ|list|² scoring runs as
+    # blocked fold-ordered numpy instead of a self-join that carried
+    # 2*dim doubles per enumerated pair (measured 143 s at sf1.0 even at
+    # full task parallelism; the grouped form is seconds). The raw-value
+    # eps cut (_round6_boundary) is provably identical to
+    # filter(round(cos,6) >= eps); removed ids are distinct within the
+    # list by construction, which IS globally distinct.
+    P = corpus.sparkSession.sparkContext.defaultParallelism
+    rel = assigned.select(
+        F.col("neighbor_id").alias("_id"), F.col("cvec").alias("_v"),
+        F.col("list_id").alias("_g")).repartition(P, "_g")
+    removed = (rel.groupBy("_g")
+               .applyInPandas(_make_semdedup_removed_fn(eps),
+                              "vec_id long")
+               .withColumn("_rm", F.lit(1)))
     # project the output from the repartitioned relation, not `assigned`:
-    # the third consumer then reads the SAME materialized exchange as the
-    # join sides instead of re-running the O(K*dim) assignment per vector
+    # the second consumer then reads the SAME materialized exchange as
+    # the grouped scorer instead of re-running the O(K*dim) assignment
     return (
-        rel.select(F.col("neighbor_id").alias("vec_id"),
-                   F.col("list_id").cast("long").alias("list_id"))
+        rel.select(F.col("_id").alias("vec_id"),
+                   F.col("_g").cast("long").alias("list_id"))
         .join(removed, "vec_id", "left")
         .select("vec_id", "list_id", F.col("_rm").isNull().alias("kept"))
     )
@@ -1027,10 +1286,10 @@ def ivfpq_index(
     zero-shuffle literal-codebook argmax (ivf_topk's rule); PQ codes come
     from pq_encode; one id-keyed join glues them — the only shuffle here,
     paid at index-build time, never per query."""
-    scores = _centroid_scores(F.col(vec_col), centroids)
-    assigned = corpus.select(
-        F.col(id_col).alias("_aid"),
-        F.array_position(scores, F.array_max(scores)).alias("list_id"))
+    assigned = _pinned_scores(
+        _spread(corpus, id_col), centroids, vec_col,
+        [F.col(id_col).alias("_aid")]).select(
+        "_aid", _argmax_sc().alias("list_id"))
     return (pq_encode(corpus, books, dim=dim, id_col=id_col,
                       vec_col=vec_col)
             .join(assigned, F.col(id_col) == F.col("_aid"))
@@ -1102,10 +1361,11 @@ def ivfpq_topk(
          "cn_c": [c[2] for c in centroids]}))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("_qn"))
+        _norm_u(F.col(vec_col), dim).alias("_qn"))
     qscored = q.crossJoin(F.broadcast(cdf)).select(
         "query_id", "cid",
-        (_dot(F.col("qvec"), F.col("cvec_c")) / F.col("cn_c")).alias("_cs"))
+        (_dot_u(F.col("qvec"), F.col("cvec_c"), dim)
+         / F.col("cn_c")).alias("_cs"))
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_cs").desc(), F.col("cid").asc())
     probes = (qscored.withColumn("_pr", F.row_number().over(wq))
@@ -1118,8 +1378,8 @@ def ivfpq_topk(
         "sub int, code int, c array<double>, cn double")
     parts = q.crossJoin(F.broadcast(cb)).select(
         "query_id", "_qn", "sub", "code",
-        _dot(F.expr(f"slice(qvec, sub * {d_sub} + 1, {d_sub})"),
-             F.col("c")).alias("partial"),
+        _dot_u(F.expr(f"slice(qvec, sub * {d_sub} + 1, {d_sub})"),
+               F.col("c"), d_sub).alias("partial"),
         (F.col("cn") * F.col("cn")).alias("cn_sq"))
 
     cand = (codes.join(F.broadcast(probes), "list_id")
@@ -1145,13 +1405,13 @@ def ivfpq_topk(
              .select("query_id", "neighbor_id"))
     cvecs = corpus.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).alias("cvec"),
-                          _norm(F.col(vec_col)).alias("_cn"))
+                          _norm_u(F.col(vec_col), dim).alias("_cn"))
     qvecs = q.select("query_id", F.col("qvec").alias("qvec2"), "_qn")
     exact = (
         cvecs.join(F.broadcast(short), "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
         .select("query_id", "neighbor_id",
-                F.round(_dot(F.col("qvec2"), F.col("cvec"))
+                F.round(_dot_u(F.col("qvec2"), F.col("cvec"), dim)
                         / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
     )
     wk = Window.partitionBy("query_id").orderBy(
@@ -1289,17 +1549,32 @@ def rp_topk(
     (pinned add chains, random_project), cuts are total orders. Output
     (query_id, rank, neighbor_id, score) — same schema/rounding as
     brute_force_topk so recall is directly measurable."""
-    pc = random_project(corpus, in_dim=in_dim, out_dim=out_dim,
+    # MATERIALIZE the projection below a Generate (explode of a 1-element
+    # array): CollapseProject would otherwise inline the 16 ~340-term add
+    # chains into the join's per-PAIR projection — re-evaluating the whole
+    # projection once per candidate instead of once per vector, and (when
+    # the fused region also contains the cosine fold) overflowing janino's
+    # 64 KB method limit into interpreted fallback (the NOTES_r5 ERROR).
+    # Generate blocks CollapseProject (the cms_table discipline), so the
+    # chains run exactly once per row and the join stage codegen stays
+    # small. Norms are hoisted below the join (one per vector, not per
+    # pair) with the multiplication order preserved — bit-identical.
+    pc = random_project(_spread(corpus, id_col), in_dim=in_dim,
+                        out_dim=out_dim,
                         seed=seed, id_col=id_col, vec_col=vec_col) \
         .select(F.col(id_col).alias("neighbor_id"),
-                F.col("proj").alias("_cp"))
+                F.explode(F.array("proj")).alias("_cp")) \
+        .select("neighbor_id", "_cp",
+                _norm_u(F.col("_cp"), out_dim).alias("_cpn"))
     pq = random_project(queries, in_dim=in_dim, out_dim=out_dim,
                         seed=seed, id_col=id_col, vec_col=vec_col) \
         .select(F.col(id_col).alias("query_id"),
-                F.col("proj").alias("_qp"))
+                F.explode(F.array("proj")).alias("_qp")) \
+        .select("query_id", "_qp",
+                _norm_u(F.col("_qp"), out_dim).alias("_qpn"))
     approx = F.round(
-        _dot(F.col("_qp"), F.col("_cp"))
-        / (_norm(F.col("_qp")) * _norm(F.col("_cp"))), 6)
+        _dot_u(F.col("_qp"), F.col("_cp"), out_dim)
+        / (F.col("_qpn") * F.col("_cpn")), 6)
     scored = (
         pc.join(F.broadcast(pq), F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", approx.alias("approx"))
@@ -1311,15 +1586,15 @@ def rp_topk(
              .select("query_id", "neighbor_id"))
     cvecs = corpus.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).alias("cvec"),
-                          _norm(F.col(vec_col)).alias("_cn"))
+                          _norm_u(F.col(vec_col), in_dim).alias("_cn"))
     qvecs = queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).alias("qvec2"),
-                           _norm(F.col(vec_col)).alias("_qn"))
+                           _norm_u(F.col(vec_col), in_dim).alias("_qn"))
     exact = (
         cvecs.join(F.broadcast(short), "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
         .select("query_id", "neighbor_id",
-                F.round(_dot(F.col("qvec2"), F.col("cvec"))
+                F.round(_dot_u(F.col("qvec2"), F.col("cvec"), in_dim)
                         / (F.col("_qn") * F.col("_cn")), 6).alias("score"))
     )
     wk = Window.partitionBy("query_id").orderBy(
@@ -1365,7 +1640,7 @@ def nearest_centroid_confusion(
     Output: (label, pred_label, n) integer confusion counts.
     """
     xq = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("d")
-    base = embeddings.select(
+    base = _spread(embeddings, id_col).select(
         F.col(id_col).alias("vid"), F.col(label_col).alias("label"),
         F.col(vec_col).alias("_v")
     ).select(

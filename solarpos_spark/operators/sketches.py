@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import poly31_hash
+from .dedup import poly31_hash_arrow
 
 #: small-m bias constants (Flajolet et al. 2007, §4); m >= 128 uses the
 #: closed form 0.7213 / (1 + 1.079 / m).
@@ -135,7 +135,7 @@ def hll_hash(col: Column, *, hash_fn: str = "poly31") -> Column:
     if hash_fn == "poly31":
         # fmix32 avalanche over the portable polynomial hash — see module
         # docstring for why the finalizer is load-bearing.
-        return _fmix32(poly31_hash(col.cast("string")))
+        return _fmix32(poly31_hash_arrow(col.cast("string")))
     # top 32 bits of xxhash64: unsigned shift keeps the slice nonneg
     return F.shiftrightunsigned(F.xxhash64(col.cast("string")), 32)
 
@@ -273,7 +273,7 @@ def _cms_coords(df: DataFrame, col: str, keep: list[str],
                                    F.col("row")), F.lit(width))
         return rows.select(*keep, "row", bucket.alias("bucket"))
     hashed = df.select(
-        *keep, poly31_hash(F.col(col).cast("string")).alias("_h"))
+        *keep, poly31_hash_arrow(F.col(col).cast("string")).alias("_h"))
     rows = hashed.select(*keep, "_h", idx)
     a = ((2 * F.col("row") + 1) * F.lit(2654435761)) % F.lit(POLY_P)
     b = (F.col("row") * F.lit(40503) + F.lit(12345)) % F.lit(POLY_P)

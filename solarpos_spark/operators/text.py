@@ -229,27 +229,31 @@ def repetition_stats(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     fractions are extreme — boilerplate, keyword stuffing, scraper loops).
 
     Per document: duplicate-word fraction (1 - distinct/total), top-word
-    fraction, top-bigram fraction. Relational construction: one posexplode
-    of the words array, bigrams via lead() windows (the shingle_rows
-    pattern — never a higher-order lambda over the text), then two-level
-    hash aggregation (doc_id, token) -> doc_id. Both exchanges key on
-    doc_id first, so the wide shuffle is bounded by distinct tokens per
-    doc, with map-side partial aggregation. Fractions round to 6 decimals
-    (engine-portable); single-word docs have no bigrams -> 0.0.
+    fraction, top-bigram fraction. NARROW construction (r6, the
+    ngram_occurrences discipline): the words array is pinned below a
+    Generate (explode of a 1-element array, blocking CollapseProject) and
+    both the word occurrences and the bigrams derive from it map-side —
+    no posexplode-window pass sorting every word row by doc_id. Then
+    two-level hash aggregation (doc_id, token) -> doc_id; the wide
+    shuffle is bounded by distinct tokens per doc, with map-side partial
+    aggregation. Fractions round to 6 decimals (engine-portable);
+    single-word docs have no bigrams -> 0.0.
     """
     from .dedup import spread_input
 
     docs = spread_input(df.select("doc_id", text_col))
     wd = docs.select(
         "doc_id",
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"))
-    pos = wd.selectExpr("doc_id", "posexplode(_w) AS (_p, wd)")
-    win = Window.partitionBy("doc_id").orderBy("_p")
-    big = (pos.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("wd"), F.lead("wd", 1).over(win)).alias("bg"),
-            F.lead("wd", 1).over(win).isNotNull().alias("_full"))
-           .filter(F.col("_full")))
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w0"))
+    pinned = wd.select("doc_id", F.explode(F.array("_w0")).alias("_w"))
+    w = F.col("_w")
+    pos = pinned.select("doc_id", F.explode(w).alias("wd"))
+    kb = F.size(w) - 1
+    bgram = lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
+                                  F.element_at(w, i + 2))
+    bgs = F.when(kb > 0, F.transform(F.sequence(F.lit(0), kb - 1), bgram)) \
+           .otherwise(F.array().cast("array<string>"))
+    big = pinned.select("doc_id", F.explode(bgs).alias("bg"))
     wstats = (pos.groupBy("doc_id", "wd").agg(F.count(F.lit(1)).alias("c"))
               .groupBy("doc_id")
               .agg(F.sum("c").alias("n_words"),
@@ -329,7 +333,7 @@ def _bloom_hashed(df: DataFrame, col: str, keep: list[str],
     string feeds the hash ONCE per k-row, no Python/interpreted work.
     poly31: the engine-portable chain (base fold below the Generate,
     universal salt + fmix32 per k) for SQL-replayable paths."""
-    from .dedup import poly31_hash
+    from .dedup import poly31_hash_arrow
 
     idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i")
     if hash_fn == "xxhash64":
@@ -337,7 +341,7 @@ def _bloom_hashed(df: DataFrame, col: str, keep: list[str],
         pos = F.pmod(F.xxhash64(F.col(col), F.col("_i")), F.lit(m_bits))
         return rows.select(*keep, pos.alias("pos"))
     hashed = df.select(
-        *keep, poly31_hash(F.col(col).cast("string")).alias("_h"))
+        *keep, poly31_hash_arrow(F.col(col).cast("string")).alias("_h"))
     rows = hashed.select(*keep, "_h", idx)
     return rows.select(
         *keep, _bloom_positions("_h", "_i", m_bits).alias("pos"))
@@ -579,7 +583,7 @@ def quality_classifier(
     equi-join on bucket, one partial-agg shuffle keyed by doc_id.
     Output: (doc_id, n_words, score, prob, label).
     """
-    from .dedup import POLY_P, poly31_hash, spread_input
+    from .dedup import POLY_P, poly31_hash_arrow, spread_input
 
     spark = df.sparkSession
     if weights is None:
@@ -594,7 +598,8 @@ def quality_classifier(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
          .alias("word"))
     hashed = tok.select(
-        "doc_id", (poly31_hash(F.col("word")) % n_buckets).alias("bucket"))
+        "doc_id", (poly31_hash_arrow(F.col("word")) % n_buckets)
+        .alias("bucket"))
     # LEFT join + zero-fill (ADVICE r4): a caller-supplied TRAINED weight
     # table need not cover every bucket; uncovered words must score 0,
     # not silently drop from n_words (or erase whole docs). The default
@@ -626,7 +631,7 @@ def _hashed_bag(df: DataFrame, label: Column, *, n_buckets: int,
     the start: deriving it here instead of joining a label relation
     later keeps the training loop free of tb-vs-derived-from-tb
     self-joins (see train_quality_classifier's plan note)."""
-    from .dedup import poly31_hash, spread_input
+    from .dedup import poly31_hash_arrow, spread_input
 
     docs = spread_input(df.select(
         "doc_id",
@@ -639,7 +644,7 @@ def _hashed_bag(df: DataFrame, label: Column, *, n_buckets: int,
          .alias("word"))
     bag = (tok.select(
         "doc_id", "y",
-        (poly31_hash(F.col("word")) % n_buckets).alias("bucket"))
+        (poly31_hash_arrow(F.col("word")) % n_buckets).alias("bucket"))
         .groupBy("doc_id", "y", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
     bias = docs.select(
@@ -760,7 +765,7 @@ def quality_classifier_trained(
 def _dsir_buckets(df: DataFrame, target: Column, *, n_buckets: int,
                   text_col: str) -> DataFrame:
     """(doc_id, _tgt, bucket) token rows — shared fit/score derivation."""
-    from .dedup import poly31_hash, spread_input
+    from .dedup import poly31_hash_arrow, spread_input
 
     docs = spread_input(df.select("doc_id", text_col, target.alias("_tgt")))
     tok = docs.select(
@@ -769,7 +774,7 @@ def _dsir_buckets(df: DataFrame, target: Column, *, n_buckets: int,
          .alias("word"))
     return tok.select(
         "doc_id", "_tgt",
-        (poly31_hash(F.col("word")) % n_buckets).alias("bucket"))
+        (poly31_hash_arrow(F.col("word")) % n_buckets).alias("bucket"))
 
 
 def dsir_fit(
@@ -973,24 +978,29 @@ def ngram_occurrences(
 ) -> DataFrame:
     """Every word n-gram OCCURRENCE as a row: (doc_id, ngram).
 
-    Relational n-grams — posexplode + lead windows, never an array lambda
-    re-tokenizing the document per element (the shingle-CSE trap)."""
+    NARROW construction (r6): the words array is materialized below a
+    Generate (explode of a 1-element array — blocks CollapseProject, the
+    shingle_rows discipline) so the per-index lambda's ``element_at``
+    reads a bound column instead of re-running the split per element.
+    No posexplode-window pass: the previous form shuffled and sorted
+    every word occurrence by doc_id just to assemble adjacent words; here
+    the whole derivation is map-side. Docs shorter than ``n`` words
+    contribute nothing (the window form's _full filter), and the gram
+    text is the identical concat_ws chain — same output rows."""
     from .dedup import spread_input
 
     docs = spread_input(df.select("doc_id", text_col))
     wd = docs.select(
         "doc_id",
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"))
-    pos = wd.selectExpr("doc_id", "posexplode(_w) AS (_p, _word)")
-    win = Window.partitionBy("doc_id").orderBy("_p")
-    parts = [F.col("_word")] + [F.lead("_word", j).over(win)
-                                for j in range(1, n)]
-    return (pos.select(
-        "doc_id",
-        F.concat_ws(" ", *parts).alias("ngram"),
-        F.lead("_word", n - 1).over(win).isNotNull().alias("_full"))
-        .filter(F.col("_full"))
-        .drop("_full"))
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w0"))
+    pinned = wd.select("doc_id", F.explode(F.array("_w0")).alias("_w"))
+    w = F.col("_w")
+    k = F.size(w) - (n - 1)
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(w, i + j + 1) for j in range(n)])
+    grams = F.when(k > 0, F.transform(F.sequence(F.lit(0), k - 1), gram)) \
+             .otherwise(F.array().cast("array<string>"))
+    return pinned.select("doc_id", F.explode(grams).alias("ngram"))
 
 
 def top_ngrams(

@@ -51,6 +51,19 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # Streaming state store seam (VERDICT r5 #6): the six stateful
+    # operators (funnel x3, quota, priority sampler, z-score) hold
+    # per-key state that the default HDFS-backed store keeps ON-HEAP —
+    # at 100x state volume that is executor GC pressure and restart
+    # latency. RocksDB (bundled with Spark 3.2+) moves state off-heap
+    # with incremental checkpointing; committed output is identical
+    # (smoke-tested: stream_session gate entry green under the flag).
+    # Off by default so the driver's bench environment is unchanged.
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        b = b.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

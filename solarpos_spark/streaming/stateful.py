@@ -564,19 +564,45 @@ WSAMPLE_STATE_SCHEMA = StructType([
 ])
 
 
+def _topk_pairs(pris, ids, k: int):
+    """The k smallest (pri, id) pairs, sorted — np.lexsort == Python's
+    tuple sort for (float pri, int id) with no NaNs."""
+    import numpy as np
+
+    pris = np.asarray(pris, dtype=np.float64)
+    ids = np.asarray(ids, dtype=np.int64)
+    order = np.lexsort((ids, pris))[:k]
+    return ids[order], pris[order]
+
+
 def _make_wsample(k: int, window_s: int):
     def run(key: tuple, pdfs: Iterator[pd.DataFrame],
             state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (ws,) = key
         if state.exists:
-            ids, pris = state.get
-            ids, pris = list(ids), list(pris)
+            s_ids, s_pris = state.get
+            id_parts = [np.asarray(s_ids, dtype=np.int64)]
+            pri_parts = [np.asarray(s_pris, dtype=np.float64)]
         else:
-            ids, pris = [], []
+            id_parts, pri_parts = [], []
         for pdf in pdfs:
-            for eid, pri in zip(pdf["event_id"], pdf["_pri"]):
-                ids.append(int(eid))
-                pris.append(float(pri))
+            if len(pdf):
+                id_parts.append(pdf["event_id"].to_numpy(np.int64))
+                pri_parts.append(pdf["_pri"].to_numpy(np.float64))
+        # O(k) STATE (VERDICT r5 #1): top-k-smallest is monotone —
+        # top_k(accepted_final) == top_k(top_k(accepted_prefix) ∪ new) —
+        # so the buffer truncates to the k smallest (pri, id) pairs on
+        # EVERY batch instead of holding all window rows; the committed
+        # selection is provably identical and state is k slots, not
+        # O(window-rows). Vectorized (lexsort), no per-row Python loop.
+        if id_parts:
+            ids, pris = _topk_pairs(
+                np.concatenate(pri_parts), np.concatenate(id_parts), k)
+        else:
+            ids = np.empty(0, dtype=np.int64)
+            pris = np.empty(0, dtype=np.float64)
         wend_ms = (int(ws) + window_s) * 1000
         wm_ms = state.getCurrentWatermarkMs()
         if wm_ms >= wend_ms:
@@ -585,9 +611,8 @@ def _make_wsample(k: int, window_s: int):
             # funnel_first/absence: eviction here uses wm(<=f-1), which
             # IS the late-filter threshold of batch f+1, so no
             # filter-surviving row of this window can arrive later.
-            chosen = sorted(zip(pris, ids))[:k]
             state.remove()
-            if chosen:
+            if len(ids):
                 # ids + ranks only: the selection orders by the exact
                 # double priority (identical across engines), but a
                 # ROUNDED display of hash/1-magnitude priorities sits
@@ -595,13 +620,95 @@ def _make_wsample(k: int, window_s: int):
                 # half-up vs DuckDB's float rounding disagree in the
                 # 6th decimal at 5e8) — reconstruct priority offline
                 # from (event_id, weight) when needed
-                yield pd.DataFrame([
-                    {"ws": int(ws), "event_id": i, "rank": r + 1}
-                    for r, (p, i) in enumerate(chosen)])
+                yield pd.DataFrame({
+                    "ws": np.full(len(ids), int(ws), dtype=np.int64),
+                    "event_id": ids,
+                    "rank": np.arange(1, len(ids) + 1, dtype=np.int64)})
             return
-        state.update((ids, pris))
+        state.update((ids.tolist(), pris.tolist()))
         # wake exactly when the watermark can have passed the window end
         state.setTimeoutTimestamp(max(wend_ms, wm_ms + 1))
+
+    return run
+
+
+def _make_wsample_combiner(k: int, window_s: int):
+    """Per-partition, per-batch candidate pre-reduction for the windowed
+    priority sampler (guide §2.3 "aggregate before you shuffle") — kills
+    the one-task-per-window funnel: the groupBy(ws) stateful stage
+    receives only the combiner's survivors, O(k + late-tail) per (input
+    partition, window, batch), instead of every raw row.
+
+    Keep rule (SUFFIX top-k by event time): row r survives iff fewer
+    than k rows q in the same (partition, window) batch slice have
+    (q.pri, q.id) < (r.pri, r.id) AND q.ts >= r.ts. Why ts enters: the
+    stateful operator's LATE filter drops rows below a watermark
+    threshold T (unknown here), and the final selection is the top-k of
+    the rows with ts >= T that arrived before close. If r is dropped by
+    the rule, then for EVERY T <= r.ts the k dominating rows also
+    survive T, so r can never be in the top-k of the survivors —
+    dropping it is output-invariant for ANY arrival order and ANY
+    watermark schedule. In particular the newest row of each slice is
+    always kept, so the per-batch max event time — and therefore the
+    watermark trajectory — is unchanged.
+    """
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in pdfs:
+            n = len(pdf)
+            if n <= k:
+                yield pdf
+                continue
+            us = pdf["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            ws = (us // 1_000_000 // window_s) * window_s
+            pris = pdf["_pri"].to_numpy(np.float64)
+            ids = pdf["event_id"].to_numpy(np.int64)
+            keep = np.zeros(n, dtype=bool)
+            for w in np.unique(ws):
+                gi = np.nonzero(ws == w)[0]
+                g_us, g_pri, g_id = us[gi], pris[gi], ids[gi]
+                m = len(gi)
+                if m <= k:
+                    keep[gi] = True
+                    continue
+                # rank by (pri, id) asc; Fenwick over ranks, inserting
+                # ts-cohorts newest-first; r survives iff < k better
+                # ranks inserted once its own cohort is in (q.ts >= r.ts
+                # includes ties — insert the whole cohort, then query)
+                order = np.lexsort((g_id, g_pri))
+                rank = np.empty(m, dtype=np.int64)
+                rank[order] = np.arange(m)
+                tree = np.zeros(m + 1, dtype=np.int64)
+
+                def _add(i: int) -> None:
+                    i += 1
+                    while i <= m:
+                        tree[i] += 1
+                        i += i & (-i)
+
+                def _count_lt(i: int) -> int:
+                    s = 0
+                    while i > 0:
+                        s += tree[i]
+                        i -= i & (-i)
+                    return s
+
+                by_ts = np.argsort(-g_us, kind="stable")
+                j = 0
+                while j < m:
+                    j2 = j
+                    while j2 < m and g_us[by_ts[j2]] == g_us[by_ts[j]]:
+                        j2 += 1
+                    cohort = by_ts[j:j2]
+                    for c in cohort:
+                        _add(int(rank[c]))
+                    for c in cohort:
+                        if _count_lt(int(rank[c])) < k:
+                            keep[gi[c]] = True
+                    j = j2
+            yield pdf[keep]
 
     return run
 
@@ -614,6 +721,7 @@ def windowed_priority_sample(
     pri_col: str = "_pri",
     id_col: str = "event_id",
     ts_col: str = "ts",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Streaming per-window priority sample: for every tumbling
     event-time window, commit the ``k`` rows with SMALLEST
@@ -634,15 +742,39 @@ def windowed_priority_sample(
     watermark horizon / window width) — closed windows leave nothing,
     eviction-safety per the two-watermark argument in the body.
 
+    ``watermark_delay``: when given, ``events`` must arrive WITHOUT a
+    watermark; the operator inserts the per-partition candidate
+    combiner (:func:`_make_wsample_combiner` — output-invariant suffix
+    top-k, the funnel killer) and assigns ``withWatermark(ts_col,
+    watermark_delay)`` AFTER it, so the groupBy(ws) exchange and the
+    stateful task carry only O(k)-ish survivors per partition. (The
+    combiner must sit below the watermark node because mapInPandas
+    drops the event-time tag; it always keeps each slice's newest row,
+    so the watermark trajectory — and the committed set — is
+    bit-identical to the uncombined plan.) Without it, behavior is the
+    pre-r6 single-stage shape on an already-watermarked input.
+
     Output: (ws, event_id, rank) with rank 1..k per window.
     """
-    ws = (F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(window_s))
-          * F.lit(window_s)).cast("long")
-    keyed = events.select(
-        ws.alias("ws"),
-        F.col(ts_col),
-        F.col(id_col).alias("event_id"),
-        F.col(pri_col).alias("_pri"))
+    ws_of = lambda c: (F.floor(F.unix_timestamp(c) / F.lit(window_s))
+                       * F.lit(window_s)).cast("long")
+    if watermark_delay is not None:
+        pre = events.select(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("event_id"),
+            F.col(pri_col).alias("_pri"))
+        comb = pre.mapInPandas(
+            _make_wsample_combiner(int(k), int(window_s)),
+            schema=pre.schema)
+        keyed = (comb.withWatermark("ts", watermark_delay)
+                 .select(ws_of(F.col("ts")).alias("ws"),
+                         F.col("ts"), "event_id", "_pri"))
+    else:
+        keyed = events.select(
+            ws_of(F.col(ts_col)).alias("ws"),
+            F.col(ts_col),
+            F.col(id_col).alias("event_id"),
+            F.col(pri_col).alias("_pri"))
     return keyed.groupBy("ws").applyInPandasWithState(
         _make_wsample(int(k), int(window_s)),
         outputStructType=WSAMPLE_OUTPUT_SCHEMA,

@@ -24,6 +24,16 @@ class TestPagerank:
         leaf_ranks = {v for k, v in pr.items() if k != "hub"}
         assert len(leaf_ranks) == 1
 
+    def test_empty_graph_returns_empty(self, spark):
+        """ADVICE r5: an edge relation with zero rows must yield an
+        empty (node, rank) relation, not ZeroDivisionError."""
+        from pyspark.sql import functions as F
+
+        e = spark.createDataFrame([], "src long, dst long")
+        out = graph.pagerank(e, rounds=2)
+        assert out.columns == ["node", "rank"]
+        assert out.count() == 0
+
     def test_duplicate_edges_collapse(self, spark):
         # simple-graph semantics: edge multiplicity must not change ranks
         once = graph.pagerank(

@@ -2217,3 +2217,135 @@ class TestDocKeywords:
         plan = doc_keywords(docs, k=2)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestR6OptimizationEquivalence:
+    """r6 optimization-round rewrites must be value-identical to the
+    forms they replaced (unrolled folds, arrow poly31, narrow n-grams)."""
+
+    def test_poly31_arrow_parity(self, spark):
+        """poly31_hash_arrow == poly31_hash expression fold, including
+        empty strings, nulls, BMP + astral unicode and both bases."""
+        from pyspark.sql import functions as F
+
+        from solarpos_spark.operators.dedup import (poly31_hash,
+                                                    poly31_hash_arrow)
+
+        data = [("",), ("a",), ("hello world",), ("Ünïcødé tëxt",),
+                ("中文 字符",), ("emoji 😀 astral 𝔘",), ("  sp  ",),
+                (None,), ("x" * 600,), ("the quick brown fox",)]
+        df = spark.createDataFrame(data, "s string")
+        for base in (31, 131):
+            rows = df.select(
+                poly31_hash(F.col("s"), base).alias("e"),
+                poly31_hash_arrow(F.col("s"), base).alias("a")).collect()
+            for r in rows:
+                assert r["e"] == r["a"], (base, r)
+
+    def test_narrow_shingles_equal_window_form(self, spark):
+        """shingle_rows / ngram_occurrences narrow rewrites reproduce the
+        exact (doc_id, gram) multiset of the old posexplode+lead-window
+        construction (distinct sets for shingles, occurrence bags for
+        ngrams; short docs keep the degenerate whole-text shingle)."""
+        from pyspark.sql import Window, functions as F
+
+        from solarpos_spark.operators import text as T
+        from solarpos_spark.operators.dedup import shingle_rows, words_col
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e a b c"), (2, "x y"), (3, "one"),
+             (4, "p q r p q r p q r"), (5, "  s  t   u  v ")],
+            "doc_id long, text string")
+
+        got_sh = {(r.doc_id, r.shingle)
+                  for r in shingle_rows(docs, n=3).collect()}
+        # reference: old window form
+        wd = docs.select("doc_id", words_col(F.col("text")).alias("_w"))
+        pos = wd.selectExpr("doc_id", "posexplode(_w) AS (_p, _word)")
+        win = Window.partitionBy("doc_id").orderBy("_p")
+        parts = [F.col("_word")] + [F.lead("_word", j).over(win)
+                                    for j in range(1, 3)]
+        grams = pos.select(
+            "doc_id", F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("_word", 2).over(win).isNotNull().alias("_full"))
+        full = grams.filter(F.col("_full")).select("doc_id", "shingle")
+        shorts = wd.filter(F.size("_w") < 3).select(
+            "doc_id", F.array_join("_w", " ").alias("shingle"))
+        want_sh = {(r.doc_id, r.shingle)
+                   for r in full.unionByName(shorts).distinct().collect()}
+        assert got_sh == want_sh
+
+        got_ng = sorted((r.doc_id, r.ngram) for r in
+                        T.ngram_occurrences(docs, n=2).collect())
+        pos2 = docs.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_w")) \
+            .selectExpr("doc_id", "posexplode(_w) AS (_p, _word)")
+        grams2 = pos2.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("_word"),
+                        F.lead("_word", 1).over(win)).alias("ngram"),
+            F.lead("_word", 1).over(win).isNotNull().alias("_full"))
+        want_ng = sorted((r.doc_id, r.ngram) for r in
+                         grams2.filter(F.col("_full")).collect())
+        assert got_ng == want_ng
+
+    def test_unrolled_dot_norm_parity(self, spark):
+        """_dot_u/_norm_u/_dot_lit_u are bit-identical to the interpreted
+        higher-order folds for known-length arrays (same IEEE order)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from solarpos_spark.operators.similarity import (
+            _dot, _dot_lit_u, _dot_u, _norm, _norm_u)
+
+        rng = random.Random(3)
+        dim = 17
+        rows = [([rng.uniform(-2, 2) for _ in range(dim)],
+                 [rng.uniform(-2, 2) for _ in range(dim)])
+                for _ in range(50)]
+        df = spark.createDataFrame(
+            rows, f"a array<double>, b array<double>")
+        lit_vec = [rng.uniform(-1, 1) for _ in range(dim)]
+        out = df.select(
+            _dot(F.col("a"), F.col("b")).alias("d0"),
+            _dot_u(F.col("a"), F.col("b"), dim).alias("d1"),
+            _norm(F.col("a")).alias("n0"),
+            _norm_u(F.col("a"), dim).alias("n1"),
+            _dot(F.col("a"),
+                 F.array(*[F.lit(v) for v in lit_vec])).alias("l0"),
+            _dot_lit_u(F.col("a"), lit_vec).alias("l1")).collect()
+        for r in out:
+            assert r["d0"] == r["d1"]          # bitwise double equality
+            assert r["n0"] == r["n1"]
+            assert r["l0"] == r["l1"]
+
+    def test_round6_boundary_equivalence(self, spark):
+        """_round6_boundary's raw-value cut must equal Spark's
+        filter(round(x, 6) >= lit(t)) for boundary-adjacent doubles."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from solarpos_spark.operators.similarity import _round6_boundary
+
+        for t in (0.3, 0.5, 0.95, 0.132813, 0.000001, 0.299999):
+            d0, inclusive = _round6_boundary(t)
+            xs = []
+            for base in (d0, t, t - 5e-7, t + 5e-7, t - 1e-6):
+                x = base
+                for _ in range(4):
+                    x = math.nextafter(x, -math.inf)
+                for _ in range(8):
+                    xs.append(x)
+                    x = math.nextafter(x, math.inf)
+            xs += [0.0, -1.0, 1.0, t * 2, t / 2]
+            df = spark.createDataFrame([(x,) for x in xs], "x double")
+            got = sorted(r.x for r in df.filter(
+                (F.col("x") >= d0) if inclusive else (F.col("x") > d0))
+                .collect())
+            want = sorted(r.x for r in df.filter(
+                F.round(F.col("x"), 6) >= F.lit(float(t))).collect())
+            assert got == want, (t, d0, inclusive,
+                                 set(got) ^ set(want))

@@ -261,15 +261,21 @@ class TestBloomDecontaminate:
 
 class TestCountMinPlan:
     def test_base_hash_below_generate(self, spark):
-        """The poly31 fold must sit BELOW the explode in the optimized
-        plan — one evaluation per input row, not one per depth row."""
+        """The poly31 base hash must sit BELOW the explode in the
+        optimized plan — one evaluation per input row, not one per depth
+        row. Since r6 the hash is the vectorized Arrow UDF
+        (poly31_hash_arrow), so the marker is the python-UDF eval node
+        instead of the interpreted aggregate() fold; the invariant (hash
+        below Generate, nothing hash-shaped above it) is unchanged."""
         t = sketches.cms_table(_values(spark, 10), "val", depth=4)
-        plan = t._jdf.queryExecution().optimizedPlan().toString()
-        gen_pos = plan.index("Generate")
-        assert "aggregate(" in plan[gen_pos:].lower(), \
-            "poly31 fold not under the Generate"
-        assert "aggregate(" not in plan[:gen_pos].lower(), \
-            "poly31 fold re-evaluated above the Generate"
+        plan = t._jdf.queryExecution().optimizedPlan().toString().lower()
+        gen_pos = plan.index("generate")
+        below = plan[gen_pos:]
+        above = plan[:gen_pos]
+        assert ("pythonudf" in below) or ("aggregate(" in below), \
+            "poly31 hash not under the Generate"
+        assert "pythonudf" not in above and "aggregate(" not in above, \
+            "poly31 hash re-evaluated above the Generate"
 
 
 class TestBottomK:

@@ -1184,6 +1184,163 @@ class TestWindowedPrioritySample:
         want = {(r.ws, r.event_id, r.rank) for r in batch.collect()}
         assert got == want and len(got) == 9
 
+    def test_combiner_path_equals_batch_under_disorder(self, spark,
+                                                       tmp_path):
+        """The r6 funnel-killer path (watermark_delay= -> per-partition
+        suffix-top-k combiner below the operator-assigned watermark)
+        must commit the IDENTICAL selection as the pre-r6 single-stage
+        shape under shuffled multi-batch delivery."""
+        import glob
+        import os
+        from datetime import datetime, timedelta
+
+        from solarpos_spark.operators.curate import priority_expr
+        from solarpos_spark.sinks.exactly_once import exactly_once_parquet_sink
+        from solarpos_spark.streaming.stateful import windowed_priority_sample
+
+        t0 = datetime(2024, 7, 1, 8, 0, 0)
+        s = timedelta(seconds=1)
+        rows = [(i, t0 + (60 * (i % 3) + (i * 13) % 60) * s,
+                 1 + i % 4) for i in range(24)]
+        rows.append((99, t0 + timedelta(hours=10), 1))
+        ev = spark.createDataFrame(rows,
+                                   "event_id long, ts timestamp, w long")
+        in_dir = str(tmp_path / "in")
+        written: set = set()
+        for f in range(3):
+            part = ev.filter(
+                ((F.col("event_id") % 3 == f) & (F.col("event_id") != 99))
+                | (F.lit(f == 2) & (F.col("event_id") == 99)))
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            new = sorted(set(glob.glob(f"{in_dir}/part-*")) - written)
+            for p in new:
+                os.utime(p, (2_000_000_000 + 10 * f,) * 2)
+            written.update(new)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir)
+                  .withColumn("_pri", priority_expr(F.col("event_id"),
+                                                    F.col("w"))))
+        out = windowed_priority_sample(stream, k=3, window_s=60,
+                                       watermark_delay="10 minutes")
+        q = exactly_once_parquet_sink(out, str(tmp_path / "out"),
+                                      str(tmp_path / "ckpt"),
+                                      trigger_available_now=True)
+        q.awaitTermination()
+        got = {(r.ws, r.event_id, r.rank) for r in
+               spark.read.parquet(str(tmp_path / "out")).collect()}
+        from pyspark.sql import Window
+        w = Window.partitionBy("ws").orderBy("_pri", "event_id")
+        batch = (ev.filter(F.col("event_id") != 99)
+                 .withColumn("_pri", priority_expr(F.col("event_id"),
+                                                   F.col("w")))
+                 .withColumn("ws", (F.floor(F.unix_timestamp("ts") / 60)
+                                    * 60).cast("long"))
+                 .withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= 3))
+        want = {(r.ws, r.event_id, r.rank) for r in batch.collect()}
+        assert got == want and len(got) == 9
+
+    def test_state_truncates_to_k(self):
+        """After EVERY batch the sampler state holds at most k slots
+        (VERDICT r5 #1: O(k) state, not O(window-rows)) and the final
+        emission equals the full-buffer selection."""
+        import pandas as pd
+
+        from solarpos_spark.streaming.stateful import _make_wsample
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+                self.removed = False
+                self.wm = 0
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+            def remove(self):
+                self._v = None
+                self.removed = True
+
+            def getCurrentWatermarkMs(self):
+                return self.wm
+
+            def setTimeoutTimestamp(self, ts):
+                self.timeout = ts
+
+        k, window_s = 3, 60
+        run = _make_wsample(k, window_s)
+        st = FakeState()
+        # 4 batches x 10 rows into window ws=0, priorities descending so
+        # every batch displaces state; then a closing empty batch
+        all_rows = []
+        for b in range(4):
+            pdf = pd.DataFrame({
+                "event_id": [100 * b + i for i in range(10)],
+                "_pri": [1000.0 - (b * 10 + i) for i in range(10)]})
+            all_rows.append(pdf)
+            st.wm = 0
+            list(run((0,), iter([pdf]), st))
+            ids, pris = st.get
+            assert len(ids) <= k and len(pris) <= k
+        st.wm = window_s * 1000  # watermark passes window end
+        out = list(run((0,), iter([pd.DataFrame(
+            {"event_id": [], "_pri": []})]), st))
+        got = [(r.event_id, r["rank"]) for _, r in out[0].iterrows()]
+        full = pd.concat(all_rows).sort_values(["_pri", "event_id"])
+        want = [(int(e), r + 1) for r, e in
+                enumerate(full["event_id"].head(k))]
+        assert got == want and st.removed
+
+    def test_combiner_rule_is_output_invariant(self):
+        """Property check of the suffix-top-k keep rule: for every
+        late-filter threshold T, the top-k of the survivors with
+        ts >= T computed over the combiner's output equals the one
+        computed over the raw rows (the invariant that makes the
+        pre-reduction safe under any watermark schedule)."""
+        import random
+
+        import pandas as pd
+
+        from solarpos_spark.streaming.stateful import _make_wsample_combiner
+
+        rng = random.Random(7)
+        k, window_s = 3, 60
+        run = _make_wsample_combiner(k, window_s)
+        for trial in range(20):
+            n = rng.randrange(5, 60)
+            base = 1_700_000_000
+            rows = {
+                "ts": pd.to_datetime(
+                    [(base + rng.randrange(0, 180)) * 1_000_000_000
+                     for _ in range(n)]),
+                "event_id": list(range(n)),
+                "_pri": [rng.random() for _ in range(n)],
+            }
+            pdf = pd.DataFrame(rows)
+            kept = pd.concat(list(run(iter([pdf]))))
+            assert len(kept) <= len(pdf)
+            us = pdf["ts"].astype("int64") // 1000
+            ws = (us // 1_000_000 // window_s) * window_s
+            kus = kept["ts"].astype("int64") // 1000
+            kws = (kus // 1_000_000 // window_s) * window_s
+            for t_us in sorted(set(us)) + [0]:
+                for w in set(ws):
+                    raw = pdf[(us >= t_us) & (ws == w)]
+                    cmb = kept[(kus >= t_us) & (kws == w)]
+                    top_raw = raw.sort_values(["_pri", "event_id"]) \
+                        .head(k)["event_id"].tolist()
+                    top_cmb = cmb.sort_values(["_pri", "event_id"]) \
+                        .head(k)["event_id"].tolist()
+                    assert top_raw == top_cmb, (trial, t_us, w)
+
     def test_open_window_emits_nothing(self, spark, tmp_path):
         """A window the watermark never closes must stay wholly
         unemitted (state retained, nothing committed)."""
