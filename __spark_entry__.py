@@ -1744,10 +1744,19 @@ def _q_cms_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     est >= true by construction. width=512 forces visible collisions so
     the gate checks the sketch arithmetic, not a trivially-exact table."""
     docs = _docs(spark, sf_dir)
-    grams = text.ngram_occurrences(docs, n=3)
-    table = sketches.cms_table(grams, "ngram", depth=4, width=512)
-    top = text.top_ngrams(docs, n=3, k=20).select(
-        "ngram", F.col("cnt").alias("true_cnt"))
+    # STAGED composition (r6): one gram derivation shared by the sketch
+    # build and the exact top-k, and both the (2048-row) counter table
+    # and the (20-row) probe list materialized via localCheckpoint before
+    # the estimate join. The un-staged composed plan re-evaluated the
+    # heavy subtrees under the broadcast/TakeOrdered machinery (measured
+    # 18-19 s at sf1.0 vs ~3 s warm staged — stage-level executorRunTime
+    # showed one 540 CPU-s stage); checkpoints are per-invocation, so
+    # nothing carries across bench runs.
+    grams = text.ngram_occurrences(docs, n=3).localCheckpoint(eager=True)
+    table = sketches.cms_table(grams, "ngram", depth=4, width=512) \
+        .localCheckpoint(eager=True)
+    top = text.top_ngrams(docs, n=3, k=20, grams=grams).select(
+        "ngram", F.col("cnt").alias("true_cnt")).localCheckpoint(eager=True)
     return sketches.cms_estimate(table, top, "ngram", depth=4, width=512)
 
 

@@ -129,7 +129,7 @@ def ngram_jaccard_pairs(
     """
     # one narrow (doc_id, shingle) relation, explicitly repartitioned on the
     # join key: the exchange materializes the shingle derivation ONCE and is
-    # reused by every consumer (df-cap aggregate + both self-join branches
+    # reused by every consumer (df aggregate + both self-join branches
     # all want hashpartitioning(shingle))
     # EXPLICIT partition count (scale-adaptive): a bare repartition(col)
     # is AQE-optimizable and the post-shuffle co-shingle self-join — the
@@ -138,21 +138,31 @@ def ngram_jaccard_pairs(
     # enumeration spread over the cluster at any size.
     _P = df.sparkSession.sparkContext.defaultParallelism
     ex = shingle_rows(df, n=n, text_col=text_col).repartition(_P, "shingle")
+    # hash-aggregate df counts (a hot shingle is ONE counter, never a
+    # materialized group) and semi-join back on the same key —
+    # co-partitioned with the reused exchange, no extra wide shuffle
+    dfc = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     if max_shingle_df is not None:
-        # hash-aggregate df counts (a hot shingle is ONE counter, never a
-        # materialized group) and join back on the same key — co-partitioned
-        # with the reused exchange, no extra wide shuffle
-        dfc = (ex.groupBy("shingle")
-               .agg(F.count(F.lit(1)).alias("__df"))
-               .filter(F.col("__df") <= max_shingle_df)
-               .select("shingle"))
-        ex = ex.join(dfc, "shingle")
+        ex = ex.join(dfc.filter(F.col("__df") <= max_shingle_df)
+                     .select("shingle"), "shingle")
     # per-doc set sizes live in a SMALL side table joined to the aggregated
     # pairs (not to the wide exploded relation): |docs| rows, broadcastable
-    # at bench scale, keyed join at corpus scale
+    # at bench scale, keyed join at corpus scale. Sizes count EVERY
+    # (capped) shingle — including df=1 singletons.
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    # the PAIR branches additionally drop df=1 shingles (r6): a shingle
+    # held by a single document cannot produce a co-shingle pair, so the
+    # semi-filter is output-invariant and removes singleton traffic from
+    # the self-join's sort/probe volume. On long-tail web corpora
+    # singletons dominate the shingle table; the driver's synthetic
+    # corpus is template-heavy (178 of 28k shingles at sf1.0), so the
+    # win there is small — the floor is the Σdf² pair-count relation
+    # itself (114M distinct pairs at sf1.0), which IS the declared
+    # semantics; the banded minhash_verified path is the scale answer.
+    pair_keys = dfc.filter(F.col("__df") >= 2).select("shingle")
+    exp = ex.join(pair_keys, "shingle")
+    a = exp.alias("a")
+    b = exp.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -304,13 +314,18 @@ def lsh_candidate_pairs(
         else:
             band_cols.append(F.xxhash64(*cols, F.lit(b)).alias(f"band{b}"))
     banded = signatures.select("doc_id", *band_cols)
+    # explicit band-keyed partitioning — the simhash_near_dup_pairs
+    # rationale: without it the banded self-join runs on the coalesced
+    # 1-2-partition signature aggregate output
+    _P = signatures.sparkSession.sparkContext.defaultParallelism
     stacked = banded.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
             for b in range(bands)
         ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket") \
+     .repartition(_P, "band", "bucket")
     a, b = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -367,10 +382,18 @@ def simhash_near_dup_pairs(
         )
         for j in range(pieces)
     ]
+    # explicit piece-keyed partitioning (r6): the fingerprint relation
+    # arrives as a small AQE-coalesced aggregate output, and the planner
+    # broadcasts one self-join side — binding the whole within-bucket
+    # pair enumeration to 1-2 tasks (guide §2.4/§2.5). Pinning to
+    # defaultParallelism keeps it spread at any scale; both join branches
+    # reuse this one exchange.
+    _P = fps.sparkSession.sparkContext.defaultParallelism
     stacked = fps.select(
         F.col(id_col).alias("doc_id"), fp.alias("_fp"),
         F.explode(F.array(*piece_structs)).alias("pp"),
-    ).select("doc_id", "_fp", "pp.piece", "pp.val")
+    ).select("doc_id", "_fp", "pp.piece", "pp.val") \
+     .repartition(_P, "piece", "val")
     if max_piece_df is not None:
         ok = (stacked.groupBy("piece", "val")
               .agg(F.count(F.lit(1)).alias("_df"))
@@ -818,6 +841,7 @@ def cross_corpus_verified_pairs(
             band_cols.append(F.xxhash64(*cols, F.lit(b))
                              .alias(f"band{b}"))
     banded = sigs.select("doc_id", *band_cols)
+    _P = sigs.sparkSession.sparkContext.defaultParallelism
     stacked = banded.select(
         "doc_id",
         F.explode(F.array(*[
@@ -825,7 +849,8 @@ def cross_corpus_verified_pairs(
                      F.col(f"band{b}").alias("bucket"))
             for b in range(bands)
         ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket") \
+     .repartition(_P, "band", "bucket")
     a, b2 = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(b2, (F.col("a.band") == F.col("b.band"))

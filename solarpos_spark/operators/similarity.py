@@ -908,8 +908,17 @@ def pq_train(
 def _pq_assign(subs: DataFrame,
                books: list[list[tuple[int, list[float], float]]]) -> DataFrame:
     """(sub, _v, list_id) — argmax dot(v, c)/||c|| per (sub, row) via a
-    broadcast codebook join + rank-1 window (1-based list_id, lowest cid
-    on FP ties: the array_position rule)."""
+    broadcast codebook join + struct-max aggregate (1-based list_id,
+    lowest cid on FP ties: the array_position rule).
+
+    r6: ``max(struct(_sc, -cid))`` replaces the rank-1 window — struct
+    comparison is lexicographic, so the max picks the highest score and,
+    on exact FP ties, the highest -cid == LOWEST cid: the identical tie
+    rule, but as a hash aggregate with map-side partial combine (the K
+    scored rows per (sub, row) collapse before the exchange) instead of
+    a full exchange + sort of the K-times-larger scored relation per
+    Lloyd round (guide §2.3). ``_v`` is constant within the group
+    (first() is deterministic here)."""
     spark = subs.sparkSession
     d_sub = len(books[0][0][1])
     cb = spark.createDataFrame(
@@ -919,12 +928,13 @@ def _pq_assign(subs: DataFrame,
     scored = subs.join(F.broadcast(cb), "sub").select(
         "sub", "_id", "_v", "cid",
         (_dot_u(F.col("_v"), F.col("c"), d_sub) / F.col("cn")).alias("_sc"))
-    wa = Window.partitionBy("sub", "_id").orderBy(
-        F.col("_sc").desc(), F.col("cid").asc())
-    return (scored.withColumn("_rk", F.row_number().over(wa))
-            .filter(F.col("_rk") == 1)
-            .select("sub", "_id", "_v",
-                    (F.col("cid") + 1).alias("list_id")))
+    best = scored.groupBy("sub", "_id").agg(
+        F.first("_v").alias("_v"),
+        F.max(F.struct(F.col("_sc").alias("_s"),
+                       (-F.col("cid")).alias("_nc"))).alias("_m"))
+    return best.select(
+        "sub", "_id", "_v",
+        (-F.col("_m._nc") + 1).alias("list_id"))
 
 
 def pq_encode(

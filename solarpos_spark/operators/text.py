@@ -692,32 +692,52 @@ def train_quality_classifier(
     """
     spark = df.sparkSession
     # iterative reuse: every round re-scans the same hashed-bag relation —
-    # persist it ONCE, hash-partitioned by doc_id, so each round's
-    # per-doc window reads the cached partitioning instead of
-    # re-shuffling the corpus-sized relation 20x (the
-    # ivf_train_centroids persist discipline plus the exchange-saving
-    # layout; only the tiny bucket aggregate still exchanges per round)
+    # persist it ONCE, hash-partitioned by doc_id (the ivf_train_centroids
+    # persist discipline; only the tiny bucket aggregate exchanges per
+    # round)
     tb = (_hashed_bag(df, label, n_buckets=n_buckets, text_col=text_col)
           .repartition("doc_id").persist())
-    # NOTE: the remaining sf-scale wall (~0.4 s/round x ~50 rounds to
-    # convergence) is per-round job latency, not data — one warm round
-    # over the cache reads 0.14 s; at corpus scale the scan dominates
-    # and the persisted doc_id layout removes the only corpus-sized
-    # exchange each round (the bucket-delta exchange carries <= 4097
-    # rows). Pre-sorting the cache was tried and REJECTED: InMemoryScan
-    # ordering did not eliminate the window sort and the cache build
-    # got slower.
+    wts = _perceptron_rounds(spark, tb, rounds)
+    tb.unpersist()
+    return spark.createDataFrame(
+        sorted(wts.items()) or [(0, 0)], "bucket long, wt long")
+
+
+def _perceptron_rounds(spark: SparkSession, tb: DataFrame,
+                       rounds: int) -> dict[int, int]:
+    """The batch-perceptron round loop over a persisted doc_id-partitioned
+    hashed-bag relation; returns the trained sparse weights.
+
+    Per-round shape (r6): ONE doc_id-aligned hash aggregate computes every
+    doc's score AND carries its (bucket, cnt) bag through collect_list, so
+    the misclassified set explodes straight into the bucket-delta partial
+    aggregate — no per-round window SORT of the corpus-sized cache (A/B at
+    sf1.0: 0.83 s vs 1.04 s warm per round), and no tb-vs-derived-from-tb
+    self-join anywhere (the Spark 4.1 union dedup hazard, CLAUDE.md). The
+    groupBy(doc_id, y) reuses the cache's hashpartitioning(doc_id) — zero
+    corpus-sized exchange per round; the delta exchange carries <=
+    n_buckets + 1 int rows. Deltas are int64 sums over ints —
+    order-independent, so the trained weights are bit-identical to the
+    window form the oracle replays. The remaining per-round wall is job
+    latency, not data (~0.15 s of it is the scan at sf1.0).
+    """
     wts: dict[int, int] = {}
     for _ in range(rounds):
         if wts:
             wdf = spark.createDataFrame(
                 sorted(wts.items()), "bucket long, wt long")
-            score = F.sum(
-                F.col("cnt") * F.coalesce(F.col("wt"), F.lit(0))
-            ).over(Window.partitionBy("doc_id"))
-            mis_rows = (tb.join(F.broadcast(wdf), "bucket", "left")
-                        .withColumn("_s", score)
-                        .filter(F.col("y") * F.col("_s") <= 0))
+            mis = (tb.join(F.broadcast(wdf), "bucket", "left")
+                   .groupBy("doc_id", "y")
+                   .agg(F.sum(F.col("cnt")
+                              * F.coalesce(F.col("wt"), F.lit(0)))
+                        .alias("_s"),
+                        F.collect_list(F.struct("bucket", "cnt"))
+                        .alias("_bag"))
+                   .filter(F.col("y") * F.col("_s") <= 0))
+            mis_rows = mis.select(
+                "y", F.explode("_bag").alias("_bc")).select(
+                "y", F.col("_bc.bucket").alias("bucket"),
+                F.col("_bc.cnt").alias("cnt"))
         else:
             mis_rows = tb  # zero weights score every doc 0 -> all update
         delta = (mis_rows.groupBy("bucket")
@@ -728,9 +748,7 @@ def train_quality_classifier(
         for r in delta:
             wts[r["bucket"]] = wts.get(r["bucket"], 0) + r["dw"]
         wts = {b: w for b, w in wts.items() if w != 0}
-    tb.unpersist()
-    return spark.createDataFrame(
-        sorted(wts.items()) or [(0, 0)], "bucket long, wt long")
+    return wts
 
 
 def quality_classifier_trained(
@@ -745,10 +763,17 @@ def quality_classifier_trained(
     trained int64 score, its deterministic target y and the thresholded
     prediction (score > 0 -> +1, ties negative — the same tie rule the
     fit's misclassification test uses). Output: (doc_id, n_words,
-    score, y, pred), all int64 — bit-stable under any shuffle."""
-    w = train_quality_classifier(
-        df, label, n_buckets=n_buckets, rounds=rounds, text_col=text_col)
-    tb = _hashed_bag(df, label, n_buckets=n_buckets, text_col=text_col)
+    score, y, pred), all int64 — bit-stable under any shuffle.
+
+    The hashed bag is derived and persisted ONCE and shared between the
+    training rounds and the scoring pass (r6: the previous shape paid the
+    full explode+hash+aggregate derivation twice)."""
+    spark = df.sparkSession
+    tb = (_hashed_bag(df, label, n_buckets=n_buckets, text_col=text_col)
+          .repartition("doc_id").persist())
+    wts = _perceptron_rounds(spark, tb, rounds)
+    w = spark.createDataFrame(
+        sorted(wts.items()) or [(0, 0)], "bucket long, wt long")
     scored = (tb.join(F.broadcast(w), "bucket", "left")
               .groupBy("doc_id", "y")
               .agg(F.sum(F.when(F.col("bucket") < n_buckets, F.col("cnt"))
@@ -756,10 +781,17 @@ def quality_classifier_trained(
                     .alias("n_words"),
                    F.sum(F.col("cnt") * F.coalesce(F.col("wt"), F.lit(0)))
                     .cast("long").alias("score")))
-    return scored.select(
+    out = scored.select(
         "doc_id", "n_words", "score", "y",
         F.when(F.col("score") > 0, F.lit(1)).otherwise(F.lit(-1))
          .cast("long").alias("pred"))
+    # materialize the per-doc result (tiny) so the shared bag cache can be
+    # released NOW — a persist left live past return would be found by
+    # CacheManager's plan-matching on the next invocation and silently
+    # carry work across bench reps (the no-cross-run-caching rule)
+    out = out.localCheckpoint(eager=True)
+    tb.unpersist()
+    return out
 
 
 def _dsir_buckets(df: DataFrame, target: Column, *, n_buckets: int,
@@ -1009,11 +1041,16 @@ def top_ngrams(
     n: int = 2,
     k: int = 20,
     text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide heavy-hitter word n-grams: the exact top-k by total
     occurrence count with document frequency — the boilerplate /
     template-phrase detector a curation run eyeballs before setting
     line-dedup and shingle-df caps.
+
+    ``grams``: an already-derived (doc_id, ngram) occurrence relation to
+    reuse (r6 — callers that also build a sketch over the same grams
+    share ONE derivation instead of re-tokenizing the corpus).
 
     Relational n-grams (posexplode + lead windows, the repetition_stats
     construction — occurrences, NOT the distinct shingle sets), one hash
@@ -1027,7 +1064,8 @@ def top_ngrams(
 
     Output: (rank, ngram, cnt, n_docs).
     """
-    grams = ngram_occurrences(df, n=n, text_col=text_col)
+    if grams is None:
+        grams = ngram_occurrences(df, n=n, text_col=text_col)
     counts = (grams.groupBy("ngram")
               .agg(F.count(F.lit(1)).alias("cnt"),
                    F.countDistinct("doc_id").alias("n_docs")))
