@@ -38,22 +38,24 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _dot_u(a: Column, b: Column, dim: int) -> Column:
-    """Unrolled ``_dot`` for arrays of KNOWN length ``dim``.
+    """Dot for arrays of KNOWN length ``dim`` — delegates to the fold.
 
-    Bit-identical to the fold form (same 0.0 anchor, same left-to-right
-    IEEE add order, same per-element double casts) but expressed as a
-    flat expression chain, so it runs inside WholeStageCodegen instead
-    of the interpreted higher-order evaluator — the per-pair cost in
-    every candidate join drops ~an order of magnitude (guide §4.1:
-    prefer built-in expressions; higher-order lambdas evaluate
-    interpreted). Only valid when both arrays have exactly ``dim``
-    elements — the operators below pass the declared embedding dim.
+    An unrolled 64-term expression chain was tried here (r6): bit-identical
+    doubles (same 0.0 anchor, left-to-right IEEE adds, per-element casts),
+    but MEASURED SLOWER than the interpreted fold at every scale probed —
+    fresh-process A/B, 3 reps each, sf0.1 AND a 10x-tiled corpus:
+    similarity_topk warm 0.85 s (fold) vs 2.67 s (unrolled), mmr_rerank
+    2.71 vs 4.67 at 10x. The per-query pair volume at these call sites is
+    modest (corpus x ~30 broadcast queries), so the dominant cost of the
+    64-term tree is Catalyst planning + janino compilation per invocation
+    (three gate queries overflowed codegen into interpreted fallback
+    outright: ann_topk, ann_topk_multiprobe, rp_project). The truly
+    quadratic pair stages don't score per-pair in SQL at all any more —
+    they use the grouped numpy scorer (guide SS8). Signature kept so call
+    sites stay dim-annotated for any future revisit.
     """
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + (F.element_at(a, i).cast("double")
-                     * F.element_at(b, i).cast("double"))
-    return acc
+    del dim
+    return _dot(a, b)
 
 
 def _norm(a: Column) -> Column:
@@ -65,25 +67,19 @@ def _norm(a: Column) -> Column:
 
 
 def _norm_u(a: Column, dim: int) -> Column:
-    """Unrolled ``_norm`` for arrays of KNOWN length ``dim`` — same
-    left-fold order and casts as the HOF form (see ``_dot_u``)."""
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        e = F.element_at(a, i).cast("double")
-        acc = acc + e * e
-    return F.sqrt(acc)
+    """Norm for arrays of KNOWN length ``dim`` — delegates to the fold
+    (same left-fold order and casts; unrolled form measured slower, see
+    ``_dot_u``)."""
+    del dim
+    return _norm(a)
 
 
 def _dot_lit_u(a: Column, vec: list[float]) -> Column:
-    """Unrolled dot of a column array against a PYTHON literal vector —
-    bit-identical to ``_dot(a, F.array(*[F.lit(v) for v in vec]))``
-    (literals are already double, so only the column side is cast;
-    identical IEEE order)."""
-    acc = F.lit(0.0)
-    for i, v in enumerate(vec):
-        acc = acc + (F.element_at(a, i + 1).cast("double")
-                     * F.lit(float(v)))
-    return acc
+    """Dot of a column array against a PYTHON literal vector — the fold
+    over an array literal; bit-identical to the unrolled chain (literals
+    are already double, so only the column side is cast; identical IEEE
+    order), which measured slower (see ``_dot_u``)."""
+    return _dot(a, F.array(*[F.lit(float(v)) for v in vec]))
 
 
 def cosine(a: Column, b: Column) -> Column:
