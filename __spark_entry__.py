@@ -5859,12 +5859,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate samples the FIRST ~50 registry entries
 # (insertion order).  _DRIVER_SAMPLE_HEAD pins a representative head that
-# spans every operator family — all 17 streaming committed-output entries,
-# astronomy, windows, dedup, ANN, sketches, URL, text quality, curation,
-# CEP, multimodal, relational — so the driver's sample exercises families
-# the old family-grouped order never reached (VERDICT r4 directive #2).
-# Entries NOT named here follow in their declaration order; the reorder is
-# a pure permutation (locked by a pytest: same key set, no duplicates).
+# spans every operator family — all 18 streaming committed-output entries
+# plus one-or-more per batch family (VERDICT r4 directive #2) — and the
+# NON-streaming slots ROTATE each round (VERDICT r5 directive #2) so
+# entries the driver has never checked get covered: the r6 head keeps the
+# 18 streaming entries and fills the other 32 slots with entries ABSENT
+# from CORRECTNESS_r05's sample (31 of 32 are new; url_parse returns for
+# URL-family coverage).  Entries NOT named here follow in their
+# declaration order; the reorder is a pure permutation (locked by pytest:
+# same key set, no duplicates, families spanned, >= 25 rotated in).
 _DRIVER_SAMPLE_HEAD = [
     "stream_position_committed", "stream_dedup_committed",
     "stream_curate_committed", "stream_url_blocklist_committed",
@@ -5875,19 +5878,22 @@ _DRIVER_SAMPLE_HEAD = [
     "stream_funnel3_committed", "stream_absence_committed",
     "stream_token_screen_committed", "stream_quota_committed",
     "stream_priority_sample_committed", "stream_anomalies_committed",
-    "position_spa", "sunrise_daily", "time_series_zoned",
-    "tokens_roundtrip",
-    "window_tumbling", "sessionize",
-    "dedup_exact", "minhash_verified",
-    "dup_clusters",
-    "similarity_topk", "quantized_topk", "ivf_topk", "pq_topk", "semdedup",
-    "hll_user_rollup", "cms_trigrams", "bottomk_per_lang",
-    "value_histogram_quantiles",
-    "url_parse", "url_domain_stats", "url_blocklist",
-    "lang_id_v2_margin", "quality_classifier_trained", "dsir_select",
-    "perplexity_buckets", "decontaminate",
-    "curate_corpus_lsh", "mixture_sample", "shuffle_shards",
-    "sequence_pattern_3", "multimodal_meta", "customer_revenue",
+    "position_grena3", "twilight", "deltat_estimate",
+    "window_sliding", "window_session",
+    "line_dedup", "dup_spans", "fuzzy_decontaminate",
+    "ivf_topk_arrow", "ivfpq_topk", "rp_topk",
+    "embedding_near_dup_bucketed", "centroid_confusion",
+    "hll_trigrams", "bottomk_trigrams",
+    "url_parse",
+    "quality_classifier", "gopher_filter", "doc_keywords",
+    "repetition_stats",
+    "wordpiece_tokens", "bpe_merges", "token_novelty",
+    "priority_sample", "corpus_diff", "sequence_pack",
+    "sequence_pattern_absent",
+    "frame_sample",
+    "event_transitions", "value_anomalies",
+    "host_pagerank",
+    "bm25_search",
 ]
 
 

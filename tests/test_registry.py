@@ -26,24 +26,50 @@ def test_first_50_span_all_families():
     streaming = [k for k in entry.queries() if k.startswith("stream_")]
     assert set(streaming) <= first50 and len(streaming) >= 16
     families = {
-        # twilight shares sunrise_daily's solver — dropped from the head
-        # when stream_absence_committed (15th streaming entry) joined
-        "astronomy": {"position_spa", "sunrise_daily"},
-        "windows": {"window_tumbling", "sessionize"},
-        "dedup": {"dedup_exact", "minhash_verified", "dup_clusters"},
-        "ann": {"similarity_topk", "ivf_topk", "pq_topk"},
-        "sketches": {"hll_user_rollup", "cms_trigrams", "bottomk_per_lang"},
-        "url": {"url_parse", "url_domain_stats", "url_blocklist"},
-        "text": {"quality_classifier_trained", "dsir_select",
-                 "decontaminate"},
-        "curation": {"curate_corpus_lsh", "mixture_sample",
-                     "shuffle_shards"},
-        "cep": {"sequence_pattern_3"},
-        "multimodal": {"multimodal_meta"},
-        "relational": {"customer_revenue"},
+        # r6 rotation (VERDICT r5 directive #2): representatives are
+        # entries the r5 driver sample never checked, one+ per family
+        "astronomy": {"position_grena3", "twilight", "deltat_estimate"},
+        "windows": {"window_sliding", "window_session"},
+        "dedup": {"line_dedup", "dup_spans", "fuzzy_decontaminate"},
+        "ann": {"ivf_topk_arrow", "ivfpq_topk", "rp_topk",
+                "embedding_near_dup_bucketed", "centroid_confusion"},
+        "sketches": {"hll_trigrams", "bottomk_trigrams"},
+        "url": {"url_parse"},
+        "text": {"quality_classifier", "gopher_filter", "doc_keywords",
+                 "repetition_stats"},
+        "tokenizer": {"wordpiece_tokens", "bpe_merges", "token_novelty"},
+        "curation": {"priority_sample", "corpus_diff", "sequence_pack"},
+        "cep": {"sequence_pattern_absent"},
+        "multimodal": {"frame_sample"},
+        "relational": {"event_transitions", "value_anomalies"},
+        "graph": {"host_pagerank"},
+        "search": {"bm25_search"},
     }
     for fam, names in families.items():
         assert names <= first50, f"family {fam} missing from driver sample"
+
+
+def test_rotation_covers_never_sampled_entries():
+    """VERDICT r5 directive #2: each round's driver sample must rotate
+    >= 25 non-streaming slots to entries absent from the previous
+    round's CORRECTNESS artifact (the r5 sample is frozen history, so
+    its keys are pinned here)."""
+    r5_sample = {
+        "position_spa", "sunrise_daily", "time_series_zoned",
+        "tokens_roundtrip", "window_tumbling", "sessionize",
+        "dedup_exact", "minhash_verified", "dup_clusters",
+        "similarity_topk", "quantized_topk", "ivf_topk", "pq_topk",
+        "semdedup", "hll_user_rollup", "cms_trigrams", "bottomk_per_lang",
+        "value_histogram_quantiles", "url_parse", "url_domain_stats",
+        "url_blocklist", "lang_id_v2_margin", "quality_classifier_trained",
+        "dsir_select", "perplexity_buckets", "decontaminate",
+        "curate_corpus_lsh", "mixture_sample", "shuffle_shards",
+        "sequence_pattern_3", "multimodal_meta", "customer_revenue",
+    }
+    head = [k for k in entry._DRIVER_SAMPLE_HEAD
+            if not k.startswith("stream_")]
+    fresh = [k for k in head if k not in r5_sample]
+    assert len(fresh) >= 25, f"only {len(fresh)} rotated-in entries"
 
 
 def test_every_query_has_oracle_or_documented_exemption():
